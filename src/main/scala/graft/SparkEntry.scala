@@ -1,13 +1,246 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.algos.{CDLP, PageRank, Triangles, WCC}
+import graft.graph.{GraphBuilder, LinkGraph}
+import graft.synth.{Synth, SynthSql}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query surface, two planes:
+  *  - `tg_*`: the north-rule core — transcripts are synthesized
+  *    deterministically ([[Synth]]) at the scale factor implied by the
+  *    data dir, the link graph is derived, and the GraphScope-equivalent
+  *    algorithms run on it. The DuckDB oracles re-generate the identical
+  *    table in SQL ([[SynthSql]]) and unroll the same recurrences, so
+  *    these are full-value checks, not rows-only.
+  *  - `q_*`: relational/dataflow plane over the driver's parquet tables —
+  *    the GIE operator algebra mapped to Spark (SURVEY.md §2.C: Scan,
+  *    Select, Project, GroupBy aggregates, OrderBy+TopK, Dedup, Unfold,
+  *    Join kinds, Apply), each with an ANSI-SQL oracle.
+  *
+  * Cross-engine float discipline: money aggregates go through
+  * DECIMAL(18,4) (exact, order-independent) and only the final value is
+  * cast back to double; iterative PageRank ranks are rounded to 6
+  * decimals on both sides (the BASELINE tolerance is 1e-6).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Verification scale — the driver's DuckDB stage runs on sf0.01; the
+    * static oracle SQL below is generated for the same sf the Spark side
+    * derives from the dir name.
+    */
+  private val OracleSf = 0.01
+  private val PrRounds = 10
+  private val CdlpRounds = 10
+
+  private val graphCache = TrieMap.empty[Double, LinkGraph]
+
+  /** Transcript-derived graph for the given data dir (memoized per sf —
+    * the driver calls each query separately).
+    */
+  def graphFor(spark: SparkSession, dir: String): LinkGraph = {
+    val sf = Synth.sfOfDir(dir)
+    graphCache.getOrElseUpdate(sf, {
+      val g = GraphBuilder.fromTranscripts(Synth.transcripts(spark, sf).toDF)
+      g.persist()
+      g
+    })
+  }
+
+  private def withOid(g: LinkGraph, result: DataFrame, valueCols: String*): DataFrame =
+    result.join(g.vertices.toDF, Seq("id"))
+      .select(col("oid") +: valueCols.map(col): _*)
+
+  /** Flagship query on sf=0.001-equivalent scale; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val g = graphFor(spark, "sf0.001")
+    withOid(g, PageRank.run(g, PageRank.Config(0.85, PrRounds)).withColumnRenamed("rank", "pr"), "pr")
+  }
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Money-exact aggregation helper: DECIMAL(18,4) in, double out. */
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- north-rule graph plane (SURVEY.md §2.B) ----
+    "tg_edges" -> ((s, dir) =>
+      GraphBuilder.oidEdges(Synth.transcripts(s, Synth.sfOfDir(dir)).toDF)),
+    "tg_degrees" -> ((s, dir) =>
+      graphFor(s, dir).degrees.select("oid", "out_deg", "in_deg")),
+    "tg_pagerank" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      val pr = PageRank.run(g, PageRank.Config(0.85, PrRounds))
+      withOid(g, pr.select(col("id"), round(col("rank"), 6).as("pr")), "pr")
+    }),
+    "tg_wcc" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      WCC.canonical(g, WCC.run(g))
+    }),
+    "tg_cdlp" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      CDLP.run(g, CdlpRounds)
+        .join(g.vertices.toDF, Seq("id"))
+        .join(g.vertices.toDF.select(col("id").as("label"), col("oid").as("label_oid")), Seq("label"))
+        .select("oid", "label_oid")
+    }),
+    "tg_triangles" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      withOid(g, Triangles.run(g), "triangles")
+    }),
+
+    // ---- relational plane (SURVEY.md §2.C → Spark) ----
+    // Scan + Select + Project (+ pushdown: filter & pruning reach parquet)
+    "q_scan_filter" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_quantity") > 45 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+    // GroupBy aggregates: sum/min/max/count/countDistinct/avg
+    "q_group_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          dec(sum(dec(col("l_extendedprice")))).cast("double").as("sum_price"),
+          min(col("l_discount")).as("min_disc"),
+          max(col("l_tax")).as("max_tax"),
+          count(lit(1)).as("n"),
+          countDistinct(col("l_orderkey")).as("n_orders"))),
+    // OrderBy + limit ⇒ TopK (TakeOrderedAndProject)
+    "q_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(10)),
+    // multi-way join + broadcast dims + grouped money agg
+    "q_join_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dec(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))))
+          .cast("double").as("revenue"))
+    }),
+    // Join kinds: SEMI (exists) / ANTI (not exists)
+    "q_semi" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))),
+    "q_anti" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))),
+    // Dedup (distinct on keys)
+    "q_dedup" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey"), col("c_mktsegment")).distinct()),
+    // Window: top order per customer (row_number over partition)
+    "q_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    }),
+    // Unfold / explode
+    "q_explode" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))),
+    // Union + dedup across sources
+    "q_union" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .unionAll(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .groupBy(col("nk")).agg(count(lit(1)).as("n"))),
+    // Apply/correlated subquery shape: orders above their customer's avg
+    "q_apply" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val avgPerCust = o.groupBy(col("o_custkey"))
+        .agg(avg(col("o_totalprice")).as("avg_price"))
+      o.join(avgPerCust, Seq("o_custkey"))
+        .where(col("o_totalprice") > col("avg_price") * 2)
+        .select(col("o_orderkey"), col("o_custkey"))
+    }),
+    // events: tumbling-window aggregation (batch form of the streaming op)
+    "q_event_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(
+          (unix_timestamp(col("ts")) - pmod(unix_timestamp(col("ts")), lit(3600))).as("win_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dec(sum(dec(col("value")))).cast("double").as("total")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "tg_edges" -> SynthSql.edgesSql(OracleSf),
+    "tg_degrees" -> SynthSql.degreesSql(OracleSf),
+    "tg_pagerank" -> SynthSql.pageRankSql(OracleSf, PrRounds),
+    "tg_wcc" -> SynthSql.wccSql(OracleSf),
+    "tg_cdlp" -> SynthSql.cdlpSql(OracleSf, CdlpRounds),
+    "tg_triangles" -> SynthSql.trianglesSql(OracleSf),
+    "q_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45 AND l_returnflag = 'R'""".stripMargin,
+    "q_group_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_price,
+        |  min(l_discount) AS min_disc,
+        |  max(l_tax) AS max_tax,
+        |  count(*) AS n,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_join_agg" ->
+      """SELECT n_name,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_dedup" -> "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) z WHERE rn = 1""".stripMargin,
+    "q_explode" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(p_name, ' ')) AS word FROM part) z
+        |GROUP BY word""".stripMargin,
+    "q_union" ->
+      """SELECT nk, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION ALL SELECT s_nationkey AS nk FROM supplier) z GROUP BY nk""".stripMargin,
+    "q_apply" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |JOIN (SELECT o_custkey AS ck, avg(o_totalprice) AS avg_price FROM orders GROUP BY o_custkey) a
+        |  ON o.o_custkey = a.ck
+        |WHERE o.o_totalprice > a.avg_price * 2""".stripMargin,
+    "q_event_window" ->
+      """SELECT ((epoch_ms(ts) // 1000) - ((epoch_ms(ts) // 1000) % 3600)) AS win_start, event_type,
+        |  count(*) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
 }

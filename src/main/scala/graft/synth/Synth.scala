@@ -1,0 +1,125 @@
+package graft.synth
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.schema.Turn
+
+/** Deterministic transcript synthesizer — the canonical input table per
+  * BASELINE.json `input_hint` (conv_id, turn_idx, role, text, tool, ts).
+  *
+  * Every value is a pure function of (sf, conv_id, turn_idx) built from
+  * 64-bit-safe integer arithmetic (`+ * % &` only, operands kept far below
+  * 2^62) so the exact same table can be re-generated inside DuckDB SQL by
+  * [[SynthSql]] — that is what lets the driver's DuckDB oracle check even
+  * the graph-derivation and iterative-algorithm queries end-to-end.
+  *
+  * Replaces the reference's external `gstest` fixture clone
+  * (`analytical_engine/test/app_tests.sh:83`) with an in-repo generator.
+  * Shape follows FIXTURES.md §1: roles {user, assistant, system, agent:%d,
+  * tool}, ~25% of assistant turns invoke a tool, a small Zipf-skewed tool
+  * set so the derived graph has extreme hub skew (exercises the skew
+  * handling the north rule demands).
+  */
+object Synth {
+
+  /** Fixed epoch: 2026-01-01T00:00:00Z, seconds. No wall-clock anywhere. */
+  val BaseEpochSec: Long = 1767225600L
+
+  val NTools: Int = 64
+
+  /** The one mixing hash. Both operands stay < 2^41, product < 2^62. */
+  def h(c: Long, i: Long): Long = (c * 1000003L + i * 7919L + 12345L) % 1000000007L
+
+  def nConvs(sf: Double): Long = math.max(64L, math.round(sf * 2000000L))
+
+  def nAgents(sf: Double): Long = math.max(8L, nConvs(sf) / 20L)
+
+  /** Turns per conversation: 2..64, Zipf-ish (90% short, 10% long tail). */
+  def turnsPerConv(c: Long): Int = {
+    val base = 2L + h(c, 1000000L) % 7L
+    val long = if (h(c, 1000001L) % 10L == 0L) h(c, 1000002L) % 56L else 0L
+    (base + long).toInt
+  }
+
+  def agentOf(c: Long, sf: Double): Long = h(c, 31L) % nAgents(sf)
+
+  /** Does the (odd-indexed, assistant) turn i invoke a tool? */
+  def toolInvoked(c: Long, i: Long): Boolean = h(c, 600000L + i) % 4L == 0L
+
+  /** Zipf-skewed tool id in [0,64): AND of two uniforms → mass near 0, so
+    * tool:t0 is a mega-hub (north-rule skew fixture, FIXTURES.md §1).
+    */
+  def toolId(c: Long, i: Long): Long =
+    (h(c, 700000L + i) % NTools) & (h(c, 800000L + i) % NTools)
+
+  /** Is turn i an assistant turn? Odd turns are assistant except for a
+    * deterministic ~1/6 of "interjections" (a follow-up from the human/
+    * agent/tool side) — without interjections every edge would touch the
+    * assistant vertex and the graph would be structurally triangle-free.
+    */
+  def isAssistant(c: Long, i: Long): Boolean =
+    i % 2L == 1L && h(c, 400000L + i) % 6L != 0L
+
+  /** Role of turn i: assistant per [[isAssistant]]; otherwise the human/
+    * system/agent side, or a "tool" result turn echoing the tool the
+    * previous (assistant) turn invoked.
+    */
+  def role(c: Long, i: Long, sf: Double): String =
+    if (isAssistant(c, i)) "assistant"
+    else if (i == 0L) { if (h(c, 51L) % 13L == 0L) "system" else "user" }
+    else {
+      val r = h(c, i) % 10L
+      if (r == 0L) "agent:" + agentOf(c, sf)
+      else if ((r == 1L || r == 2L) && isAssistant(c, i - 1L) && toolInvoked(c, i - 1L)) "tool"
+      else "user"
+    }
+
+  /** Tool column: set on assistant turns that invoke a tool, and on the
+    * "tool" result turn (naming the tool invoked one turn earlier).
+    */
+  def tool(c: Long, i: Long, sf: Double): Option[String] =
+    if (isAssistant(c, i) && toolInvoked(c, i)) Some("t" + toolId(c, i))
+    else if (!isAssistant(c, i) && i > 0L && role(c, i, sf) == "tool") Some("t" + toolId(c, i - 1L))
+    else None
+
+  def text(c: Long, i: Long): String =
+    "txt-" + c + "-" + i + "-" + (h(c, 900000L + i) % 100000L)
+
+  def tsSec(c: Long, i: Long): Long = BaseEpochSec + c * 300L + i
+
+  def convId(c: Long): String = f"c$c%08d"
+
+  def turn(c: Long, i: Long, sf: Double): Turn = Turn(
+    conv_id = convId(c),
+    turn_idx = i.toInt,
+    role = role(c, i, sf),
+    text = text(c, i),
+    tool = tool(c, i, sf),
+    ts = new Timestamp(tsSec(c, i) * 1000L)
+  )
+
+  /** Distributed generation: one `spark.range` over conversations, flatMap
+    * to turns. Purely deterministic, embarrassingly parallel, no driver
+    * materialization — holds at any scale factor.
+    */
+  def transcripts(spark: SparkSession, sf: Double): Dataset[Turn] = {
+    import spark.implicits._
+    spark
+      .range(0L, nConvs(sf))
+      .as[Long]
+      .flatMap(c => (0L until turnsPerConv(c).toLong).map(i => turn(c, i, sf)))
+  }
+
+  /** Map a testdata dir name (".../sf0.01") to its scale factor. Unknown
+    * dirs default to the smallest test scale.
+    */
+  def sfOfDir(dir: String): Double = {
+    val name = dir.split('/').filter(_.nonEmpty).lastOption.getOrElse("")
+    if (name.startsWith("sf")) {
+      try name.drop(2).toDouble
+      catch { case _: NumberFormatException => 0.001 }
+    } else 0.001
+  }
+}
