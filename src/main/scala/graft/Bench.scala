@@ -1,24 +1,157 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+import graft.algos.{CDLP, PageRank, Triangles, WCC}
+import graft.engine.Engine.MetricsLog
+import graft.graph.{GraphBuilder, LinkGraph}
+import graft.schema.{Edge, Vertex}
+import graft.synth.Synth
+
+/** Benchmark main — emits ONE JSON line for the driver (BENCH_r{N}.json)
+  * and writes BENCH.md with the BASELINE.json target numbers:
+  *
+  *  - edges/sec per PageRank superstep (mean over supersteps after the
+  *    first, which pays cache/shuffle warmup),
+  *  - iterations-to-convergence at L1 tol 1e-6,
+  *  - scaling efficiency between two parallelism levels (the sandbox
+  *    stand-in for N vs 4N executors): the derived graph is materialized
+  *    to parquet once, then the identical input is run at local[cpus/4]
+  *    and local[cpus]; efficiency = (thrHigh/thrLow) / 4.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def loadGraph(spark: SparkSession, dir: String): LinkGraph = {
+    import spark.implicits._
+    LinkGraph(
+      spark.read.parquet(s"$dir/vertices").as[Vertex],
+      spark.read.parquet(s"$dir/edges").as[Edge]).persist()
+  }
+
+  /** Mean edges/sec per superstep, excluding the warmup superstep. */
+  private def throughput(log: MetricsLog): Double = {
+    val steady = log.all.drop(1)
+    val considered = if (steady.nonEmpty) steady else log.all
+    if (considered.isEmpty) 0.0
+    else considered.map(_.edgesPerSec).sum / considered.size
+  }
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // Bench graph is BENCH_MULT× the verification-scale graph: the scaling
+    // criterion needs supersteps whose parallel work dominates the ~0.7s
+    // fixed per-superstep latency (stage scheduling + scalar round trips).
+    val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "4").toDouble
+    val sf = Synth.sfOfDir(sfDir) * mult
+    val lowCpus = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "2").toInt
+    val highCpus = sys.env.getOrElse("SPARK_GRAFT_SCALE_HIGH", (lowCpus * 4).toString).toInt
+    val tmp = Files.createTempDirectory("graft-bench").toString
+    val q = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // ---- phase 1: derive + persist the graph, headline algorithms ----
+    var spark = session(cpus)
+    val (g0, deriveSec) = timed {
+      val g = GraphBuilder.fromTranscripts(Synth.transcripts(spark, sf).toDF).persist()
+      g.edges.count()
+      g
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    q("derive_graph") = deriveSec
+    val nV = g0.numVertices
+    val nE = g0.edges.count()
+    g0.vertices.write.mode("overwrite").parquet(s"$tmp/vertices")
+    g0.edges.write.mode("overwrite").parquet(s"$tmp/edges")
+
+    val prConvLog = new MetricsLog
+    val (_, prConvSec) = timed {
+      PageRank.run(g0, PageRank.Config(0.85, 100, Some(1e-6)), prConvLog).count()
+    }
+    q("pagerank_conv") = prConvSec
+    val prIters = prConvLog.iterations
+    val thrHeadline = throughput(prConvLog)
+
+    val wccLog = new MetricsLog
+    val (_, wccSec) = timed { WCC.run(g0, Int.MaxValue, wccLog).count() }
+    q("wcc") = wccSec
+    val (_, cdlpSec) = timed { CDLP.run(g0, 10).count() }
+    q("cdlp_10r") = cdlpSec
+    val (_, triSec) = timed { Triangles.run(g0).count() }
+    q("triangles") = triSec
     spark.stop()
+
+    // ---- phase 2: scaling — identical parquet input at both levels ----
+    def scalingRun(p: Int): (Double, Double) = {
+      val s = session(p)
+      val gl = loadGraph(s, tmp)
+      gl.edges.count()
+      val log = new MetricsLog
+      val (_, sec) = timed { PageRank.run(gl, PageRank.Config(0.85, 10), log).count() }
+      s.stop()
+      (throughput(log), sec)
+    }
+    val (thrLow, prLowSec) = scalingRun(lowCpus)
+    q("pagerank_10r_lowp") = prLowSec
+    val (thrHigh, prHighSec) = scalingRun(highCpus)
+    q("pagerank_10r_highp") = prHighSec
+
+    val efficiency = if (thrLow > 0) (thrHigh / thrLow) / (highCpus.toDouble / lowCpus) else 0.0
+    val total = q.values.sum
+
+    val qJson = q.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir",""" +
+        f""""graph":{"vertices":$nV,"edges":$nE},""" +
+        f""""pagerank":{"iterations_to_convergence":$prIters,"tol":1e-6,""" +
+        f""""edges_per_sec_per_superstep":$thrHeadline%.0f},""" +
+        f""""scaling":{"cores_low":$lowCpus,"cores_high":$highCpus,""" +
+        f""""edges_per_sec_low":$thrLow%.0f,"edges_per_sec_high":$thrHigh%.0f,""" +
+        f""""efficiency":$efficiency%.3f}}"""
+    println(json)
+
+    val md =
+      f"""# BENCH — measured on this build (synthesized transcript graph)
+         |
+         |Input: deterministic transcripts at sf=$sf ($sfDir × bench
+         |multiplier $mult), derived link graph: $nV vertices, $nE distinct
+         |weighted edges. Scaling runs read the identical materialized edge
+         |parquet at N=$lowCpus and 4N=$highCpus cores (the in-sandbox
+         |stand-in for N vs 4N executors per BASELINE.json; no real cluster
+         |in this sandbox).
+         |
+         || metric | value |
+         ||---|---|
+         || PageRank edges/sec per superstep (local[$cpus], conv run) | $thrHeadline%.0f |
+         || PageRank edges/sec per superstep (local[$highCpus]) | $thrHigh%.0f |
+         || PageRank edges/sec per superstep (local[$lowCpus]) | $thrLow%.0f |
+         || scaling efficiency (local[$lowCpus]→local[$highCpus], ÷${highCpus / lowCpus}) | $efficiency%.3f |
+         || PageRank iterations to convergence (L1 < 1e-6·N) | $prIters |
+         || derive graph | $deriveSec%.1f s |
+         || PageRank to convergence | $prConvSec%.1f s |
+         || WCC (to fixpoint) | $wccSec%.1f s |
+         || CDLP 10 rounds | $cdlpSec%.1f s |
+         || Triangles | $triSec%.1f s |
+         |""".stripMargin
+    Files.writeString(Paths.get("BENCH.md"), md)
   }
 }

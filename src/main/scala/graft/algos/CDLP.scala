@@ -33,6 +33,7 @@ object CDLP {
       rounds: Int = 10,
       log: MetricsLog = new MetricsLog
   ): DataFrame = {
+    Engine.withoutAQE(g.vertices.sparkSession) {
     val dirEdges = g.edges.toDF.where(col("src") =!= col("dst"))
     // Neighbor multiset: u→v gives v the label of u AND u the label of v.
     val nbrs = dirEdges.select(col("src").as("v"), col("dst").as("nbr"))
@@ -42,27 +43,30 @@ object CDLP {
     val nbrCount = nbrs.count()
 
     var labels = Engine.materialize(
-      g.vertices.toDF.select(col("id"), col("id").as("label")))
+      g.vertices.toDF.select(col("id"), col("id").as("label"))
+        .repartition(col("id")))
 
     var iter = 0
     while (iter < rounds) {
       val t0 = System.nanoTime()
       val newLabels = nbrs
-        .join(labels.select(col("id").as("nbr"), col("label").as("nl")), "nbr")
+        .join(labels.select(col("id").as("nbr"), col("label").as("nl")).hint("shuffle_hash"), "nbr")
         .groupBy(col("v"), col("nl"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("v").as("id"))
         .agg(max(struct(col("cnt"), (-col("nl")).as("neg"), col("nl").as("lab"))).as("m"))
         .select(col("id"), col("m.lab").as("new_label"))
       val next = labels
-        .join(newLabels, Seq("id"), "left")
+        .join(newLabels.hint("shuffle_hash"), Seq("id"), "left")
         .select(col("id"), coalesce(col("new_label"), col("label")).as("label"))
       labels = Engine.materialize(next)
+      labels.count() // CDLP has no convergence aggregate; one job per round
       val secs = (System.nanoTime() - t0) / 1e9
       log.record(IterationMetrics(iter, secs, 0.0, nbrCount))
       iter += 1
     }
     nbrs.unpersist()
     labels
+    }
   }
 }

@@ -16,15 +16,18 @@ import graft.graph.LinkGraph
   * `apps/pagerank/pagerank_networkx.h:135-147`) stop when the L1 delta
   * `Σ|r - r_prev| < tol·N`.
   *
-  * Spark shape (north rule "hash-partitioned sparse gather-scatter"):
-  * the edge table is joined with out-degrees once, hash-partitioned by
-  * `dst` and persisted; each superstep is one job — join current ranks on
-  * `src` (broadcast-able: |V| ≪ |E| for the transcript graph), partial+
-  * final `sum` per `dst` (map-side combine absorbs hub skew: a vertex with
-  * 10^6 in-edges contributes one partial row per task, not 10^6 shuffle
-  * rows), then a single fused scalar aggregate returns (L1 delta, next
-  * dangling mass) — the reference's cross-worker `Sum()` reduce
-  * (`pagerank.h:123-125`) — so per-iteration driver work is O(1).
+  * Spark shape (north rule "hash-partitioned sparse gather-scatter"), in
+  * **contribution form**: the only iterated state is the gather output
+  * `c_k(v) = Σ_{u→v} rank_k(u)/outdeg(u)`; ranks are recovered inline as
+  * `rank_k = base_k + d·c_k` with `base_k` a driver scalar. Each superstep
+  * is a single job: left-join the (src-partitioned, persisted) edge table
+  * with the previous contributions, partial+final `sum` per dst (map-side
+  * combine absorbs hub skew), then one pass over the static vertex table
+  * computing the L1 delta *and* the next dangling mass — the reference's
+  * cross-worker `Sum()` reduce (`pagerank.h:123-125`). Per-iteration
+  * scalars travel via broadcast 1-row frames ([[Engine.scalar]]) so the
+  * generated code is identical across supersteps (no per-iteration Janino
+  * recompile), and driver work stays O(1).
   */
 object PageRank {
 
@@ -41,79 +44,122 @@ object PageRank {
       log: MetricsLog = new MetricsLog,
       ckpt: Option[CheckpointConfig] = None
   ): DataFrame = {
+    val spark = g.vertices.sparkSession
+    Engine.withoutAQE(spark) { runImpl(g, cfg, log, ckpt) }
+  }
+
+  private def runImpl(
+      g: LinkGraph,
+      cfg: Config,
+      log: MetricsLog,
+      ckpt: Option[CheckpointConfig]
+  ): DataFrame = {
+    val spark = g.vertices.sparkSession
     val n = g.numVertices
     require(n > 0, "empty graph")
     val d = cfg.damping
 
     val simpleEdges = g.edges.toDF.select(col("src"), col("dst")) // distinct by construction
     val outDeg = simpleEdges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+
+    // Static per-vertex facts: dangling = no out-edges.
+    val verts = g.vertices.toDF
+      .join(outDeg.select(col("src").as("id")).withColumn("__has_out", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("__has_out").isNull.as("dangling"))
+      .repartition(col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val danglingCount = verts.where(col("dangling")).count()
+
+    // Edge table with 1/outdeg and the destination's dangling flag baked
+    // in; the flag rides the gather groupBy (same cardinality: dst →
+    // (dst, dstDangling)) so fixed-round supersteps never touch the
+    // vertex table.
     val e = simpleEdges
       .join(outDeg, "src")
-      .repartition(col("dst"))
+      .join(verts.select(col("id").as("dst"), col("dangling").as("dstDangling")), "dst")
+      .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"), col("dstDangling"))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edgeCount = e.count()
 
-    val state0 = g.vertices.toDF
-      .join(outDeg.select(col("src").as("id")).withColumn("__has_out", lit(true)), Seq("id"), "left")
-      .select(
-        col("id"),
-        lit(1.0 / n).as("rank"),
-        col("__has_out").isNull.as("dangling"))
+    val emptyC = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      new org.apache.spark.sql.types.StructType()
+        .add("id", "long").add("c", "double"))
 
-    // Resume from the latest durable snapshot if present (exact resume:
-    // manifest metrics carry iter + dangling sum).
+    // rank_0 = 1/n  ⇔  base_0 = 1/n, c_0 ≡ 0; dsum_0 = |D|/n.
     val resumed = ckpt.flatMap { c =>
       c.store.latestVersion(c.table).map { v =>
         val m = c.store.readManifest(c.table, v)
-        (c.store.read(g.vertices.sparkSession, c.table, v),
-          m.metrics("iter").toInt + 1,
-          m.metrics("dsum"))
+        (c.store.read(spark, c.table, v), m.metrics("iter").toInt + 1,
+          m.metrics("base"), m.metrics("dsum"))
       }
     }
-
-    var state = Engine.materialize(resumed.map(_._1).getOrElse(state0))
+    var cPrev = resumed.map(r => Engine.materialize(r._1)).getOrElse(emptyC)
     var iter = resumed.map(_._2).getOrElse(0)
-    var dsum = resumed.map(_._3).getOrElse {
-      val r = state.agg(sum(when(col("dangling"), col("rank")))).head()
-      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
-    }
+    var base = resumed.map(_._3).getOrElse(1.0 / n)
+    var dsum = resumed.map(_._4).getOrElse(danglingCount.toDouble / n)
     var delta = Double.MaxValue
 
     def converged: Boolean = cfg.tol.exists(t => delta < t * n)
 
     while (iter < cfg.maxIter && !converged) {
       val t0 = System.nanoTime()
-      val contrib = e
-        .join(state.select(col("id").as("src"), col("rank").as("srank")), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(sum(col("srank") / col("outdeg")).as("c"))
-      val base = (1.0 - d) / n + d * dsum / n
-      val next = state
-        .select(col("id"), col("rank").as("prev"), col("dangling"))
-        .join(contrib, Seq("id"), "left")
-        .select(
-          col("id"),
-          (lit(base) + lit(d) * coalesce(col("c"), lit(0.0))).as("rank"),
-          col("prev"),
-          col("dangling"))
-      val nextM = Engine.materialize(next)
-      val row: Row = nextM.agg(
-        sum(abs(col("rank") - col("prev"))),
-        sum(when(col("dangling"), col("rank")))).head()
-      delta = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
-      dsum = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
-      state = nextM.select(col("id"), col("rank"), col("dangling"))
+      val baseNext = (1.0 - d) / n + d * dsum / n
+      val scalars = Engine.scalar(spark, "__baseO", base)
+        .crossJoin(Engine.scalar(spark, "__baseN", baseNext))
+      // gather: rank_{k}(u) = baseO + d·c_prev(u), inline on the edge join
+      val cNext = e
+        .join(cPrev.select(col("id").as("src"), col("c")).hint("shuffle_hash"), Seq("src"), "left")
+        .crossJoin(broadcast(Engine.scalar(spark, "__baseO", base)))
+        .select(col("dst"), col("dstDangling"),
+          (col("w") * (col("__baseO") + lit(d) * coalesce(col("c"), lit(0.0)))).as("m"))
+        .groupBy(col("dst").as("id"), col("dstDangling"))
+        .agg(sum(col("m")).as("c"))
+      val cNextM = Engine.materialize(cNext)
+      // one pass over the vertex table: next dangling mass, plus the L1
+      // delta when a tolerance is set (fixed-round runs skip the
+      // prev-contribution join entirely — one less exchange per superstep)
+      val stats: Row =
+        if (cfg.tol.isDefined) {
+          verts
+            .join(cNextM.select(col("id"), col("c").as("cN")).hint("shuffle_hash"), Seq("id"), "left")
+            .join(cPrev.select(col("id"), col("c").as("cO")).hint("shuffle_hash"), Seq("id"), "left")
+            .crossJoin(broadcast(scalars))
+            .select(
+              (abs((col("__baseN") + lit(d) * coalesce(col("cN"), lit(0.0))) -
+                (col("__baseO") + lit(d) * coalesce(col("cO"), lit(0.0))))).as("ad"),
+              when(col("dangling"),
+                col("__baseN") + lit(d) * coalesce(col("cN"), lit(0.0))).as("dr"))
+            .agg(sum(col("ad")), sum(col("dr"))).head()
+        } else {
+          // fixed-round: dsum = |D|·base + d·Σ_{dangling} c — a straight
+          // aggregate over the cached contributions, no joins at all
+          cNextM.agg(max(lit(-1.0)), sum(when(col("dstDangling"), col("c")))).head()
+        }
+      delta = if (stats.isNullAt(0)) 0.0 else stats.getDouble(0)
+      dsum =
+        if (cfg.tol.isDefined) { if (stats.isNullAt(1)) 0.0 else stats.getDouble(1) }
+        else {
+          val sC = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
+          danglingCount * baseNext + d * sC
+        }
+      base = baseNext
+      cPrev = cNextM
       val secs = (System.nanoTime() - t0) / 1e9
-      log.record(IterationMetrics(iter, secs, delta, edgeCount,
-        Map("dsum" -> dsum)))
+      log.record(IterationMetrics(iter, secs, delta, edgeCount, Map("dsum" -> dsum, "base" -> base)))
       ckpt.foreach { c =>
         if (c.every > 0 && iter % c.every == 0)
-          c.store.write(c.table, state,
-            Map("iter" -> iter.toDouble, "dsum" -> dsum, "delta" -> delta))
+          c.store.write(c.table, cPrev,
+            Map("iter" -> iter.toDouble, "base" -> base, "dsum" -> dsum, "delta" -> delta))
       }
       iter += 1
     }
+    val result = verts
+      .join(cPrev.select(col("id"), col("c")), Seq("id"), "left")
+      .crossJoin(broadcast(Engine.scalar(spark, "__base", base)))
+      .select(col("id"), (col("__base") + lit(d) * coalesce(col("c"), lit(0.0))).as("rank"))
     e.unpersist()
-    state.select(col("id"), col("rank"))
+    result
   }
 }

@@ -34,17 +34,19 @@ object WCC {
       log: MetricsLog = new MetricsLog,
       ckpt: Option[CheckpointConfig] = None
   ): DataFrame = {
+    Engine.withoutAQE(g.vertices.sparkSession) {
     val und = g.edges.toDF
       .where(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
       .unionAll(g.edges.toDF.where(col("src") =!= col("dst"))
         .select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .repartition(col("dst"))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val undCount = und.count()
 
     val state0 = g.vertices.toDF.select(col("id"), col("id").as("comp"))
+      .repartition(col("id"))
 
     val resumed = ckpt.flatMap { c =>
       c.store.latestVersion(c.table).map { v =>
@@ -62,11 +64,11 @@ object WCC {
     while (changed > 0 && iter < maxIter) {
       val t0 = System.nanoTime()
       val msgs = und
-        .join(frontier.select(col("id").as("src"), col("comp").as("scomp")), "src")
+        .join(frontier.select(col("id").as("src"), col("comp").as("scomp")).hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("scomp")).as("mc"))
       val next = state
-        .join(msgs, Seq("id"), "left")
+        .join(msgs.hint("shuffle_hash"), Seq("id"), "left")
         .select(
           col("id"),
           least(col("comp"), coalesce(col("mc"), col("comp"))).as("comp"),
@@ -89,6 +91,7 @@ object WCC {
     }
     und.unpersist()
     state
+    }
   }
 
   /** Canonicalized output for cross-engine comparison: component labeled

@@ -41,11 +41,49 @@ final case class CheckpointConfig(store: SnapshotStore, table: String, every: In
   */
 object Engine {
 
-  /** Eagerly materialize a superstep's state and cut its lineage. The
-    * previous state must stay available until the new one is computed, so
-    * callers unpersist the old frame *after* this returns.
+  /** Mark a superstep's state for materialization + lineage truncation.
+    * Lazy (`localCheckpoint(false)`): the caller's next action — typically
+    * the fused convergence aggregate — computes the state, caches it, and
+    * truncates lineage in a single job, so each superstep costs exactly
+    * one Spark job instead of checkpoint-then-aggregate.
     */
-  def materialize(df: DataFrame): DataFrame = df.localCheckpoint(true)
+  def materialize(df: DataFrame): DataFrame = df.localCheckpoint(false)
+
+  /** Run `f` with AQE disabled, restoring the previous setting after.
+    *
+    * The superstep plans are statically shaped — co-partitioned hinted
+    * joins, shuffle partitions pinned to the core count — so AQE has
+    * nothing to improve and its per-query-stage materialize/re-optimize
+    * barriers add ~0.1s of driver-serial latency per stage, which is pure
+    * loss repeated every superstep. AQE stays on for the derivation and
+    * the relational plane, where join-strategy/skew adaptivity does pay.
+    */
+  def withoutAQE[A](spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try f
+    finally spark.conf.set(key, old)
+  }
+
+  /** A per-iteration scalar as a broadcast 1-row DataFrame column.
+    *
+    * Embedding an iteration-dependent value with `lit(x)` changes the
+    * generated whole-stage code every superstep, forcing a fresh Janino
+    * compile (~0.5-1s, driver-serial) per iteration — it flattens
+    * multi-core scaling completely. Routing the value through a
+    * LocalRelation keeps the plan (and the codegen cache key) identical
+    * across iterations; only the row data changes.
+    */
+  def scalar(spark: org.apache.spark.sql.SparkSession, name: String, value: Double): DataFrame = {
+    import spark.implicits._
+    Seq(value).toDF(name)
+  }
+
+  def scalarLong(spark: org.apache.spark.sql.SparkSession, name: String, value: Long): DataFrame = {
+    import spark.implicits._
+    Seq(value).toDF(name)
+  }
 
   /** Collects per-iteration metrics for the bench report. */
   final class MetricsLog {

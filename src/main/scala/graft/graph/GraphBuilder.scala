@@ -84,7 +84,7 @@ object GraphBuilder {
       .where(col("prev_oid").isNotNull && col("prev_oid") =!= col("oid"))
       .select(col("prev_oid").as("src_oid"), col("oid").as("dst_oid"))
     val invoke = withOid
-      .where(col("role") === "assistant" && col("tool").isNotNull)
+      .where(col("role").like("assistant%") && col("tool").isNotNull)
       .select(col("oid").as("src_oid"), concat(lit("tool:"), col("tool")).as("dst_oid"))
     reply.unionAll(invoke)
       .groupBy(col("src_oid"), col("dst_oid"))

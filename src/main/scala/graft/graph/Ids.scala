@@ -33,8 +33,15 @@ object Ids {
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val distinctKeys = df.select(col(keyCol)).distinct()
       .repartitionByRange(parts, col(keyCol))
+    // Materialize the pid-stamped frame before branching: the offsets
+    // collect and the final join must see the SAME partition assignment,
+    // but repartitionByRange samples with a per-execution seed (rdd.id) —
+    // two lazy re-executions can disagree on boundaries, which silently
+    // corrupts the ids (duplicate/shifted ranks). Caught by the DuckDB
+    // oracle at sf0.01.
     val withPid = distinctKeys
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     val localRank = withPid.withColumn(
       "__rank",
       row_number().over(Window.partitionBy(col("__pid")).orderBy(col(keyCol))).cast("long") - 1L

@@ -32,9 +32,30 @@ object Synth {
   /** The one mixing hash. Both operands stay < 2^41, product < 2^62. */
   def h(c: Long, i: Long): Long = (c * 1000003L + i * 7919L + 12345L) % 1000000007L
 
-  def nConvs(sf: Double): Long = math.max(64L, math.round(sf * 2000000L))
+  def nConvs(sf: Double): Long = math.max(64L, math.round(sf * 20000000L))
 
   def nAgents(sf: Double): Long = math.max(8L, nConvs(sf) / 20L)
+
+  /** Distinct human participants; each has ~4 conversations. Participants
+    * are first-class vertices (north star: "vertices are conversation
+    * participants/tools") — at real 10^12-turn scale these number in the
+    * millions, so the vertex space must grow with the corpus.
+    */
+  def nUsers(sf: Double): Long = math.max(16L, nConvs(sf) / 4L)
+
+  def userOf(c: Long, sf: Double): Long = c % nUsers(sf)
+
+  /** Distinct assistant replicas ("assistant:<k>"). The global "assistant"
+    * vertex still takes ~1/3 of assistant turns — the mega-hub the north
+    * rule's skew handling is exercised against — while the replicas make
+    * most consecutive-turn pairs distinct, giving the derived graph
+    * web-link-graph edge density (E ≈ total turns) instead of a star.
+    */
+  def nAssistants(sf: Double): Long = math.max(4L, nConvs(sf) / 8L)
+
+  def assistantOid(c: Long, i: Long, sf: Double): String =
+    if (h(c, 300000L + i) % 3L == 0L) "assistant"
+    else "assistant:" + (h(c, 310000L + i) % nAssistants(sf))
 
   /** Turns per conversation: 2..64, Zipf-ish (90% short, 10% long tail). */
   def turnsPerConv(c: Long): Int = {
@@ -43,7 +64,13 @@ object Synth {
     (base + long).toInt
   }
 
-  def agentOf(c: Long, sf: Double): Long = h(c, 31L) % nAgents(sf)
+  /** Agent participating at turn i — per-turn, not per-conversation, so a
+    * long conversation touches many agents: keeps the derived graph's
+    * average degree ~T(c) (web-link-graph-like density) instead of ~2.5
+    * (star-like), which is what makes supersteps edge-bound rather than
+    * vertex-bound at bench scale.
+    */
+  def agentOf(c: Long, i: Long, sf: Double): Long = h(c, 200000L + i) % nAgents(sf)
 
   /** Does the (odd-indexed, assistant) turn i invoke a tool? */
   def toolInvoked(c: Long, i: Long): Boolean = h(c, 600000L + i) % 4L == 0L
@@ -67,13 +94,13 @@ object Synth {
     * previous (assistant) turn invoked.
     */
   def role(c: Long, i: Long, sf: Double): String =
-    if (isAssistant(c, i)) "assistant"
-    else if (i == 0L) { if (h(c, 51L) % 13L == 0L) "system" else "user" }
+    if (isAssistant(c, i)) assistantOid(c, i, sf)
+    else if (i == 0L) { if (h(c, 51L) % 13L == 0L) "system" else "u" + userOf(c, sf) }
     else {
       val r = h(c, i) % 10L
-      if (r == 0L) "agent:" + agentOf(c, sf)
+      if (r == 0L) "agent:" + agentOf(c, i, sf)
       else if ((r == 1L || r == 2L) && isAssistant(c, i - 1L) && toolInvoked(c, i - 1L)) "tool"
-      else "user"
+      else "u" + userOf(c, sf)
     }
 
   /** Tool column: set on assistant turns that invoke a tool, and on the

@@ -26,12 +26,14 @@ object SynthSql {
   def transcriptsCtes(sf: Double): String = {
     val nConv = Synth.nConvs(sf)
     val nAgent = Synth.nAgents(sf)
+    val nUser = Synth.nUsers(sf)
+    val nAssist = Synth.nAssistants(sf)
     val role =
-      s"""CASE WHEN ${isA("i")} THEN 'assistant'
-         |     WHEN i = 0 THEN (CASE WHEN ${H("51")}%13 = 0 THEN 'system' ELSE 'user' END)
-         |     WHEN ${H("i")}%10 = 0 THEN 'agent:' || CAST(${H("31")}%$nAgent AS VARCHAR)
+      s"""CASE WHEN ${isA("i")} THEN (CASE WHEN ${H("300000+i")}%3 = 0 THEN 'assistant' ELSE 'assistant:' || CAST(${H("310000+i")}%$nAssist AS VARCHAR) END)
+         |     WHEN i = 0 THEN (CASE WHEN ${H("51")}%13 = 0 THEN 'system' ELSE 'u' || CAST(c % $nUser AS VARCHAR) END)
+         |     WHEN ${H("i")}%10 = 0 THEN 'agent:' || CAST(${H("200000+i")}%$nAgent AS VARCHAR)
          |     WHEN (${H("i")}%10 IN (1,2)) AND ${isA("i-1")} AND ${toolInv("i-1")} THEN 'tool'
-         |     ELSE 'user' END""".stripMargin
+         |     ELSE 'u' || CAST(c % $nUser AS VARCHAR) END""".stripMargin
     s"""conv AS (SELECT unnest(generate_series(0, ${nConv - 1})) AS c),
        |raw AS MATERIALIZED (
        |  SELECT c, i FROM conv CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) ii
@@ -69,8 +71,8 @@ object SynthSql {
        |),
        |reply AS (SELECT src_oid, dst_oid FROM reply0 WHERE src_oid IS NOT NULL AND src_oid <> dst_oid),
        |invoke AS (
-       |  SELECT 'assistant' AS src_oid, 'tool:' || tool AS dst_oid
-       |  FROM turns WHERE role = 'assistant' AND tool IS NOT NULL
+       |  SELECT role AS src_oid, 'tool:' || tool AS dst_oid
+       |  FROM turns WHERE role LIKE 'assistant%' AND tool IS NOT NULL
        |),
        |edges_oid AS MATERIALIZED (
        |  SELECT src_oid, dst_oid, CAST(count(*) AS DOUBLE) AS weight
@@ -131,12 +133,13 @@ object SynthSql {
        |FROM vertices v JOIN r$rounds ON v.id = r$rounds.id""".stripMargin
   }
 
-  /** HashMin WCC unrolled `rounds` times (the synthesized graph's
-    * undirected diameter is ≤ ~4 — every conversation touches the
-    * assistant hub — so 10 rounds is converged with a wide margin; the
-    * Spark side iterates to an exact fixpoint).
+  /** HashMin WCC unrolled `rounds` times. The synthesized graph is
+    * small-world (hub assistant/tools + dense replica mixing), so 30
+    * rounds converges with a wide margin — verified at build time by
+    * checking rounds vs rounds+1 produce identical output; the Spark side
+    * iterates to an exact fixpoint.
     */
-  def wccSql(sf: Double, rounds: Int = 10): String = {
+  def wccSql(sf: Double, rounds: Int = 30): String = {
     val body = (1 to rounds).map { k =>
       val p = s"c${k - 1}"
       s"""c$k AS MATERIALIZED (

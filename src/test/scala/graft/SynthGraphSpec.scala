@@ -41,9 +41,9 @@ class SynthGraphSpec extends SparkSpec {
     // odd turns are mostly assistant (strict alternation minus ~1/6
     // deterministic interjections — see Synth.isAssistant)
     val odd = t.where(col("turn_idx") % 2 === 1)
-    val oddAssistant = odd.where(col("role") === "assistant").count()
+    val oddAssistant = odd.where(col("role").like("assistant%")).count()
     assert(oddAssistant > odd.count() / 2)
-    val evenAssistant = t.where(col("turn_idx") % 2 === 0 && col("role") === "assistant").count()
+    val evenAssistant = t.where(col("turn_idx") % 2 === 0 && col("role").like("assistant%")).count()
     assert(evenAssistant == 0)
     // tool result turns always name a tool
     assert(t.where(col("role") === "tool" && col("tool").isNull).count() == 0)
@@ -81,7 +81,7 @@ class SynthGraphSpec extends SparkSpec {
     // assistant turn.
     val turns = t.count()
     val convs = t.select("conv_id").distinct().count()
-    val invokes = t.where(col("role") === "assistant" && col("tool").isNotNull).count()
+    val invokes = t.where(col("role").like("assistant%") && col("tool").isNotNull).count()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("conv_id")).orderBy(col("turn_idx"))
     val selfLoops = t.select(GraphBuilder.oidOfTurn.as("oid"), col("conv_id"), col("turn_idx"))
