@@ -29,6 +29,9 @@ object Bench {
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // shuffle on tmpfs: at 38M+ edge messages per superstep the local
+      // disk becomes the bottleneck and flattens core scaling
+      .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -85,7 +88,7 @@ object Bench {
 
     val prConvLog = new MetricsLog
     val (_, prConvSec) = timed {
-      PageRank.run(g0, PageRank.Config(0.85, 100, Some(1e-6)), prConvLog).count()
+      PageRank.run(g0, PageRank.Config(0.85, 100, Some(1e-6), tolTimesN = false), prConvLog).count()
     }
     q("pagerank_conv") = prConvSec
     val prIters = prConvLog.iterations
@@ -114,6 +117,8 @@ object Bench {
     q("pagerank_10r_lowp") = prLowSec
     val (thrHigh, prHighSec) = scalingRun(highCpus)
     q("pagerank_10r_highp") = prHighSec
+    val (thrFull, prFullSec) = scalingRun(cpus)
+    q("pagerank_10r_fullp") = prFullSec
 
     val efficiency = if (thrLow > 0) (thrHigh / thrLow) / (highCpus.toDouble / lowCpus) else 0.0
     val total = q.values.sum
@@ -128,6 +133,7 @@ object Bench {
         f""""edges_per_sec_low":$thrLow%.0f,"edges_per_sec_high":$thrHigh%.0f,""" +
         f""""efficiency":$efficiency%.3f}}"""
     println(json)
+    Files.writeString(Paths.get("BENCH.json"), json + "\n")
 
     val md =
       f"""# BENCH — measured on this build (synthesized transcript graph)
@@ -142,6 +148,7 @@ object Bench {
          || metric | value |
          ||---|---|
          || PageRank edges/sec per superstep (local[$cpus], conv run) | $thrHeadline%.0f |
+         || PageRank edges/sec per superstep (local[$cpus], 10r) | $thrFull%.0f |
          || PageRank edges/sec per superstep (local[$highCpus]) | $thrHigh%.0f |
          || PageRank edges/sec per superstep (local[$lowCpus]) | $thrLow%.0f |
          || scaling efficiency (local[$lowCpus]→local[$highCpus], ÷${highCpus / lowCpus}) | $efficiency%.3f |

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.algos.{CDLP, PageRank, Triangles, WCC}
 import graft.graph.{GraphBuilder, LinkGraph}
-import graft.synth.{Synth, SynthSql}
+import graft.synth.{Synth, SynthSql, SynthSql2}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -179,7 +179,85 @@ object SparkEntry {
           (unix_timestamp(col("ts")) - pmod(unix_timestamp(col("ts")), lit(3600))).as("win_start"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
-          dec(sum(dec(col("value")))).cast("double").as("total")))
+          dec(sum(dec(col("value")))).cast("double").as("total"))),
+
+    // ---- graph plane, wave 2 (SURVEY.md §2.B table) ----
+    "tg_sssp" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      withOid(g, graft.algos.SSSP.run(g, "assistant")
+        .select(col("id"), round(col("dist"), 6).as("dist")), "dist")
+    }),
+    "tg_bfs" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      withOid(g, graft.algos.BFS.run(g, "assistant"), "level")
+    }),
+    "tg_hits" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      withOid(g, graft.algos.HITS.run(g, maxIter = 5, tol = 0.0)
+        .select(col("id"), round(col("auth"), 6).as("auth"), round(col("hub"), 6).as("hub")),
+        "auth", "hub")
+    }),
+    "tg_degcent" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      withOid(g, graft.algos.Centrality.degree(g, "both")
+        .select(col("id"), round(col("centrality"), 6).as("centrality")), "centrality")
+    }),
+    "tg_lcc" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      withOid(g, graft.algos.Clustering.lcc(g)
+        .select(col("id"), round(col("lcc"), 6).as("lcc")), "lcc")
+    }),
+    "tg_avgdegconn" -> ((s, dir) =>
+      graft.algos.Assortativity.averageDegreeConnectivity(graphFor(s, dir))
+        .select(col("degree"), round(col("avg_nbr_degree"), 6).as("avg_nbr_degree"))),
+    "tg_assortativity" -> ((s, dir) =>
+      graft.algos.Assortativity.degreeAssortativityDf(graphFor(s, dir))),
+    // GIE Pattern (algebra.proto:350): user → assistant replica → tool
+    "tg_pattern" -> ((s, dir) => {
+      val oe = GraphBuilder.oidEdges(Synth.transcripts(s, Synth.sfOfDir(dir)).toDF)
+      oe.as("e1").join(oe.as("e2"), col("e1.dst_oid") === col("e2.src_oid"))
+        .where(col("e1.src_oid").like("u%") && col("e1.dst_oid").like("assistant%") &&
+          col("e2.dst_oid").like("tool:%"))
+        .groupBy(col("e2.dst_oid").as("tool_oid"))
+        .agg(count(lit(1)).as("n_paths"))
+    }),
+    // GIE PathExpand (algebra.proto:287): 1..2 hops from tool:t0
+    "tg_pathexpand" -> ((s, dir) => {
+      val oe = GraphBuilder.oidEdges(Synth.transcripts(s, Synth.sfOfDir(dir)).toDF)
+      val h1 = oe.where(col("src_oid") === "tool:t0").select(col("dst_oid").as("oid")).distinct()
+      val h2 = oe.join(h1.select(col("oid").as("src_oid")), Seq("src_oid"), "left_semi")
+        .select(col("dst_oid").as("oid")).distinct()
+      h1.select(col("oid"), lit(1).as("hops"))
+        .unionAll(h2.select(col("oid"), lit(2).as("hops")))
+        .where(col("oid") =!= "tool:t0")
+        .groupBy(col("oid")).agg(min(col("hops")).cast("long").as("hops"))
+    }),
+
+    // ---- training-data pipeline plane: dedup / text / similarity ----
+    "d_dedup_norm" -> ((s, dir) =>
+      graft.text.Dedup.normalized(t(s, dir, "documents"), "doc_id", "text")),
+    "d_textstats" -> ((s, dir) =>
+      graft.text.TextOps.textStats(t(s, dir, "documents"), "text", "doc_id")),
+    "d_quality" -> ((s, dir) =>
+      graft.text.TextOps.qualityScore(t(s, dir, "documents"), "text", "doc_id")),
+    "d_langid" -> ((s, dir) =>
+      graft.text.TextOps.langId(t(s, dir, "documents"), "text", "doc_id")),
+    "d_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextOps.docFingerprint(col("text")).as("fp"))),
+    // MinHash near-dup groups: no portable SQL twin (hash family) →
+    // rows-only driver check; exactness covered by TextMlSpec.
+    "d_minhash_groups" -> ((s, dir) =>
+      graft.text.Dedup.minhashGroups(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 16, bands = 8, shingleSize = 3, threshold = 0.5)),
+    "d_simhash_pairs" -> ((s, dir) =>
+      graft.text.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)),
+    "s_cosine_topk" -> ((s, dir) =>
+      graft.ml.Similarity.bruteForceTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding", (0L until 10L).toSeq, 5)),
+    "s_lsh_topk" -> ((s, dir) =>
+      graft.ml.Similarity.lshTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding", (0L until 10L).toSeq, 5))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -241,6 +319,21 @@ object SparkEntry {
       """SELECT ((epoch_ms(ts) // 1000) - ((epoch_ms(ts) // 1000) % 3600)) AS win_start, event_type,
         |  count(*) AS n,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "tg_sssp" -> SynthSql2.ssspSql(OracleSf),
+    "tg_bfs" -> SynthSql2.bfsSql(OracleSf),
+    "tg_hits" -> SynthSql2.hitsSql(OracleSf),
+    "tg_degcent" -> SynthSql2.degCentralitySql(OracleSf),
+    "tg_lcc" -> SynthSql2.lccSql(OracleSf),
+    "tg_avgdegconn" -> SynthSql2.avgDegConnectivitySql(OracleSf),
+    "tg_assortativity" -> SynthSql2.assortativitySql(OracleSf),
+    "tg_pattern" -> SynthSql2.patternSql(OracleSf),
+    "tg_pathexpand" -> SynthSql2.pathExpandSql(OracleSf),
+    "d_dedup_norm" -> SynthSql2.dedupNormSql,
+    "d_textstats" -> SynthSql2.textStatsSql,
+    "d_quality" -> SynthSql2.qualitySql,
+    "d_langid" -> SynthSql2.langIdSql(graft.text.TextOps.Stopwords),
+    "d_fingerprint" -> SynthSql2.fingerprintSql,
+    "s_cosine_topk" -> SynthSql2.cosineTopKSql((0L until 10L).toSeq, 5)
   )
 }

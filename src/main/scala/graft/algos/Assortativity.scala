@@ -34,6 +34,19 @@ object Assortativity {
     if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
   }
 
+  /** Same, as a 1-row DataFrame (driver-contract form, rounded). */
+  def degreeAssortativityDf(g: LinkGraph): DataFrame = {
+    val und = g.undirectedEdges
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    und.select(col("a"), col("b"))
+      .unionAll(und.select(col("b").as("a"), col("a").as("b")))
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .agg(round(corr(col("da").cast("double"), col("db").cast("double")), 6).as("assortativity"))
+  }
+
   /** (degree, avg neighbor degree) over the undirected closure. */
   def averageDegreeConnectivity(g: LinkGraph): DataFrame = {
     val und = g.undirectedEdges

@@ -74,7 +74,7 @@ object Cores {
           edges.count()
         }
       }
-      val remaining = edges.select(col("a")).distinct()
+      val remaining = edges.select(col("a").as("id")).distinct()
       live = remaining.count()
       if (live > 0) {
         // survivors at this k have shell >= k

@@ -31,10 +31,16 @@ import graft.graph.LinkGraph
   */
 object PageRank {
 
+  /** `tolTimesN=true` is the reference's NetworkX criterion Σ|Δ| < tol·N
+    * (`pagerank_networkx.h:135-147`); at web-scale N that is satisfied
+    * after one round (tol·N ≫ total rank mass), so the bench also runs
+    * `tolTimesN=false`: absolute Σ|Δ| < tol.
+    */
   final case class Config(
       damping: Double = 0.85,
       maxIter: Int = 100,
-      tol: Option[Double] = None
+      tol: Option[Double] = None,
+      tolTimesN: Boolean = true
   )
 
   /** Returns (id: Long, rank: Double). */
@@ -101,7 +107,8 @@ object PageRank {
     var dsum = resumed.map(_._4).getOrElse(danglingCount.toDouble / n)
     var delta = Double.MaxValue
 
-    def converged: Boolean = cfg.tol.exists(t => delta < t * n)
+    def converged: Boolean =
+      cfg.tol.exists(t => delta < (if (cfg.tolTimesN) t * n else t))
 
     while (iter < cfg.maxIter && !converged) {
       val t0 = System.nanoTime()

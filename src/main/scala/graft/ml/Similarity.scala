@@ -1,0 +1,143 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (`array<float>`), pure `functions._` (codegen'd higher-order
+  * functions, no UDFs):
+  *
+  *  - brute-force cosine top-k (the correctness baseline; broadcast the
+  *    query set, scan the corpus once);
+  *  - LSH-bucketed variant (random-hyperplane signs from deterministic
+  *    pseudo-planes): the scale path — candidates come from a bucket
+  *    equi-join instead of a full cross product.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k cosine neighbors for each query id.
+    * Queries are a (small) subset of the corpus by id; the corpus scan is
+    * a single broadcast-join pass, ranking via window. Deterministic
+    * tie-break: (rounded sim desc, neighbor id asc).
+    *
+    * @return (query_id, neighbor_id, cos_sim rounded to 5 dp, rank)
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int
+  ): DataFrame = {
+    val q = corpus
+      .where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("nv")), 5).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-hyperplane component for (plane p, dim i):
+    * a fixed hash mapped to [-1, 1). Both sides of a sign-LSH bucket use
+    * the same planes, so equal buckets ⇔ same sign pattern.
+    */
+  private def planeComponent(p: Int, i: Column): Column =
+    (pmod(xxhash64(concat(lit("plane-"), lit(p), lit("-"), i)), lit(1000000L))
+      .cast("double") / 500000.0) - 1.0
+
+  /** Sign-LSH bucket key from `nPlanes` pseudo-random hyperplanes. */
+  def lshBucket(vec: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L) * (1L << p)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: only candidates sharing the query's LSH bucket
+    * (any of `nTables` independent plane sets) are scored. Recall is
+    * traded for a bucket equi-join instead of a cross product — the
+    * 100 TB path.
+    */
+  def lshTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int,
+      nPlanes: Int = 8, nTables: Int = 4
+  ): DataFrame = {
+    val buckets = (0 until nTables).map { t =>
+      // rotate planes per table by offsetting the plane index
+      val bits = (0 until nPlanes).map { p =>
+        val proj = aggregate(
+          zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
+            (x, i) => x.cast("double") * planeComponent(t * nPlanes + p, i)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, lit(1L) * (1L << p)).otherwise(0L)
+      }
+      struct(lit(t).as("table"), bits.reduce(_ + _).as("key"))
+    }
+    val hashed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      explode(array(buckets: _*)).as("b"))
+      .select(col("id"), col("v"), col("b.table"), col("b.key"))
+    val q = hashed.where(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"), col("table"), col("key"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    hashed
+      .join(broadcast(q), Seq("table", "key"))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("qv"), col("v"))
+      .distinct()
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 5).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold,
+    * LSH-bucketed (id_a < id_b).
+    */
+  def cosineNearDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 8, nTables: Int = 4
+  ): DataFrame = {
+    val buckets = (0 until nTables).map { t =>
+      val bits = (0 until nPlanes).map { p =>
+        val proj = aggregate(
+          zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
+            (x, i) => x.cast("double") * planeComponent(t * nPlanes + p, i)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, lit(1L) * (1L << p)).otherwise(0L)
+      }
+      struct(lit(t).as("table"), bits.reduce(_ + _).as("key"))
+    }
+    val hashed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      explode(array(buckets: _*)).as("b"))
+      .select(col("id"), col("v"), col("b.table"), col("b.key"))
+    hashed.as("l").join(hashed.as("r"),
+      col("l.table") === col("r.table") && col("l.key") === col("r.key") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.v").as("va"), col("r.v").as("vb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 5).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,264 @@
+package graft.synth
+
+/** DuckDB oracle SQL for the second wave: SSSP/BFS (unrolled relax),
+  * HITS (unrolled normalized power iteration), clustering/centrality/
+  * assortativity closed forms, pattern/path-expand traversals over the
+  * derived graph, and the text/dedup/similarity plane over the driver's
+  * `documents`/`embeddings` parquet tables.
+  */
+object SynthSql2 {
+
+  /** Weighted SSSP from the global "assistant" hub, `rounds` unrolled
+    * Bellman-Ford relaxations (weights ≥ 1 ⇒ hop count of a shortest path
+    * is bounded by its cost; 25 rounds is verified converged at build
+    * time by a rounds-vs-rounds+1 diff). Output (oid, dist) with
+    * unreachable = NULL.
+    */
+  def ssspSql(sf: Double, rounds: Int = 25): String = {
+    val body = (1 to rounds).map { k =>
+      val p = s"s${k - 1}"
+      s"""s$k AS MATERIALIZED (
+         |  SELECT v.id,
+         |         CASE WHEN m.nd IS NOT NULL AND (p.dist IS NULL OR m.nd < p.dist)
+         |              THEN m.nd ELSE p.dist END AS dist
+         |  FROM vertices v JOIN $p p ON v.id = p.id
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, min(p2.dist + e.weight) AS nd
+         |    FROM dedges e JOIN $p p2 ON e.src = p2.id
+         |    WHERE p2.dist IS NOT NULL GROUP BY e.dst) m ON m.id = v.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |s0 AS (SELECT id, CASE WHEN oid = 'assistant' THEN 0.0 ELSE NULL END AS dist FROM vertices),
+       |$body
+       |SELECT v.oid AS oid, round(s$rounds.dist, 6) AS dist
+       |FROM vertices v JOIN s$rounds ON v.id = s$rounds.id""".stripMargin
+  }
+
+  /** BFS levels from "assistant" over out-edges, `rounds` unrolled. */
+  def bfsSql(sf: Double, rounds: Int = 15): String = {
+    val body = (1 to rounds).map { k =>
+      val p = s"b${k - 1}"
+      s"""b$k AS MATERIALIZED (
+         |  SELECT v.id,
+         |         CASE WHEN p.lvl IS NULL AND m.hit THEN $k ELSE p.lvl END AS lvl
+         |  FROM vertices v JOIN $p p ON v.id = p.id
+         |  LEFT JOIN (
+         |    SELECT DISTINCT e.dst AS id, TRUE AS hit
+         |    FROM dedges e JOIN $p p2 ON e.src = p2.id
+         |    WHERE p2.lvl = ${k - 1}) m ON m.id = v.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |b0 AS (SELECT id, CASE WHEN oid = 'assistant' THEN 0 ELSE NULL END AS lvl FROM vertices),
+       |$body
+       |SELECT v.oid AS oid, CAST(b$rounds.lvl AS BIGINT) AS level
+       |FROM vertices v JOIN b$rounds ON v.id = b$rounds.id""".stripMargin
+  }
+
+  /** HITS unrolled `rounds` times with per-round L1 normalization. */
+  def hitsSql(sf: Double, rounds: Int = 5): String = {
+    val body = (1 to rounds).map { k =>
+      val p = s"hh${k - 1}"
+      s"""ar$k AS MATERIALIZED (
+         |  SELECT v.id, coalesce(m.s, 0.0) AS araw
+         |  FROM vertices v LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.hub) AS s
+         |    FROM dedges e JOIN $p p ON e.src = p.id GROUP BY e.dst) m ON v.id = m.id
+         |),
+         |asum$k AS (SELECT CASE WHEN sum(araw) = 0 THEN 1.0 ELSE sum(araw) END AS s FROM ar$k),
+         |an$k AS MATERIALIZED (SELECT id, araw / (SELECT s FROM asum$k) AS auth FROM ar$k),
+         |hr$k AS MATERIALIZED (
+         |  SELECT v.id, coalesce(m.s, 0.0) AS hraw
+         |  FROM vertices v LEFT JOIN (
+         |    SELECT e.src AS id, sum(a.auth) AS s
+         |    FROM dedges e JOIN an$k a ON e.dst = a.id GROUP BY e.src) m ON v.id = m.id
+         |),
+         |hsum$k AS (SELECT CASE WHEN sum(hraw) = 0 THEN 1.0 ELSE sum(hraw) END AS s FROM hr$k),
+         |hh$k AS MATERIALIZED (
+         |  SELECT a.id, a.auth, h.hraw / (SELECT s FROM hsum$k) AS hub
+         |  FROM an$k a JOIN hr$k h ON a.id = h.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vertices),
+       |hh0 AS (SELECT id, 1.0/(SELECT n FROM nv) AS auth, 1.0/(SELECT n FROM nv) AS hub FROM vertices),
+       |$body
+       |SELECT v.oid AS oid, round(h.auth, 6) AS auth, round(h.hub, 6) AS hub
+       |FROM vertices v JOIN hh$rounds h ON v.id = h.id""".stripMargin
+  }
+
+  def degCentralitySql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vertices)
+       |SELECT v.oid AS oid,
+       |       round((coalesce(o.od, 0) + coalesce(i.idg, 0)) / ((SELECT n FROM nv) - 1), 6) AS centrality
+       |FROM vertices v
+       |LEFT JOIN (SELECT src, count(*) AS od FROM dedges GROUP BY src) o ON v.id = o.src
+       |LEFT JOIN (SELECT dst, count(*) AS idg FROM dedges GROUP BY dst) i ON v.id = i.dst""".stripMargin
+
+  /** Local clustering coefficient, sharing the triangles derivation. */
+  def lccSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |und1 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |         FROM dedges WHERE src <> dst),
+       |degt AS MATERIALIZED (SELECT v, count(*) AS d FROM (
+       |  SELECT a AS v FROM und1 UNION ALL SELECT b AS v FROM und1) x GROUP BY v),
+       |ore AS MATERIALIZED (
+       |  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND a < b) THEN a ELSE b END AS src,
+       |         CASE WHEN (da.d < db.d) OR (da.d = db.d AND a < b) THEN b ELSE a END AS dst,
+       |         CASE WHEN (da.d < db.d) OR (da.d = db.d AND a < b) THEN db.d ELSE da.d END AS dd
+       |  FROM und1 JOIN degt da ON und1.a = da.v JOIN degt db ON und1.b = db.v),
+       |wedges AS MATERIALIZED (
+       |  SELECT e1.src AS s, e1.dst AS v, e2.dst AS w
+       |  FROM ore e1 JOIN ore e2 ON e1.src = e2.src
+       |  WHERE (e1.dd < e2.dd) OR (e1.dd = e2.dd AND e1.dst < e2.dst)),
+       |tri AS MATERIALIZED (SELECT s, v, w FROM wedges
+       |        WHERE EXISTS (SELECT 1 FROM ore e3 WHERE e3.src = wedges.v AND e3.dst = wedges.w)),
+       |tcnt AS MATERIALIZED (SELECT id, count(*) AS t FROM (
+       |  SELECT s AS id FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri) x
+       |  GROUP BY id)
+       |SELECT ver.oid AS oid,
+       |       round(CASE WHEN coalesce(dg.d, 0) < 2 THEN 0.0
+       |             ELSE coalesce(tcnt.t, 0) * 2.0 / (dg.d * (dg.d - 1)) END, 6) AS lcc
+       |FROM vertices ver
+       |LEFT JOIN degt dg ON ver.id = dg.v
+       |LEFT JOIN tcnt ON ver.id = tcnt.id""".stripMargin
+
+  def avgDegConnectivitySql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |und1 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |         FROM dedges WHERE src <> dst),
+       |degt AS MATERIALIZED (SELECT v, count(*) AS d FROM (
+       |  SELECT a AS v FROM und1 UNION ALL SELECT b AS v FROM und1) x GROUP BY v),
+       |prs AS (SELECT a, b FROM und1 UNION ALL SELECT b, a FROM und1)
+       |SELECT CAST(da.d AS BIGINT) AS degree, round(avg(CAST(db.d AS DOUBLE)), 6) AS avg_nbr_degree
+       |FROM prs JOIN degt da ON prs.a = da.v JOIN degt db ON prs.b = db.v
+       |GROUP BY da.d""".stripMargin
+
+  def assortativitySql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |und1 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |         FROM dedges WHERE src <> dst),
+       |degt AS MATERIALIZED (SELECT v, count(*) AS d FROM (
+       |  SELECT a AS v FROM und1 UNION ALL SELECT b AS v FROM und1) x GROUP BY v),
+       |prs AS (SELECT a, b FROM und1 UNION ALL SELECT b, a FROM und1)
+       |SELECT round(corr(CAST(da.d AS DOUBLE), CAST(db.d AS DOUBLE)), 6) AS assortativity
+       |FROM prs JOIN degt da ON prs.a = da.v JOIN degt db ON prs.b = db.v""".stripMargin
+
+  /** Declarative pattern (GIE Pattern op, `algebra.proto:350`): count
+    * user → assistant-replica → tool invocation chains per tool.
+    */
+  def patternSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT e2.dst_oid AS tool_oid, CAST(count(*) AS BIGINT) AS n_paths
+       |FROM edges_oid e1
+       |JOIN edges_oid e2 ON e1.dst_oid = e2.src_oid
+       |WHERE e1.src_oid LIKE 'u%' AND e1.dst_oid LIKE 'assistant%'
+       |  AND e2.dst_oid LIKE 'tool:%'
+       |GROUP BY e2.dst_oid""".stripMargin
+
+  /** PathExpand 1..2 hops (GIE `algebra.proto:287`): distinct vertices
+    * reachable from tool:t0 within 2 directed hops.
+    */
+  def pathExpandSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |h1 AS (SELECT DISTINCT dst_oid AS oid FROM edges_oid WHERE src_oid = 'tool:t0'),
+       |h2 AS (SELECT DISTINCT e.dst_oid AS oid FROM edges_oid e JOIN h1 ON e.src_oid = h1.oid)
+       |SELECT oid, CAST(min(hops) AS BIGINT) AS hops FROM (
+       |  SELECT oid, 1 AS hops FROM h1
+       |  UNION ALL SELECT oid, 2 AS hops FROM h2) x
+       |WHERE oid <> 'tool:t0'
+       |GROUP BY oid""".stripMargin
+
+  // ---- text / dedup / similarity over the driver's parquet tables ----
+
+  private val toksSql =
+    """list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"""
+
+  def dedupNormSql: String =
+    s"""WITH fp AS (
+       |  SELECT doc_id,
+       |         array_to_string(list_sort(list_distinct($toksSql)), ' ') AS f
+       |  FROM documents)
+       |SELECT min(doc_id) OVER (PARTITION BY f) AS canonical_id, doc_id FROM fp""".stripMargin
+
+  def textStatsSql: String =
+    s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+       |SELECT doc_id,
+       |  CAST(length(text) AS INTEGER) AS n_chars,
+       |  CAST(len(toks) AS INTEGER) AS n_tokens,
+       |  CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+       |  round(CASE WHEN len(toks) > 0
+       |        THEN list_aggregate(list_transform(toks, x -> CAST(length(x) AS DOUBLE)), 'sum') / len(toks)
+       |        ELSE 0.0 END, 4) AS avg_token_len,
+       |  round(CASE WHEN length(text) > 0
+       |        THEN CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+       |        ELSE 0.0 END, 4) AS punct_ratio
+       |FROM t""".stripMargin
+
+  def qualitySql: String =
+    s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |st AS (
+       |  SELECT doc_id,
+       |    length(text) AS n_chars,
+       |    len(toks) AS n_tokens,
+       |    len(list_distinct(toks)) AS n_distinct,
+       |    CASE WHEN length(text) > 0
+       |         THEN CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+       |         ELSE 0.0 END AS punct_ratio
+       |  FROM t)
+       |SELECT doc_id,
+       |  round((CASE WHEN n_chars BETWEEN 20 AND 20000 THEN 0.4 ELSE 0.0 END) +
+       |        (CASE WHEN punct_ratio < 0.2 THEN 0.3 ELSE 0.0 END) +
+       |        (CASE WHEN n_tokens > 0 AND CAST(n_distinct AS DOUBLE)/n_tokens > 0.5 THEN 0.3 ELSE 0.0 END), 2)
+       |    AS quality
+       |FROM st""".stripMargin
+
+  def langIdSql(stopwords: Map[String, Seq[String]]): String = {
+    val values = stopwords.toSeq.sortBy(_._1)
+      .flatMap { case (l, ws) => ws.map(w => s"('$l','$w')") }.mkString(", ")
+    s"""WITH sw(lang, word) AS (VALUES $values),
+       |tok AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+       |hits AS (
+       |  SELECT doc_id, lang, count(*) AS hits
+       |  FROM tok JOIN sw ON tok.word = sw.word
+       |  GROUP BY doc_id, lang),
+       |best AS (
+       |  SELECT doc_id, lang FROM (
+       |    SELECT doc_id, lang,
+       |           row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+       |    FROM hits) z WHERE rn = 1)
+       |SELECT d.doc_id, coalesce(b.lang, 'unk') AS lang_guess
+       |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id""".stripMargin
+  }
+
+  def fingerprintSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+       |SELECT doc_id,
+       |  CAST(coalesce(list_aggregate(list_transform(toks, x ->
+       |    (CAST(length(x) AS BIGINT)*1000003 + CAST(ascii(substr(x,1,1)) AS BIGINT)*7919
+       |     + CAST(ascii(substr(x,-1,1)) AS BIGINT)) % 1000000007), 'sum'), 0) % 1000000007 AS BIGINT)
+       |    AS fp
+       |FROM t""".stripMargin
+
+  /** Brute-force cosine top-k for query ids, matching
+    * `Similarity.bruteForceTopK` (rounded sim, deterministic tie-break).
+    */
+  def cosineTopKSql(queryIds: Seq[Long], k: Int): String = {
+    val ids = queryIds.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ($ids)),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         round(list_dot_product(q.qv, e.v) /
+       |               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 5)
+       |           AS cos_sim
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+       |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored) z
+       |WHERE rank <= $k""".stripMargin
+  }
+}

@@ -1,0 +1,173 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.graph.LinkGraph
+import graft.schema.{Edge, Vertex}
+
+/** Deduplication family for training-data pipelines, each a declarative
+  * Spark pipeline:
+  *
+  *  - exact: hash-groupBy on the raw text;
+  *  - normalized: groupBy on the sorted-token fingerprint;
+  *  - MinHash+LSH: shingles → k minhashes (affine permutation family) →
+  *    bands → bucket self-join → Jaccard-verified candidate pairs →
+  *    connected duplicate groups via the engine's own WCC;
+  *  - SimHash: 64-bit sign-sum sketch, banded for Hamming-radius search.
+  *
+  * The scale path is the banding: candidate generation is a groupBy/self-
+  * join on band keys (no all-pairs), so it survives 10^9-document inputs;
+  * hub buckets (boilerplate shingles) are bounded by dropping buckets
+  * over `maxBucket` (documented skew guard).
+  */
+object Dedup {
+
+  /** Exact duplicates: (canonical_id, doc_id) for every doc, canonical =
+    * min id among identical texts.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), col(textCol))
+      .groupBy(col(textCol))
+      .agg(min(col(idCol)).as("canonical_id"), collect_list(col(idCol)).as("ids"))
+      .select(col("canonical_id"), explode(col("ids")).as(idCol))
+
+  /** Normalized duplicates: same but on the sorted-token fingerprint. */
+  def normalized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextOps.normFingerprint(col(textCol)).as("__fp"))
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("canonical_id"), collect_list(col(idCol)).as("ids"))
+      .select(col("canonical_id"), explode(col("ids")).as(idCol))
+
+  /** Word n-gram shingles of a document. */
+  private def shingles(textCol: String, n: Int) = {
+    val t = TextOps.tokens(col(textCol))
+    // positions 0..size-n; each shingle joined by ''
+    filter(
+      transform(sequence(lit(0), greatest(size(t) - n, lit(0))),
+        i => when(i + n <= size(t), array_join(slice(t, i + lit(1), lit(n)), ""))),
+      x => x.isNotNull)
+  }
+
+  /** MinHash signature: for permutation j, min over shingles of
+    * (a_j·h + b_j) mod p, with h = xxhash64(shingle).
+    */
+  private def minhashSig(sh: org.apache.spark.sql.Column, k: Int) = {
+    val p = 2147483647L // 2^31-1
+    array((0 until k).map { j =>
+      val a = 1L + 2L * j // odd
+      val b = 7919L * (j + 1)
+      array_min(transform(sh, s => (pmod(xxhash64(s), lit(p)) * a + b) % p))
+    }: _*)
+  }
+
+  /** Candidate pairs from banded MinHash, Jaccard-verified.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
+    */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.7,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    val rows = numHashes / bands
+    val withSh = df
+      .select(col(idCol).as("id"), shingles(textCol, shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", minhashSig(col("sh"), numHashes))
+      .select(col("id"), col("sh"), posexplode(
+        array((0 until bands).map(b =>
+          struct(lit(b).as("band"), slice(col("sig"), b * rows + 1, rows).as("key"))): _*)))
+      .select(col("id"), col("sh"), col("col.band").as("band"), col("col.key").as("key"))
+    // skew guard: drop pathological buckets (boilerplate shingle sets)
+    val bucketed = withSh
+      .withColumn("bs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
+      .where(col("bs") <= maxBucket)
+    val pairs = bucketed.as("l")
+      .join(bucketed.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
+      .distinct()
+    pairs
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Duplicate groups: connected components over the verified pair graph,
+    * reusing the engine's HashMin WCC. Returns (id, group_id) with
+    * group_id = min doc id in the group (docs with no near-dup partner
+    * are omitted).
+    */
+  def minhashGroups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = minhashPairs(df, idCol, textCol, numHashes, bands, shingleSize, threshold)
+      .persist()
+    val ids = pairs.select(col("id_a").as("doc")).unionAll(pairs.select(col("id_b").as("doc")))
+      .distinct()
+    // dense ids are the doc ids themselves (already Long + unique)
+    val vs = ids.select(col("doc").as("id"), col("doc").cast("string").as("oid")).as[Vertex]
+    val es = pairs.select(col("id_a").as("src"), col("id_b").as("dst"), lit(1.0).as("weight")).as[Edge]
+    val comps = graft.algos.WCC.run(LinkGraph(vs, es))
+    comps.select(col("id").as(idCol), col("comp").as("group_id"))
+  }
+
+  /** 64-bit SimHash of the token multiset. */
+  def simhash(textCol: String): org.apache.spark.sql.Column = {
+    val t = TextOps.tokens(col(textCol))
+    val hashes = transform(t, x => xxhash64(x))
+    // For each bit: +1 if set else -1, summed; bit set in sketch if sum>0.
+    val bits = (0 until 64).map { b =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(bitSum > 0, lit(1L).cast("long") * (1L << b)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** SimHash near-dup candidate pairs within Hamming distance `maxDist`,
+    * banded into 4 16-bit keys (two sketches within distance ≤ 3 share at
+    * least one band — pigeonhole).
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3
+  ): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"), simhash(textCol).as("sig"))
+    val banded = withSig.select(col("id"), col("sig"), posexplode(
+      array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("key"))
+    val pairs = banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .distinct()
+    pairs
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

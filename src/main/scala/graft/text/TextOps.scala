@@ -1,0 +1,108 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * normalization, token/char statistics, quality scoring, language ID,
+  * and a cheap structural fingerprint. Everything is built from codegen'd
+  * `functions._` (no UDFs), so the whole plane stays inside whole-stage
+  * codegen and is pushdown/prune-friendly; each op has an ANSI-SQL twin
+  * for the DuckDB oracle.
+  */
+object TextOps {
+
+  /** Lowercased alphanumeric tokens. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), x => x =!= "")
+
+  /** Canonical near-dup key: sorted distinct tokens joined by one space
+    * (catches reordered / re-punctuated copies; the "sorted-token
+    * fingerprint" family of dedup keys).
+    */
+  def normFingerprint(text: Column): Column =
+    array_join(array_sort(array_distinct(tokens(text))), " ")
+
+  /** Per-document statistics: chars, tokens, distinct tokens, mean token
+    * length, punctuation ratio.
+    */
+  def textStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    df.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct_tokens"),
+      round(
+        when(size(t) > 0,
+          aggregate(transform(t, x => length(x).cast("double")), lit(0.0), (a, x) => a + x) /
+            size(t).cast("double")).otherwise(0.0), 4).as("avg_token_len"),
+      round(
+        when(length(col(textCol)) > 0,
+          length(regexp_replace(lower(col(textCol)), "[a-z0-9\\s]", "")).cast("double") /
+            length(col(textCol)).cast("double")).otherwise(0.0), 4).as("punct_ratio"))
+  }
+
+  /** Heuristic quality score in [0,1]: length band + punctuation band +
+    * token-diversity band (the usual cheap pre-filter before expensive
+    * model-based scoring).
+    */
+  def qualityScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val stats = textStats(df, textCol, idCol)
+    stats.select(
+      col(idCol),
+      round(
+        (when(col("n_chars").between(20, 20000), 0.4).otherwise(0.0) +
+          when(col("punct_ratio") < 0.2, 0.3).otherwise(0.0) +
+          when(col("n_tokens") > 0 &&
+            col("n_distinct_tokens").cast("double") / col("n_tokens") > 0.5, 0.3)
+            .otherwise(0.0)), 2).as("quality"))
+  }
+
+  /** Tiny built-in stopword lists per language (deterministic, enough for
+    * an n-gram-free language-ID heuristic).
+    */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "des", "une", "dans", "pour", "que"),
+    "es" -> Seq("el", "los", "las", "es", "de", "en", "una", "por", "para", "con")
+  )
+
+  /** Language ID: most stopword hits wins, ties to the alphabetically
+    * first language, no hits → "unk".
+    */
+  def langId(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sw = Stopwords.toSeq.flatMap { case (l, ws) => ws.map(w => (l, w)) }
+      .toDF("lang", "word")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("hits").desc, col("lang").asc)
+    val hits = df.select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .join(broadcast(sw), "word")
+      .groupBy(col(idCol), col("lang")).agg(count(lit(1)).as("hits"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col(idCol), col("lang").as("lang_guess"))
+    df.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("lang_guess"), lit("unk")).as("lang_guess"))
+  }
+
+  /** Cheap structural per-token hash (length, first/last char) summed over
+    * tokens — order-independent document fingerprint that is expressible
+    * identically in DuckDB SQL. A production pipeline would swap in
+    * xxhash64; the shape (token → int64 → order-independent reduce) is
+    * the load-bearing part.
+    */
+  def docFingerprint(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(
+      transform(t, x =>
+        (length(x).cast("long") * 1000003L +
+          ascii(substring(x, 1, 1)).cast("long") * 7919L +
+          ascii(substring(x, -1, 1)).cast("long")) % 1000000007L),
+      lit(0L), (acc, h) => (acc + h) % 1000000007L)
+  }
+}

@@ -20,6 +20,7 @@ object ScalingProbe {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("PROBE_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", sys.env.getOrElse("PROBE_COALESCE", "true"))
+      .config("spark.local.dir", sys.env.getOrElse("PROBE_LOCALDIR", "/dev/shm/graft-spark"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

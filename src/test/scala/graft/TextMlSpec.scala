@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ml.Similarity
+import graft.text.{Dedup, TextOps}
+
+/** Dedup / text-analysis / similarity operators: planted-duplicate
+  * fixtures + the real testdata tables.
+  */
+class TextMlSpec extends SparkSpec {
+
+  private lazy val docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "The quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "the QUICK brown fox, jumps over the lazy dog!"), // normalized dup of 1
+      (4L, "dog lazy the over jumps fox brown quick The"), // reordered → norm dup
+      (5L, "The quick brown fox jumps over the sleepy dog today"), // near dup
+      (6L, "Completely different content about spark engines and graphs"),
+      (7L, "El perro duerme en la casa y el gato come pescado"),
+      (8L, "Der Hund und die Katze sind nicht in dem Haus")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts") {
+    val g = Dedup.exact(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(g(1L) == 1L && g(2L) == 1L)
+    assert(g(3L) == 3L) // different raw text
+  }
+
+  test("normalized dedup catches case/punct/reorder variants") {
+    val g = Dedup.normalized(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(g(1L) == 1L && g(2L) == 1L && g(3L) == 1L && g(4L) == 1L)
+    assert(g(5L) != 1L && g(6L) != 1L)
+  }
+
+  test("minhash pairs find the near-duplicate, not the unrelated doc") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      numHashes = 16, bands = 8, shingleSize = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup pair missing from $pairs")
+    assert(pairs.contains((1L, 5L)) || pairs.contains((2L, 5L)), s"near dup missing from $pairs")
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L), "unrelated doc must not pair")
+  }
+
+  test("minhash groups are transitive via WCC") {
+    val g = Dedup.minhashGroups(docs, "doc_id", "text",
+      numHashes = 16, bands = 8, shingleSize = 2, threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g(1L) == g(2L) && g(2L) == g(5L), s"groups: $g")
+  }
+
+  test("simhash pairs exact dup at distance 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2).toLong)).toMap
+    assert(pairs.get((1L, 2L)).contains(0L), s"got $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("text stats + quality") {
+    val st = TextOps.textStats(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(st(1L).getInt(1) == 43) // n_chars
+    assert(st(1L).getInt(2) == 9) // n_tokens
+    assert(st(3L).getDouble(4) > 0.0) // punct ratio
+    val q = TextOps.qualityScore(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(6L) >= 0.7) // clean diverse text scores high
+  }
+
+  test("language id picks the right stopword language") {
+    val l = TextOps.langId(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(l(1L) == "en" && l(7L) == "es" && l(8L) == "de")
+  }
+
+  test("doc fingerprint is order-independent and content-sensitive") {
+    val fp = docs.select(col("doc_id"), TextOps.docFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) == fp(4L)) // reorder-invariant
+    assert(fp(1L) != fp(6L))
+  }
+
+  test("brute-force cosine top-k on real embeddings, self excluded") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val res = Similarity.bruteForceTopK(emb, "vec_id", "embedding", Seq(0L, 1L), 5)
+    val rows = res.collect()
+    assert(rows.length == 10)
+    assert(rows.forall(r => r.getLong(1) != r.getLong(0)))
+    val top = rows.filter(_.getLong(0) == 0L).minBy(_.getInt(3))
+    assert(top.getDouble(2) <= 1.00001)
+  }
+
+  test("lsh top-k achieves reasonable recall vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", qids, 10, nPlanes = 4, nTables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall > 0.4, s"recall $recall too low")
+  }
+
+  test("cosine near-dup pairs are symmetric-free and above threshold") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.05f, 0.0f, 0.0f)), // near dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
