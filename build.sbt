@@ -26,5 +26,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 125 GiB box; 8g forced constant GC churn on 38M-edge supersteps and
+  // showed up as a non-scaling per-superstep cost.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
 )

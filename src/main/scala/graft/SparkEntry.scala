@@ -257,7 +257,10 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding", (0L until 10L).toSeq, 5)),
     "s_lsh_topk" -> ((s, dir) =>
       graft.ml.Similarity.lshTopK(
-        t(s, dir, "embeddings"), "vec_id", "embedding", (0L until 10L).toSeq, 5))
+        t(s, dir, "embeddings"), "vec_id", "embedding", (0L until 10L).toSeq, 5)),
+    // session plane: REPORT_GRAPH (fragment_reporter.h:56-116)
+    "tg_report" -> ((s, dir) =>
+      graft.graph.GraphOps.report(graphFor(s, dir)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -334,6 +337,11 @@ object SparkEntry {
     "d_quality" -> SynthSql2.qualitySql,
     "d_langid" -> SynthSql2.langIdSql(graft.text.TextOps.Stopwords),
     "d_fingerprint" -> SynthSql2.fingerprintSql,
-    "s_cosine_topk" -> SynthSql2.cosineTopKSql((0L until 10L).toSeq, 5)
+    "s_cosine_topk" -> SynthSql2.cosineTopKSql((0L until 10L).toSeq, 5),
+    "tg_report" ->
+      s"""WITH ${SynthSql.graphCtes(OracleSf)}
+         |SELECT (SELECT count(*) FROM vertices) AS nodes,
+         |       (SELECT count(*) FROM dedges) AS edges,
+         |       (SELECT count(*) FROM dedges WHERE src = dst) AS self_loops""".stripMargin
   )
 }

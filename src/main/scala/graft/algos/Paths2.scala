@@ -1,0 +1,121 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.engine.Engine
+import graft.graph.LinkGraph
+
+/** Path-derived operators (SURVEY.md §2.B rows sssp_path / sssp_has_path /
+  * sssp_average_length / closeness / all-pairs lengths):
+  *
+  *  - [[withParents]]: SSSP with parent pointers (deterministic min-parent
+  *    tie-break) — `gs::SSSPPath` (`apps/sssp/sssp_path.h`);
+  *  - [[pathTo]]: extract one shortest path by walking parents (driver
+  *    loop over path length — paths are short in small-world graphs);
+  *  - [[hasPath]]: reachability — `gs::SSSPHasPath`;
+  *  - [[averageLength]]: mean shortest-path length from sampled sources —
+  *    `gs::SSSPAverageLength` (`apps/sssp/sssp_average_length.h`); exact
+  *    all-pairs is O(V·E) and only feasible on small graphs, so sources
+  *    are a deterministic sample (documented estimator);
+  *  - [[closeness]]: closeness centrality (wf_improved, as
+  *    `apps/centrality/closeness/closeness_centrality.h`) for a chosen
+  *    vertex set, one SSSP per source on the reversed graph.
+  */
+object Paths2 {
+
+  /** SSSP with parents: (id, dist, parent). Parent = min-id predecessor
+    * achieving the final distance (deterministic).
+    */
+  def withParents(g: LinkGraph, sourceOid: String): DataFrame = {
+    val dist = SSSP.run(g, sourceOid).persist(StorageLevel.MEMORY_AND_DISK)
+    val e = g.edges.toDF
+    val parents = e
+      .join(dist.select(col("id").as("src"), col("dist").as("sd")), "src")
+      .join(dist.select(col("id").as("dst"), col("dist").as("dd")), "dst")
+      .where(col("sd").isNotNull && col("dd").isNotNull &&
+        abs(col("sd") + col("weight") - col("dd")) < 1e-9)
+      .groupBy(col("dst").as("id"))
+      .agg(min(col("src")).as("parent"))
+    dist.join(parents, Seq("id"), "left")
+  }
+
+  /** One shortest path source→target as ordered oids; None if unreachable. */
+  def pathTo(g: LinkGraph, sourceOid: String, targetOid: String, maxHops: Int = 64): Option[Seq[String]] = {
+    val wp = withParents(g, sourceOid).persist(StorageLevel.MEMORY_AND_DISK)
+    val byId = g.vertices.toDF.persist(StorageLevel.MEMORY_AND_DISK)
+    def idOf(oid: String): Option[Long] =
+      byId.where(col("oid") === oid).select("id").collect().headOption.map(_.getLong(0))
+    def oidOf(id: Long): String =
+      byId.where(col("id") === id).select("oid").head().getString(0)
+    val result = for {
+      srcId <- idOf(sourceOid)
+      dstId <- idOf(targetOid)
+      row <- wp.where(col("id") === dstId && col("dist").isNotNull).collect().headOption
+    } yield {
+      var path = List(dstId)
+      var cur = dstId
+      var hops = 0
+      while (cur != srcId && hops < maxHops) {
+        val p = wp.where(col("id") === cur).select("parent").collect().headOption
+        p.filter(!_.isNullAt(0)).map(_.getLong(0)) match {
+          case Some(par) => path = par :: path; cur = par
+          case None => hops = maxHops
+        }
+        hops += 1
+      }
+      if (cur == srcId) Some(path.map(oidOf)) else None
+    }
+    wp.unpersist(); byId.unpersist()
+    result.flatten
+  }
+
+  def hasPath(g: LinkGraph, sourceOid: String, targetOid: String): Boolean =
+    SSSP.run(g, sourceOid)
+      .join(g.vertices.toDF.where(col("oid") === targetOid), Seq("id"))
+      .where(col("dist").isNotNull).count() > 0
+
+  /** Mean shortest-path length over reachable pairs from `numSources`
+    * deterministically-sampled sources (ids 0, s, 2s, …).
+    */
+  def averageLength(g: LinkGraph, numSources: Int = 8): Double = {
+    val n = g.numVertices
+    val step = math.max(1L, n / numSources)
+    val sources = (0L until n by step).take(numSources)
+    val oids = g.vertices.toDF.where(col("id").isin(sources: _*))
+      .select("oid").collect().map(_.getString(0))
+    val sums = oids.map { o =>
+      val r = SSSP.run(g, o).agg(sum(col("dist")), count(col("dist"))).head()
+      (if (r.isNullAt(0)) 0.0 else r.getDouble(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val total = sums.map(_._1).sum
+    val cnt = sums.map(_._2).sum - oids.length // exclude self distances
+    if (cnt <= 0) 0.0 else total / cnt
+  }
+
+  /** Closeness centrality (wf_improved) for the given oids: one reverse
+    * SSSP per source.
+    */
+  def closeness(g: LinkGraph, oids: Seq[String]): DataFrame = {
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val n = g.numVertices
+    val rev = {
+      val e = g.edges
+      graft.graph.LinkGraph(g.vertices,
+        e.toDF.select(col("dst").as("src"), col("src").as("dst"), col("weight"))
+          .as[graft.schema.Edge])
+    }
+    val rows = oids.map { o =>
+      val r = SSSP.run(rev, o).where(col("dist").isNotNull && col("dist") > 0)
+        .agg(sum(col("dist")), count(lit(1))).head()
+      val tot = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      val reach = if (r.isNullAt(1)) 0L else r.getLong(1)
+      val c = if (tot > 0) (reach.toDouble / (n - 1)) * (reach.toDouble / tot) else 0.0
+      (o, c)
+    }
+    rows.toDF("oid", "closeness")
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.algos.Paths2
+import graft.graph.{GraphBuilder, GraphOps}
+import graft.ingest.SnapshotStore
+
+/** Session-plane ops + path-derived algorithms. */
+class OpsPathsSpec extends SparkSpec {
+
+  // 0→1→2→3, 0→3 heavy shortcut, 4 isolated-ish
+  private lazy val g = {
+    val s = spark
+    import s.implicits._
+    val vs = (0 until 5).map(i => graft.schema.Vertex(i.toLong, f"v$i%06d")).toDS()
+    val es = Seq(
+      graft.schema.Edge(0, 1, 1.0), graft.schema.Edge(1, 2, 1.0),
+      graft.schema.Edge(2, 3, 1.0), graft.schema.Edge(0, 3, 10.0)).toDS()
+    graft.graph.LinkGraph(vs, es)
+  }
+
+  test("report + neighbors") {
+    val r = GraphOps.report(g).head()
+    assert(r.getLong(0) == 5 && r.getLong(1) == 4 && r.getLong(2) == 0)
+    val nb = GraphOps.neighbors(g, "v000000").collect().map(_.getString(0)).toSet
+    assert(nb == Set("v000001", "v000003"))
+  }
+
+  test("addColumn joins results onto vertices") {
+    val s = spark
+    import s.implicits._
+    val res = Seq((0L, 0.5), (1L, 0.3)).toDF("id", "score")
+    val out = GraphOps.addColumn(g, res)
+    assert(out.count() == 5)
+    assert(out.where(col("oid") === "v000000").head().getAs[Double]("score") == 0.5)
+    assert(out.where(col("oid") === "v000004").head().isNullAt(2) ||
+      out.where(col("oid") === "v000004").head().getAs[Any]("score") == null)
+  }
+
+  test("modifyEdges commits snapshot versions and applies add/delete") {
+    val s = spark
+    import s.implicits._
+    val store = new SnapshotStore(Files.createTempDirectory("graft-ops").toString)
+    val add = Seq(graft.schema.Edge(3, 4, 2.0)).toDS()
+    val del = Seq(graft.schema.Edge(0, 3, 10.0)).toDS()
+    val (g2, v1) = GraphOps.modifyEdges(g, add, del, store, "edges")
+    assert(v1 == 0)
+    val es = g2.edges.collect().map(e => (e.src, e.dst)).toSet
+    assert(es.contains((3L, 4L)) && !es.contains((0L, 3L)))
+    val (g3, v2) = GraphOps.clearEdges(g2, store, "edges")
+    assert(v2 == 1 && g3.edges.count() == 0)
+    // history remains readable (snapshot isolation)
+    assert(store.read(spark, "edges", 0).count() == 4)
+  }
+
+  test("sssp parents + path extraction") {
+    val wp = Paths2.withParents(g, "v000000").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(wp(3L).contains(2L)) // cheap path wins over heavy shortcut
+    val p = Paths2.pathTo(g, "v000000", "v000003")
+    assert(p.contains(Seq("v000000", "v000001", "v000002", "v000003")))
+    assert(Paths2.pathTo(g, "v000000", "v000004").isEmpty)
+  }
+
+  test("hasPath + averageLength + closeness") {
+    assert(Paths2.hasPath(g, "v000000", "v000003"))
+    assert(!Paths2.hasPath(g, "v000003", "v000000"))
+    assert(Paths2.averageLength(g, 5) > 0.0)
+    val c = Paths2.closeness(g, Seq("v000003", "v000004")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // v3 is reachable from 0,1,2 → positive closeness; v4 from nobody
+    assert(c("v000003") > 0.0 && c("v000004") == 0.0)
+  }
+
+  test("projectEdges filters by predicate") {
+    val pg = GraphOps.projectEdges(g, col("weight") < 5.0)
+    assert(pg.edges.count() == 3)
+  }
+
+  test("toUndirected symmetrizes and merges weights") {
+    val und = GraphBuilder.toUndirected(g.edges)
+    val m = und.collect().map(e => (e.src, e.dst) -> e.weight).toMap
+    assert(m((0L, 1L)) == 1.0 && m((1L, 0L)) == 1.0)
+    assert(m((0L, 3L)) == 10.0 && m((3L, 0L)) == 10.0)
+  }
+}
