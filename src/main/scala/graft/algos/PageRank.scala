@@ -123,7 +123,12 @@ object PageRank {
           (col("w") * (col("__baseO") + lit(d) * coalesce(col("c"), lit(0.0)))).as("m"))
         .groupBy(col("dst").as("id"), col("dstDangling"))
         .agg(sum(col("m")).as("c"))
-      val cNextM = Engine.materialize(cNext)
+      // persist keeps the groupBy's hash partitioning (localCheckpoint
+      // drops it → a |V|-row exchange per superstep in both joins);
+      // lineage is truncated by a real checkpoint every 10 supersteps.
+      val cNextM =
+        if ((iter + 1) % 16 == 0) Engine.materialize(cNext)
+        else cNext.persist(StorageLevel.MEMORY_AND_DISK)
       // one pass over the vertex table: next dangling mass, plus the L1
       // delta when a tolerance is set (fixed-round runs skip the
       // prev-contribution join entirely — one less exchange per superstep)
@@ -152,6 +157,7 @@ object PageRank {
           danglingCount * baseNext + d * sC
         }
       base = baseNext
+      if (!(cPrev eq emptyC)) cPrev.unpersist()
       cPrev = cNextM
       val secs = (System.nanoTime() - t0) / 1e9
       log.record(IterationMetrics(iter, secs, delta, edgeCount, Map("dsum" -> dsum, "base" -> base)))

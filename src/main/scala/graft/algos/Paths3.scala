@@ -1,0 +1,165 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.engine.Engine
+import graft.graph.LinkGraph
+import graft.synth.Synth
+
+/** Remaining traversal/path operators from SURVEY.md §2.B:
+  * all-pairs lengths (looped SSSP), attribute assortativity, DFS
+  * (driver-sequential, like the reference's `gs::DFS` which the reference
+  * itself marks inherently sequential), simple-path predicates and
+  * bounded enumeration, and deterministic random-path sampling
+  * (`gs::SamplingPath`).
+  */
+object Paths3 {
+
+  /** All-pairs shortest path lengths for a source set (reference
+    * `gs::AllPairsShortestPathLength` loops SSSP over sources; full APSP
+    * is only feasible on small graphs — callers pick the source set).
+    * Returns (src_oid, oid, dist).
+    */
+  def apspLengths(g: LinkGraph, sourceOids: Seq[String]): DataFrame = {
+    val results = sourceOids.map { o =>
+      SSSP.run(g, o)
+        .join(g.vertices.toDF, Seq("id"))
+        .where(col("dist").isNotNull)
+        .select(lit(o).as("src_oid"), col("oid"), col("dist"))
+    }
+    results.reduce(_ unionAll _)
+  }
+
+  /** Attribute assortativity (reference `gs::AttributeAssortativity`,
+    * `apps/assortativity/attribute_assortativity.h`): mixing-matrix
+    * assortativity coefficient over a categorical vertex attribute:
+    * r = (tr(M) − Σ(M²)) / (1 − Σ(M²)) with M the normalized mixing
+    * matrix over directed edges.
+    */
+  def attributeAssortativity(g: LinkGraph, attr: DataFrame): Double = {
+    // attr: (id, cat)
+    val e = g.edges.toDF
+      .join(attr.select(col("id").as("src"), col("cat").as("ca")), "src")
+      .join(attr.select(col("id").as("dst"), col("cat").as("cb")), "dst")
+    val m = e.groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val total = m.agg(sum(col("n"))).head().getLong(0).toDouble
+    val trace = m.where(col("ca") === col("cb")).agg(sum(col("n"))).head() match {
+      case r if r.isNullAt(0) => 0.0
+      case r => r.getLong(0) / total
+    }
+    val aRow = m.groupBy("ca").agg(sum(col("n")).as("na"))
+    val bRow = m.groupBy("cb").agg(sum(col("n")).as("nb"))
+    val sumAb = aRow.join(bRow, col("ca") === col("cb"))
+      .agg(sum((col("na") / total) * (col("nb") / total))).head() match {
+      case r if r.isNullAt(0) => 0.0
+      case r => r.getDouble(0)
+    }
+    m.unpersist()
+    if (sumAb == 1.0) 1.0 else (trace - sumAb) / (1.0 - sumAb)
+  }
+
+  /** DFS preorder from a source. Inherently sequential — executed on the
+    * driver over collected adjacency; guarded by `maxVertices` (the
+    * reference's DFS is likewise a sequential traversal,
+    * `apps/dfs/dfs.h`).
+    */
+  def dfsOrder(g: LinkGraph, sourceOid: String, maxVertices: Long = 2000000L): Seq[String] = {
+    require(g.numVertices <= maxVertices, s"DFS is driver-sequential; graph exceeds $maxVertices vertices")
+    val adj = g.edges.toDF.select("src", "dst").collect()
+      .groupBy(_.getLong(0)).map { case (s, rows) => s -> rows.map(_.getLong(1)).sorted.toList }
+    val oidOf = g.vertices.collect().map(v => v.id -> v.oid).toMap
+    val idOf = oidOf.map(_.swap)
+    val start = idOf(sourceOid)
+    val visited = scala.collection.mutable.Set.empty[Long]
+    val order = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def visit(v: Long): Unit = {
+      if (!visited(v)) {
+        visited += v; order += v
+        adj.getOrElse(v, Nil).foreach(visit)
+      }
+    }
+    visit(start)
+    order.toSeq.map(oidOf)
+  }
+
+  /** is_simple_path (reference `gs::IsSimplePath`): every consecutive
+    * pair is an edge and no vertex repeats.
+    */
+  def isSimplePath(g: LinkGraph, pathOids: Seq[String]): Boolean = {
+    if (pathOids.distinct.size != pathOids.size) return false
+    if (pathOids.size < 2) return pathOids.nonEmpty
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val hops = pathOids.zip(pathOids.tail).toDF("a", "b")
+    val oidEdges = g.edges.toDF
+      .join(g.vertices.toDF.select(col("id").as("src"), col("oid").as("a")), "src")
+      .join(g.vertices.toDF.select(col("id").as("dst"), col("oid").as("b")), "dst")
+      .select("a", "b")
+    hops.join(oidEdges, Seq("a", "b"), "left_anti").count() == 0
+  }
+
+  /** Bounded all-simple-paths enumeration source→target with ≤ `cutoff`
+    * edges (reference `gs::AllSimplePaths`): iterative frontier expansion
+    * with an array path column and a no-revisit filter; exponential in
+    * general, bounded by the cutoff.
+    */
+  def allSimplePaths(g: LinkGraph, sourceOid: String, targetOid: String, cutoff: Int): DataFrame = {
+    val oidEdges = g.edges.toDF
+      .join(g.vertices.toDF.select(col("id").as("src"), col("oid").as("a")), "src")
+      .join(g.vertices.toDF.select(col("id").as("dst"), col("oid").as("b")), "dst")
+      .select("a", "b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = g.vertices.toDF.where(col("oid") === sourceOid)
+      .select(array(col("oid")).as("path"), col("oid").as("tip"))
+    var found = frontier.where(col("tip") === targetOid).select("path")
+    var hops = 0
+    while (hops < cutoff) {
+      frontier = Engine.materialize(
+        frontier.where(col("tip") =!= targetOid)
+          .join(oidEdges.withColumnRenamed("a", "tip"), "tip")
+          .where(!array_contains(col("path"), col("b")))
+          .select(concat(col("path"), array(col("b"))).as("path"), col("b").as("tip")))
+      found = found.unionAll(frontier.where(col("tip") === targetOid).select("path"))
+      hops += 1
+    }
+    oidEdges.unpersist()
+    found
+  }
+
+  /** Deterministic random-path sampling (reference `gs::SamplingPath`):
+    * from each start vertex walk `steps` hops, choosing at every step the
+    * out-neighbor minimizing h(seed, step, dst) — a hash-seeded uniform
+    * pick that needs no RNG state. Returns (start_oid, path array).
+    */
+  def samplingPaths(g: LinkGraph, startOids: Seq[String], steps: Int, seed: Long = 42L): DataFrame = {
+    val spark = g.vertices.sparkSession
+    val oidEdges = g.edges.toDF
+      .join(g.vertices.toDF.select(col("id").as("src"), col("oid").as("a")), "src")
+      .join(g.vertices.toDF.select(col("id").as("dst"), col("oid").as("b")), "dst")
+      .select("a", "b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    import spark.implicits._
+    var walk = startOids.toDF("start")
+      .select(col("start"), array(col("start")).as("path"), col("start").as("tip"))
+    (0 until steps).foreach { step =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("start")).orderBy(col("__pick"), col("b"))
+      walk = Engine.materialize(
+        walk.join(oidEdges.withColumnRenamed("a", "tip"), Seq("tip"), "left")
+          .withColumn("__pick", xxhash64(lit(seed), lit(step), col("tip"), col("b")))
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1)
+          .select(col("start"),
+            when(col("b").isNotNull, concat(col("path"), array(col("b")))).otherwise(col("path")).as("path"),
+            coalesce(col("b"), col("tip")).as("tip")))
+    }
+    oidEdges.unpersist()
+    walk.select(col("start").as("start_oid"), col("path"))
+  }
+
+  /** Sanity accessor used by specs. */
+  def h(c: Long, i: Long): Long = Synth.h(c, i)
+}

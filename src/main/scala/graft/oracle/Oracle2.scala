@@ -143,3 +143,50 @@ object Oracle2 {
     cov / (sx * sy)
   }
 }
+
+/** Brandes betweenness reference (unweighted, directed). */
+object OracleBrandes {
+  def betweenness(n: Int, edges: Seq[(Int, Int)], sources: Seq[Int]): Array[Double] = {
+    val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    edges.distinct.filter { case (a, b) => a != b }.foreach { case (u, v) => adj(u) += v }
+    val bc = new Array[Double](n)
+    sources.foreach { s =>
+      val dist = Array.fill(n)(-1)
+      val sigma = new Array[Double](n)
+      val order = scala.collection.mutable.ArrayBuffer.empty[Int]
+      dist(s) = 0; sigma(s) = 1.0
+      var frontier = List(s)
+      while (frontier.nonEmpty) {
+        val next = scala.collection.mutable.ListBuffer.empty[Int]
+        frontier.foreach { u =>
+          order += u
+          adj(u).foreach { v =>
+            if (dist(v) < 0) { dist(v) = dist(u) + 1; next += v }
+            if (dist(v) == dist(u) + 1) sigma(v) += sigma(u)
+          }
+        }
+        frontier = next.toList.distinct
+      }
+      // note: sigma accumulation above double-counts when a vertex is
+      // discovered twice in one wave; recompute cleanly:
+      java.util.Arrays.fill(sigma, 0.0)
+      sigma(s) = 1.0
+      order.distinct.sortBy(dist(_)).foreach { u =>
+        adj(u).foreach { v => if (dist(v) == dist(u) + 1) sigma(v) += sigma(u) }
+      }
+      // dependency accumulation over the shortest-path DAG predecessors
+      val delta = new Array[Double](n)
+      val preds = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      edges.distinct.filter { case (a, b) => a != b }.foreach { case (u, v) =>
+        if (dist(u) >= 0 && dist(v) == dist(u) + 1) preds(v) += u
+      }
+      order.distinct.sortBy(v => -dist(v)).foreach { w =>
+        preds(w).foreach { v =>
+          delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w))
+        }
+        if (w != s) bc(w) += delta(w)
+      }
+    }
+    bc
+  }
+}

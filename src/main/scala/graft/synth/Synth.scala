@@ -34,14 +34,16 @@ object Synth {
 
   def nConvs(sf: Double): Long = math.max(64L, math.round(sf * 20000000L))
 
-  def nAgents(sf: Double): Long = math.max(8L, nConvs(sf) / 20L)
+  def nAgents(sf: Double): Long = math.max(8L, nConvs(sf) / 40L)
 
-  /** Distinct human participants; each has ~4 conversations. Participants
+  /** Distinct human participants; each has ~16 conversations (web-like
+    * edge density E/V ≈ 40-60: vertex state stays cache-resident while
+    * edge volume carries the per-superstep work). Participants
     * are first-class vertices (north star: "vertices are conversation
     * participants/tools") — at real 10^12-turn scale these number in the
     * millions, so the vertex space must grow with the corpus.
     */
-  def nUsers(sf: Double): Long = math.max(16L, nConvs(sf) / 4L)
+  def nUsers(sf: Double): Long = math.max(16L, nConvs(sf) / 16L)
 
   def userOf(c: Long, sf: Double): Long = c % nUsers(sf)
 
@@ -51,7 +53,7 @@ object Synth {
     * most consecutive-turn pairs distinct, giving the derived graph
     * web-link-graph edge density (E ≈ total turns) instead of a star.
     */
-  def nAssistants(sf: Double): Long = math.max(4L, nConvs(sf) / 8L)
+  def nAssistants(sf: Double): Long = math.max(4L, nConvs(sf) / 64L)
 
   def assistantOid(c: Long, i: Long, sf: Double): String =
     if (h(c, 300000L + i) % 3L == 0L) "assistant"

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.algos.{Betweenness, Paths3}
+import graft.oracle.OracleBrandes
+
+class Paths3Spec extends SparkSpec {
+
+  private val n = 30
+  private val edges = randomEdges(n, 120)
+  private lazy val g = graphFrom(n, edges).persist()
+
+  test("betweenness matches Brandes oracle (all sources)") {
+    val allOids = (0 until n).map(i => f"v$i%06d")
+    val got = Betweenness.run(g, allOids).collect()
+      .map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+    val want = OracleBrandes.betweenness(n, edges, 0 until n)
+    (0 until n).foreach(i =>
+      assert(math.abs(got(i) - want(i)) < 1e-6, s"vertex $i: ${got(i)} vs ${want(i)}"))
+  }
+
+  test("apsp lengths agree with per-source sssp") {
+    val res = Paths3.apspLengths(g, Seq("v000000", "v000001")).collect()
+    assert(res.nonEmpty)
+    assert(res.forall(r => r.getDouble(2) >= 0.0))
+    val zero = res.filter(r => r.getString(0) == r.getString(1))
+    assert(zero.forall(_.getDouble(2) == 0.0))
+  }
+
+  test("attribute assortativity: assortative vs random attribute") {
+    val s = spark
+    import s.implicits._
+    // two cliques: attribute = clique id → strongly assortative
+    val cl = (0 until 6).combinations(2).flatMap(p => Seq((p(0), p(1)), (p(1), p(0)))).toSeq ++
+      (6 until 12).combinations(2).flatMap(p => Seq((p(0), p(1)), (p(1), p(0)))).toSeq ++
+      Seq((0, 6))
+    val gg = graphFrom(12, cl)
+    val attr = (0 until 12).map(i => (i.toLong, if (i < 6) "a" else "b")).toDF("id", "cat")
+    val r = Paths3.attributeAssortativity(gg, attr)
+    assert(r > 0.8, s"expected assortative, got $r")
+  }
+
+  test("dfs preorder visits reachable vertices exactly once, children sorted") {
+    val gg = graphFrom(5, Seq((0, 1), (0, 2), (1, 3), (2, 4)))
+    val order = Paths3.dfsOrder(gg, "v000000")
+    assert(order == Seq("v000000", "v000001", "v000003", "v000002", "v000004"))
+  }
+
+  test("simple-path predicate and bounded enumeration") {
+    val gg = graphFrom(5, Seq((0, 1), (1, 2), (0, 2), (2, 3)))
+    assert(Paths3.isSimplePath(gg, Seq("v000000", "v000001", "v000002")))
+    assert(!Paths3.isSimplePath(gg, Seq("v000000", "v000002", "v000001"))) // no 2→1 edge
+    assert(!Paths3.isSimplePath(gg, Seq("v000000", "v000001", "v000002", "v000000"))) // repeat
+    val paths = Paths3.allSimplePaths(gg, "v000000", "v000003", 4).collect()
+      .map(_.getSeq[String](0)).toSet
+    assert(paths == Set(
+      Seq("v000000", "v000001", "v000002", "v000003"),
+      Seq("v000000", "v000002", "v000003")))
+  }
+
+  test("sampling paths are deterministic and respect edges") {
+    val gg = graphFrom(6, Seq((0, 1), (1, 2), (2, 3), (3, 4), (0, 5)))
+    val p1 = Paths3.samplingPaths(gg, Seq("v000000"), 3).collect().head.getSeq[String](1)
+    val p2 = Paths3.samplingPaths(gg, Seq("v000000"), 3).collect().head.getSeq[String](1)
+    assert(p1 == p2)
+    assert(p1.length >= 2 && p1.head == "v000000")
+    // dead-end walks stop early but keep the tip
+    val stuck = Paths3.samplingPaths(gg, Seq("v000004"), 3).collect().head.getSeq[String](1)
+    assert(stuck == Seq("v000004"))
+  }
+}
