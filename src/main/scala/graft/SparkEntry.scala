@@ -260,7 +260,37 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding", (0L until 10L).toSeq, 5)),
     // session plane: REPORT_GRAPH (fragment_reporter.h:56-116)
     "tg_report" -> ((s, dir) =>
-      graft.graph.GraphOps.report(graphFor(s, dir)))
+      graft.graph.GraphOps.report(graphFor(s, dir))),
+    // rows-only checks (no portable SQL): deterministic heavy algorithms
+    "tg_betweenness" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      withOid(g, graft.algos.Betweenness.run(g, Seq("assistant", "tool:t0", "system"))
+        .select(col("id"), round(col("betweenness"), 4).as("betweenness")), "betweenness")
+    }),
+    "tg_louvain" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      graft.algos.Louvain.run(g, maxRounds = 5)
+        .join(g.vertices.toDF, Seq("id"))
+        .join(g.vertices.toDF.select(col("id").as("community"), col("oid").as("community_oid")),
+          Seq("community"))
+        .select(col("oid"), col("community_oid"))
+    }),
+    "tg_kcore" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      withOid(g, graft.algos.Cores.kcore(g, 3).select(col("id"), col("deg")), "deg")
+    }),
+    // token-set Jaccard of adjacent doc ids (the n-gram Jaccard op in a
+    // SQL-checkable form)
+    "d_jaccard_adj" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(graft.text.TextOps.tokens(col("text"))).as("tk"))
+      docs.as("a").join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_id"),
+          round(
+            size(array_intersect(col("a.tk"), col("b.tk"))).cast("double") /
+              size(array_union(col("a.tk"), col("b.tk"))).cast("double"), 5).as("jaccard"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -342,6 +372,15 @@ object SparkEntry {
       s"""WITH ${SynthSql.graphCtes(OracleSf)}
          |SELECT (SELECT count(*) FROM vertices) AS nodes,
          |       (SELECT count(*) FROM dedges) AS edges,
-         |       (SELECT count(*) FROM dedges WHERE src = dst) AS self_loops""".stripMargin
+         |       (SELECT count(*) FROM dedges WHERE src = dst) AS self_loops""".stripMargin,
+    "d_jaccard_adj" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tk
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_id,
+        |       round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+        |             len(list_distinct(list_concat(a.tk, b.tk))), 5) AS jaccard
+        |FROM tk a JOIN tk b ON b.doc_id = a.doc_id + 1""".stripMargin
   )
 }

@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+
+/** Dev tool: dump formatted physical plans for the load-bearing queries
+  * and grep-able assertions about them (pushdown reached the scan, dims
+  * broadcast, superstep exchange count). Output feeds PLANS.md.
+  * Usage: runMain graft.tools.PlanAudit [sfDir]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def audit(name: String): Unit = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      println(s"==== $name ====")
+      println(plan.take(4000))
+      println(s"---- $name summary: exchanges=${countOf(plan, "Exchange")} " +
+        s"broadcasts=${countOf(plan, "BroadcastHashJoin")} " +
+        s"shuffleHash=${countOf(plan, "ShuffledHashJoin")} " +
+        s"sortMerge=${countOf(plan, "SortMergeJoin")} " +
+        s"pushedFilters=${plan.contains("PushedFilters: [")}")
+    }
+    def countOf(s: String, token: String): Int = s.sliding(token.length).count(_ == token)
+
+    Seq("q_scan_filter", "q_group_agg", "q_topk", "q_join_agg", "q_window",
+      "tg_edges", "d_textstats", "s_cosine_topk").foreach(audit)
+
+    // one PageRank superstep plan: build graph and show the gather job
+    val g = SparkEntry.graphFor(spark, sfDir)
+    graft.engine.Engine.withoutAQE(spark) {
+      val e = g.edges.toDF.select(col("src"), col("dst"), lit(1.0).as("w"))
+        .repartition(col("src")).persist()
+      e.count()
+      val cPrev = g.vertices.toDF.select(col("id"), lit(0.0).as("c"))
+        .repartition(col("id")).persist()
+      cPrev.count()
+      val superstep = e
+        .join(cPrev.select(col("id").as("src"), col("c")).hint("shuffle_hash"), Seq("src"), "left")
+        .select(col("dst"), (col("w") * col("c")).as("m"))
+        .groupBy(col("dst")).agg(sum(col("m")).as("c"))
+      val plan = superstep.queryExecution.executedPlan.toString
+      println("==== pagerank_superstep ====")
+      println(plan.take(4000))
+      println(s"---- pagerank_superstep summary: exchanges=${countOf(plan, "Exchange")} " +
+        s"wholeStageCodegen=${countOf(plan, "WholeStageCodegen")}")
+    }
+    spark.stop()
+  }
+}
