@@ -102,6 +102,13 @@ object PageRank {
       }
     }
     var cPrev = resumed.map(r => Engine.materialize(r._1)).getOrElse(emptyC)
+    // Frames persisted since the last checkpoint. Unpersisting a cached
+    // frame CASCADES to dependent caches (the next state's cache is built
+    // on it), so eager unpersist forced a full window recompute every
+    // superstep (measured: +1.5 s/iteration growth). Deferred to the
+    // checkpoint boundary, where the new state is LogicalRDD-rooted and
+    // immune to the cascade.
+    var windowFrames = List.empty[DataFrame]
     var iter = resumed.map(_._2).getOrElse(0)
     var base = resumed.map(_._3).getOrElse(1.0 / n)
     var dsum = resumed.map(_._4).getOrElse(danglingCount.toDouble / n)
@@ -123,11 +130,16 @@ object PageRank {
           (col("w") * (col("__baseO") + lit(d) * coalesce(col("c"), lit(0.0)))).as("m"))
         .groupBy(col("dst").as("id"), col("dstDangling"))
         .agg(sum(col("m")).as("c"))
-      // persist keeps the groupBy's hash partitioning (localCheckpoint
-      // drops it → a |V|-row exchange per superstep in both joins);
-      // lineage is truncated by a real checkpoint every 10 supersteps.
+      // Fixed-round runs use persist-chained state: persist keeps the
+      // groupBy's hash partitioning (localCheckpoint drops it → a |V|-row
+      // exchange per superstep in both joins) and short runs stay within
+      // one lineage window. Long tolerance-mode runs checkpoint every
+      // superstep instead: persist chains past a checkpoint boundary
+      // showed unbounded per-iteration growth (cache-substitution misses
+      // re-executing the window; see CLAUDE.md round-2 notes).
+      val isCkptIter = cfg.tol.isDefined || (iter + 1) % 16 == 0
       val cNextM =
-        if ((iter + 1) % 16 == 0) Engine.materialize(cNext)
+        if (isCkptIter) Engine.materialize(cNext)
         else cNext.persist(StorageLevel.MEMORY_AND_DISK)
       // one pass over the vertex table: next dangling mass, plus the L1
       // delta when a tolerance is set (fixed-round runs skip the
@@ -157,7 +169,8 @@ object PageRank {
           danglingCount * baseNext + d * sC
         }
       base = baseNext
-      if (!(cPrev eq emptyC)) cPrev.unpersist()
+      if (isCkptIter) { windowFrames.foreach(_.unpersist()); windowFrames = Nil }
+      else windowFrames ::= cNextM
       cPrev = cNextM
       val secs = (System.nanoTime() - t0) / 1e9
       log.record(IterationMetrics(iter, secs, delta, edgeCount, Map("dsum" -> dsum, "base" -> base)))

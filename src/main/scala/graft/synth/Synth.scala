@@ -129,11 +129,64 @@ object Synth {
     ts = new Timestamp(tsSec(c, i) * 1000L)
   )
 
-  /** Distributed generation: one `spark.range` over conversations, flatMap
-    * to turns. Purely deterministic, embarrassingly parallel, no driver
-    * materialization — holds at any scale factor.
+  /** Distributed generation, columnar: one `spark.range` over
+    * conversations, `explode(sequence)` to turns, every column a pure
+    * Catalyst expression mirroring the Scala functions above (verified
+    * equal by SynthGraphSpec). Stays inside whole-stage codegen — ~5×
+    * faster than the row-wise `flatMap[Turn]` it replaced at bench scale
+    * (no per-row case-class allocation / encoder round trip).
     */
   def transcripts(spark: SparkSession, sf: Double): Dataset[Turn] = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val nAssist = nAssistants(sf)
+    val nAgent = nAgents(sf)
+    val nUser = nUsers(sf)
+    def H(c: Column, i: Column): Column =
+      (c * 1000003L + i * 7919L + 12345L) % 1000000007L
+    val c = col("c")
+    def Hi(off: Long, i: Column): Column = H(c, i + off)
+    val turnsOf =
+      lit(2L) + Hi(0L, lit(1000000L)) % 7L +
+        when(Hi(0L, lit(1000001L)) % 10L === 0L, Hi(0L, lit(1000002L)) % 56L).otherwise(0L)
+    val base = spark.range(0L, nConvs(sf)).toDF("c")
+      .select(c, explode(sequence(lit(0L), turnsOf - 1L)).as("i"))
+    val i = col("i")
+    def isA(ii: Column): Column = ii % 2L === 1L && Hi(400000L, ii) % 6L =!= 0L
+    def toolInv(ii: Column): Column = Hi(600000L, ii) % 4L === 0L
+    def toolIdC(ii: Column): Column =
+      (Hi(700000L, ii) % NTools).bitwiseAND(Hi(800000L, ii) % NTools)
+    val roleC =
+      when(isA(i),
+        when(Hi(300000L, i) % 3L === 0L, lit("assistant"))
+          .otherwise(concat(lit("assistant:"), (Hi(310000L, i) % nAssist).cast("string"))))
+        .when(i === 0L,
+          when(H(c, lit(51L)) % 13L === 0L, lit("system"))
+            .otherwise(concat(lit("u"), (c % nUser).cast("string"))))
+        .when(H(c, i) % 10L === 0L,
+          concat(lit("agent:"), (Hi(200000L, i) % nAgent).cast("string")))
+        .when((H(c, i) % 10L).isin(1L, 2L) && isA(i - 1L) && toolInv(i - 1L), lit("tool"))
+        .otherwise(concat(lit("u"), (c % nUser).cast("string")))
+    base
+      .withColumn("role", roleC)
+      .select(
+        format_string("c%08d", c).as("conv_id"),
+        i.cast("int").as("turn_idx"),
+        col("role"),
+        concat(lit("txt-"), c.cast("string"), lit("-"), i.cast("string"), lit("-"),
+          (Hi(900000L, i) % 100000L).cast("string")).as("text"),
+        when(isA(i) && toolInv(i), concat(lit("t"), toolIdC(i).cast("string")))
+          .when(col("role") === "tool", concat(lit("t"), toolIdC(i - 1L).cast("string")))
+          .otherwise(lit(null).cast("string")).as("tool"),
+        timestamp_seconds(lit(BaseEpochSec) + c * 300L + i).as("ts"))
+      .as[Turn]
+  }
+
+  /** Row-wise reference generator (kept as the equivalence oracle for the
+    * columnar path above).
+    */
+  def transcriptsRowWise(spark: SparkSession, sf: Double): Dataset[Turn] = {
     import spark.implicits._
     spark
       .range(0L, nConvs(sf))

@@ -48,7 +48,11 @@ object ScalingProbe {
         s.read.parquet(s"$tmp/edges").as[Edge]).persist()
       gl.edges.count()
       val log = new MetricsLog
-      PageRank.run(gl, PageRank.Config(0.85, 10), log).count()
+      val cfg =
+        if (sys.env.contains("PROBE_CONV"))
+          PageRank.Config(0.85, sys.env("PROBE_CONV").toInt, Some(1e-6), tolTimesN = false)
+        else PageRank.Config(0.85, 10)
+      PageRank.run(gl, cfg, log).count()
       log.all.foreach(m => println(f"[probe] p=$p iter ${m.iter}: ${m.seconds}%.2f s (${m.edgesPerSec}%.0f eps)"))
       val steady = log.all.drop(2)
       val thr = steady.map(_.edgesPerSec).sum / steady.size

@@ -16,6 +16,17 @@ class SynthGraphSpec extends SparkSpec {
 
   private val sf = 0.0001 // 200 conversations
 
+  test("columnar generator equals the row-wise reference exactly") {
+    val a = Synth.transcripts(spark, sf).toDF
+    val b = Synth.transcriptsRowWise(spark, sf).toDF
+    val diff = a.as("a").join(b.as("b"), Seq("conv_id", "turn_idx"), "full_outer")
+      .where(
+        !(col("a.role") <=> col("b.role")) || !(col("a.text") <=> col("b.text")) ||
+          !(col("a.tool") <=> col("b.tool")) || !(col("a.ts") <=> col("b.ts")))
+    assert(diff.count() == 0)
+    assert(a.count() == b.count())
+  }
+
   test("synth is deterministic and respects the input_hint schema") {
     val a = Synth.transcripts(spark, sf).toDF
     assert(a.schema.fieldNames.toSeq ==
