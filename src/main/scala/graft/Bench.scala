@@ -46,12 +46,17 @@ object Bench {
       spark.read.parquet(s"$dir/edges").as[Edge]).persist()
   }
 
-  /** Mean edges/sec per superstep, excluding the warmup superstep. */
+  /** Median edges/sec per superstep, excluding two warmup supersteps
+    * (median is robust to GC/straggler outliers that a mean smears).
+    */
   private def throughput(log: MetricsLog): Double = {
-    val steady = log.all.drop(1)
+    val steady = log.all.drop(2)
     val considered = if (steady.nonEmpty) steady else log.all
     if (considered.isEmpty) 0.0
-    else considered.map(_.edgesPerSec).sum / considered.size
+    else {
+      val sorted = considered.map(_.edgesPerSec).sorted
+      sorted(sorted.size / 2)
+    }
   }
 
   private def timed[A](f: => A): (A, Double) = {
@@ -116,7 +121,7 @@ object Bench {
       val gl = loadGraph(s, tmp)
       gl.edges.count()
       val log = new MetricsLog
-      val (_, sec) = timed { PageRank.run(gl, PageRank.Config(0.85, 10), log).count() }
+      val (_, sec) = timed { PageRank.run(gl, PageRank.Config(0.85, 12), log).count() }
       s.stop()
       (throughput(log), sec)
     }
