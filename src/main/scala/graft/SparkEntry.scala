@@ -38,15 +38,17 @@ object SparkEntry {
   private val OracleSf = 0.01
   private val PrRounds = 10
   private val CdlpRounds = 10
+  private val KcoreK = 30
 
-  private val graphCache = TrieMap.empty[Double, LinkGraph]
+  private val graphCache = TrieMap.empty[(SparkSession, Double), LinkGraph]
 
-  /** Transcript-derived graph for the given data dir (memoized per sf —
-    * the driver calls each query separately).
+  /** Transcript-derived graph for the given data dir (memoized per
+    * (session, sf) — keying only by sf would hand a later, different
+    * SparkSession Datasets bound to a stopped session).
     */
   def graphFor(spark: SparkSession, dir: String): LinkGraph = {
     val sf = Synth.sfOfDir(dir)
-    graphCache.getOrElseUpdate(sf, {
+    graphCache.getOrElseUpdate((spark, sf), {
       val g = GraphBuilder.fromTranscripts(Synth.transcripts(spark, sf).toDF)
       g.persist()
       g
@@ -137,9 +139,14 @@ object SparkEntry {
       t(s, dir, "customer")
         .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
         .select(col("c_custkey"), col("c_name"))),
+    // ANTI against a restricted order set (customers with no order above
+    // the threshold) — non-vacuous: every customer has *some* order in
+    // this data, so the unfiltered anti-join would pass trivially on 0
+    // rows.
     "q_anti" -> ((s, dir) =>
       t(s, dir, "customer")
-        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
+        .join(t(s, dir, "orders").where(col("o_totalprice") > 400000)
+          .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))),
     // Dedup (distinct on keys)
     "q_dedup" -> ((s, dir) =>
@@ -275,9 +282,11 @@ object SparkEntry {
           Seq("community"))
         .select(col("oid"), col("community_oid"))
     }),
+    // k=30 so the peel actually cascades on this dense graph (4 rounds,
+    // ~half the vertices survive at sf0.01); k=3 peeled nothing.
     "tg_kcore" -> ((s, dir) => {
       val g = graphFor(s, dir)
-      withOid(g, graft.algos.Cores.kcore(g, 3).select(col("id"), col("deg")), "deg")
+      withOid(g, graft.algos.Cores.kcore(g, KcoreK).select(col("id"), col("deg")), "deg")
     }),
     // token-set Jaccard of adjacent doc ids (the n-gram Jaccard op in a
     // SQL-checkable form)
@@ -328,7 +337,8 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "q_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
     "q_dedup" -> "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
     "q_window" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
@@ -368,6 +378,7 @@ object SparkEntry {
     "d_langid" -> SynthSql2.langIdSql(graft.text.TextOps.Stopwords),
     "d_fingerprint" -> SynthSql2.fingerprintSql,
     "s_cosine_topk" -> SynthSql2.cosineTopKSql((0L until 10L).toSeq, 5),
+    "tg_kcore" -> SynthSql2.kcoreSql(OracleSf, KcoreK),
     "tg_report" ->
       s"""WITH ${SynthSql.graphCtes(OracleSf)}
          |SELECT (SELECT count(*) FROM vertices) AS nodes,

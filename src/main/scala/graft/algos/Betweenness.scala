@@ -18,7 +18,9 @@ import graft.graph.LinkGraph
   * shared-nothing engine).
   *
   * Unweighted shortest paths (BFS DAG); exact when `sources` = all
-  * vertices, an estimator otherwise (normalized by |sources|).
+  * vertices. Output is the **unnormalized** sum of per-source
+  * dependencies over the given sources (divide by |sources| for the
+  * sampled-estimator scale if desired).
   */
 object Betweenness {
 
@@ -33,16 +35,17 @@ object Betweenness {
         .select(col("id").as("s")).persist(StorageLevel.MEMORY_AND_DISK)
       srcIds.count()
 
-      // forward phase: per (source s, vertex v): level, sigma (#shortest paths)
+      // forward phase: per (source s, vertex v): level, sigma (#shortest
+      // paths). The per-level constant rides a broadcast 1-row frame
+      // (Engine.scalarLong) so superstep codegen is identical per level.
       var settled = Engine.materialize(
-        srcIds.select(col("s"), col("s").as("id"), lit(0).as("level"), lit(1.0).as("sigma")))
+        srcIds.select(col("s"), col("s").as("id"), lit(0L).as("level"), lit(1.0).as("sigma")))
       var frontier = settled
-      var level = 0
-      val perLevel = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      perLevel += frontier
+      var level = 0L
       var more = true
       while (more) {
-        val nextLevel = level + 1
+        val nextLevel = level + 1L
+        val lvl = broadcast(Engine.scalarLong(spark, "__lvl", nextLevel))
         val expanded = frontier
           .join(e.withColumnRenamed("src", "id"), Seq("id"))
           .groupBy(col("s"), col("dst").as("id"))
@@ -51,14 +54,14 @@ object Betweenness {
           expanded.join(settled.select(col("s"), col("id"), lit(true).as("__seen")),
             Seq("s", "id"), "left")
             .where(col("__seen").isNull)
-            .select(col("s"), col("id"), lit(nextLevel).as("level"), col("sigma")))
+            .crossJoin(lvl)
+            .select(col("s"), col("id"), col("__lvl").as("level"), col("sigma")))
         val n = next.count()
         if (n == 0) more = false
         else {
           settled = Engine.materialize(settled.unionByName(next.select("s", "id", "level", "sigma")))
           settled.count()
           frontier = next.select("s", "id", "level", "sigma")
-          perLevel += frontier
           level = nextLevel
         }
       }
@@ -69,7 +72,9 @@ object Betweenness {
         all.select(col("s"), col("id"), lit(0.0).as("delta")))
       var l = level
       while (l > 0) {
-        val wLevel = all.where(col("level") === l)
+        val lCur = broadcast(Engine.scalarLong(spark, "__l", l))
+        val lPrev = broadcast(Engine.scalarLong(spark, "__lp", l - 1))
+        val wLevel = all.crossJoin(lCur).where(col("level") === col("__l"))
           .join(delta, Seq("s", "id"))
           .select(col("s"), col("id").as("w"), col("sigma").as("sw"), col("delta").as("dw"))
         val contrib = e.withColumnRenamed("dst", "w")
@@ -78,14 +83,16 @@ object Betweenness {
           .agg(sum((lit(1.0) + col("dw")) / col("sw")).as("cf"))
         delta = Engine.materialize(
           delta.join(
-            contrib.join(all.where(col("level") === l - 1).select(col("s"), col("id"), col("sigma")),
+            contrib.join(
+              all.crossJoin(lPrev).where(col("level") === col("__lp"))
+                .select(col("s"), col("id"), col("sigma")),
               Seq("s", "id"))
               .select(col("s"), col("id"), (col("cf") * col("sigma")).as("add")),
             Seq("s", "id"), "left")
             .select(col("s"), col("id"),
               (col("delta") + coalesce(col("add"), lit(0.0))).as("delta")))
         delta.count()
-        l -= 1
+        l -= 1L
       }
       val out = g.vertices.toDF.select(col("id"))
         .join(

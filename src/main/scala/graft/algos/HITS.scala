@@ -53,8 +53,12 @@ object HITS {
         val r = withAuthM.agg(sum(col("araw"))).head()
         if (r.isNullAt(0) || r.getDouble(0) == 0.0) 1.0 else r.getDouble(0)
       }
-      val authed = withAuthM.select(
-        col("id"), (col("araw") / asum).as("auth"), col("hub"), col("prevAuth"))
+      // per-iteration scalar via broadcast 1-row frame — lit(asum) would
+      // recompile the superstep codegen every iteration (Engine.scalar)
+      val authed = withAuthM
+        .crossJoin(broadcast(Engine.scalar(g.vertices.sparkSession, "__asum", asum)))
+        .select(
+          col("id"), (col("araw") / col("__asum")).as("auth"), col("hub"), col("prevAuth"))
       // hub' from new auths along out-edges
       val hubRaw = eByDst
         .join(authed.select(col("id").as("dst"), col("auth")).hint("shuffle_hash"), "dst")
@@ -67,7 +71,9 @@ object HITS {
         .agg(sum(col("hraw")), sum(abs(col("auth") - col("prevAuth")))).head()
       val hsum = Option(hsumRaw).map(_.asInstanceOf[Double]).filter(_ != 0.0).getOrElse(1.0)
       delta = Option(dRaw).map(_.asInstanceOf[Double]).getOrElse(0.0)
-      state = withHubM.select(col("id"), col("auth"), (col("hraw") / hsum).as("hub"))
+      state = withHubM
+        .crossJoin(broadcast(Engine.scalar(g.vertices.sparkSession, "__hsum", hsum)))
+        .select(col("id"), col("auth"), (col("hraw") / col("__hsum")).as("hub"))
       iter += 1
     }
     e.unpersist(); eByDst.unpersist()

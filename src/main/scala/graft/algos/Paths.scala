@@ -74,6 +74,7 @@ object SSSP {
 object BFS {
 
   def run(g: LinkGraph, sourceOid: String): DataFrame = {
+    val spark = g.vertices.sparkSession
     val e = g.edges.toDF.select(col("src"), col("dst"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -89,14 +90,18 @@ object BFS {
     var advanced = 1L
     while (advanced > 0) {
       val nextLevel = level + 1L
+      // iteration-varying scalar via broadcast 1-row frame (identical
+      // codegen every superstep; see Engine.scalar)
+      val nl = broadcast(Engine.scalarLong(spark, "__nl", nextLevel))
       val msgs = e
         .join(frontier.select(col("id").as("src")).hint("shuffle_hash"), "src")
         .select(col("dst").as("id")).distinct()
       val next = state
         .join(msgs.withColumn("__hit", lit(true)).hint("shuffle_hash"), Seq("id"), "left")
+        .crossJoin(nl)
         .select(
           col("id"),
-          when(col("level").isNull && col("__hit"), lit(nextLevel)).otherwise(col("level")).as("level"),
+          when(col("level").isNull && col("__hit"), col("__nl")).otherwise(col("level")).as("level"),
           (col("level").isNull && col("__hit").isNotNull && col("__hit")).as("changed"))
       val nextM = Engine.materialize(next)
       advanced = {

@@ -41,34 +41,49 @@ object Paths2 {
     dist.join(parents, Seq("id"), "left")
   }
 
-  /** One shortest path source→target as ordered oids; None if unreachable. */
-  def pathTo(g: LinkGraph, sourceOid: String, targetOid: String, maxHops: Int = 64): Option[Seq[String]] = {
+  /** One shortest path source→target as ordered oids; None if unreachable.
+    *
+    * The parent pointers of the reachable set are collected ONCE (bare
+    * (id, parent) longs, guarded by `maxCollect`) and the walk runs in
+    * driver memory — one Spark job per hop was a driver-loop scale hazard.
+    * Only the ≤ maxHops+1 path vertices are then mapped back to oids.
+    */
+  def pathTo(
+      g: LinkGraph, sourceOid: String, targetOid: String,
+      maxHops: Int = 64, maxCollect: Long = 5000000L
+  ): Option[Seq[String]] = {
     val wp = withParents(g, sourceOid).persist(StorageLevel.MEMORY_AND_DISK)
-    val byId = g.vertices.toDF.persist(StorageLevel.MEMORY_AND_DISK)
-    def idOf(oid: String): Option[Long] =
-      byId.where(col("oid") === oid).select("id").collect().headOption.map(_.getLong(0))
-    def oidOf(id: Long): String =
-      byId.where(col("id") === id).select("oid").head().getString(0)
-    val result = for {
-      srcId <- idOf(sourceOid)
-      dstId <- idOf(targetOid)
-      row <- wp.where(col("id") === dstId && col("dist").isNotNull).collect().headOption
-    } yield {
-      var path = List(dstId)
-      var cur = dstId
-      var hops = 0
-      while (cur != srcId && hops < maxHops) {
-        val p = wp.where(col("id") === cur).select("parent").collect().headOption
-        p.filter(!_.isNullAt(0)).map(_.getLong(0)) match {
-          case Some(par) => path = par :: path; cur = par
-          case None => hops = maxHops
+    try {
+      val endpoints = g.vertices.toDF.where(col("oid").isin(sourceOid, targetOid))
+        .select("oid", "id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      for {
+        srcId <- endpoints.get(sourceOid)
+        dstId <- endpoints.get(targetOid)
+        reachable = wp.where(col("dist").isNotNull).select("id", "parent")
+        _ = require(reachable.count() <= maxCollect,
+          s"pathTo walks parents on the driver; reachable set exceeds $maxCollect")
+        parents = reachable.collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        if parents.contains(dstId)
+        path <- {
+          var acc = List(dstId)
+          var cur = dstId
+          var hops = 0
+          while (cur != srcId && hops < maxHops) {
+            parents.get(cur).flatten match {
+              case Some(par) => acc = par :: acc; cur = par
+              case None => hops = maxHops
+            }
+            hops += 1
+          }
+          if (cur == srcId) Some(acc) else None
         }
-        hops += 1
+      } yield {
+        val oids = g.vertices.toDF.where(col("id").isin(path: _*))
+          .select("id", "oid").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        path.map(oids)
       }
-      if (cur == srcId) Some(path.map(oidOf)) else None
-    }
-    wp.unpersist(); byId.unpersist()
-    result.flatten
+    } finally wp.unpersist()
   }
 
   def hasPath(g: LinkGraph, sourceOid: String, targetOid: String): Boolean =

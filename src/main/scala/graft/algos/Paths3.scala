@@ -62,12 +62,16 @@ object Paths3 {
   }
 
   /** DFS preorder from a source. Inherently sequential — executed on the
-    * driver over collected adjacency; guarded by `maxVertices` (the
-    * reference's DFS is likewise a sequential traversal,
-    * `apps/dfs/dfs.h`).
+    * driver over collected adjacency (the reference's DFS is likewise a
+    * sequential traversal, `apps/dfs/dfs.h`). Guarded by `maxEdges` —
+    * it is the edge collect, not the vertex count, that bounds driver
+    * memory; iterative explicit stack (a recursive visit overflows the
+    * JVM stack on long chains).
     */
-  def dfsOrder(g: LinkGraph, sourceOid: String, maxVertices: Long = 2000000L): Seq[String] = {
-    require(g.numVertices <= maxVertices, s"DFS is driver-sequential; graph exceeds $maxVertices vertices")
+  def dfsOrder(g: LinkGraph, sourceOid: String, maxEdges: Long = 20000000L): Seq[String] = {
+    val eCount = g.edges.count()
+    require(eCount <= maxEdges,
+      s"DFS is driver-sequential; graph has $eCount edges (> $maxEdges)")
     val adj = g.edges.toDF.select("src", "dst").collect()
       .groupBy(_.getLong(0)).map { case (s, rows) => s -> rows.map(_.getLong(1)).sorted.toList }
     val oidOf = g.vertices.collect().map(v => v.id -> v.oid).toMap
@@ -75,13 +79,16 @@ object Paths3 {
     val start = idOf(sourceOid)
     val visited = scala.collection.mutable.Set.empty[Long]
     val order = scala.collection.mutable.ArrayBuffer.empty[Long]
-    def visit(v: Long): Unit = {
+    val stack = scala.collection.mutable.ArrayDeque(start)
+    while (stack.nonEmpty) {
+      val v = stack.removeHead()
       if (!visited(v)) {
         visited += v; order += v
-        adj.getOrElse(v, Nil).foreach(visit)
+        // prepend children in order: the head of the stack is the next
+        // smallest unvisited neighbor — identical to recursive preorder
+        stack.prependAll(adj.getOrElse(v, Nil))
       }
     }
-    visit(start)
     order.toSeq.map(oidOf)
   }
 

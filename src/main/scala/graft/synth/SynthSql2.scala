@@ -171,6 +171,33 @@ object SynthSql2 {
        |WHERE oid <> 'tool:t0'
        |GROUP BY oid""".stripMargin
 
+  /** k-core membership by unrolled peeling (reference `gs::KCore`,
+    * `apps/kcore/kcore.h`): each round removes every vertex of undirected
+    * simple degree < k; monotone, so a fixed unroll that reaches the
+    * fixpoint equals the Spark loop (`rounds` vs `rounds+1` verified
+    * identical at build time — the sf0.01 graph peels in 4 rounds at
+    * k=30). Output = surviving vertices with their in-core degree.
+    */
+  def kcoreSql(sf: Double, k: Int, rounds: Int = 8): String = {
+    val body = (1 to rounds).map { r =>
+      val p = s"pe${r - 1}"
+      s"""dg$r AS MATERIALIZED (SELECT a AS id, count(*) AS deg FROM $p GROUP BY a),
+         |pe$r AS MATERIALIZED (
+         |  SELECT a, b FROM $p
+         |  WHERE a NOT IN (SELECT id FROM dg$r WHERE deg < $k)
+         |    AND b NOT IN (SELECT id FROM dg$r WHERE deg < $k)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |und1 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |         FROM dedges WHERE src <> dst),
+       |pe0 AS MATERIALIZED (SELECT a, b FROM und1 UNION ALL SELECT b, a FROM und1),
+       |$body
+       |SELECT v.oid AS oid, c.deg AS deg FROM
+       |  (SELECT a AS id, count(*) AS deg FROM pe$rounds GROUP BY a) c
+       |JOIN vertices v ON v.id = c.id""".stripMargin
+  }
+
   // ---- text / dedup / similarity over the driver's parquet tables ----
 
   private val toksSql =
