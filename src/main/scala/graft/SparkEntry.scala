@@ -252,8 +252,8 @@ object SparkEntry {
     "d_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         graft.text.TextOps.docFingerprint(col("text")).as("fp"))),
-    // MinHash near-dup groups: no portable SQL twin (hash family) →
-    // rows-only driver check; exactness covered by TextMlSpec.
+    // MinHash near-dup groups — full-value oracle via the portable hash
+    // family (LshSql twin restates the whole pipeline in DuckDB SQL)
     "d_minhash_groups" -> ((s, dir) =>
       graft.text.Dedup.minhashGroups(t(s, dir, "documents"), "doc_id", "text",
         numHashes = 16, bands = 8, shingleSize = 3, threshold = 0.5)),
@@ -377,7 +377,11 @@ object SparkEntry {
     "d_quality" -> SynthSql2.qualitySql,
     "d_langid" -> SynthSql2.langIdSql(graft.text.TextOps.Stopwords),
     "d_fingerprint" -> SynthSql2.fingerprintSql,
+    "d_minhash_groups" -> graft.synth.LshSql.minhashGroupsSql(
+      numHashes = 16, bands = 8, shingleSize = 3, threshold = 0.5),
+    "d_simhash_pairs" -> graft.synth.LshSql.simhashPairsSql(maxDist = 3),
     "s_cosine_topk" -> SynthSql2.cosineTopKSql((0L until 10L).toSeq, 5),
+    "s_lsh_topk" -> graft.synth.LshSql.lshTopKSql((0L until 10L).toSeq, 5),
     "tg_kcore" -> SynthSql2.kcoreSql(OracleSf, KcoreK),
     "tg_report" ->
       s"""WITH ${SynthSql.graphCtes(OracleSf)}

@@ -52,13 +52,18 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-hyperplane component for (plane p, dim i):
-    * a fixed hash mapped to [-1, 1). Both sides of a sign-LSH bucket use
-    * the same planes, so equal buckets ⇔ same sign pattern.
+  /** Deterministic pseudo-hyperplane component for (plane p, dim i): a
+    * quadratic integer scramble mapped to [-1, 1). Pure int64 arithmetic
+    * (x ≤ ~5e7, x² ≤ 2.5e15) — identical in DuckDB SQL (`LshSql`), so
+    * LSH bucket keys are oracle-checkable cross-engine. The x² term
+    * breaks linearity in (p, i): affine-in-i "planes" would be rank-2
+    * and degrade bucket independence.
     */
-  private def planeComponent(p: Int, i: Column): Column =
-    (pmod(xxhash64(concat(lit("plane-"), lit(p), lit("-"), i)), lit(1000000L))
-      .cast("double") / 500000.0) - 1.0
+  private def planeComponent(p: Int, i: Column): Column = {
+    val x = i.cast("long") * 7919L + lit(p.toLong * 1000003L + 12345L)
+    val v = (((x * x) % 1000003L) * 31L + x) % 1000000L
+    v.cast("double") / 500000.0 - 1.0
+  }
 
   /** Sign-LSH bucket key from `nPlanes` pseudo-random hyperplanes. */
   def lshBucket(vec: Column, nPlanes: Int): Column = {

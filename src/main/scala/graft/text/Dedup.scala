@@ -50,18 +50,26 @@ object Dedup {
   }
 
   /** MinHash signature: for permutation j, min over shingles of
-    * (a_j·h + b_j) mod p, with h = xxhash64(shingle).
+    * (a_j·h + b_j) mod p, with h = [[TextOps.portableHash]] — pure
+    * integer arithmetic with an exact DuckDB twin (`LshSql`), so the
+    * whole LSH family is oracle-checkable cross-engine.
     */
   private def minhashSig(sh: org.apache.spark.sql.Column, k: Int) = {
-    val p = 2147483647L // 2^31-1
+    val p = TextOps.HashP
     array((0 until k).map { j =>
       val a = 1L + 2L * j // odd
       val b = 7919L * (j + 1)
-      array_min(transform(sh, s => (pmod(xxhash64(s), lit(p)) * a + b) % p))
+      array_min(transform(sh, s => (TextOps.portableHash(s) * a + b) % p))
     }: _*)
   }
 
   /** Candidate pairs from banded MinHash, Jaccard-verified.
+    *
+    * Scale shape: only bare (band, key, id) rows enter the candidate
+    * self-join and only (id_a, id_b) longs ride the dedup shuffle; the
+    * shingle arrays are re-joined *by id* afterwards for Jaccard
+    * verification. (Carrying the shingle payload through the candidate
+    * shuffle dominated shuffle volume at scale.)
     *
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
     */
@@ -76,27 +84,32 @@ object Dedup {
       maxBucket: Int = 1000
   ): DataFrame = {
     val rows = numHashes / bands
-    val withSh = df
+    // shingle table is used twice (banding + verification re-join): at
+    // 100 TB this would be a persisted/bucketed intermediate table
+    val docSh = df
       .select(col(idCol).as("id"), shingles(textCol, shingleSize).as("sh"))
       .where(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = docSh
       .withColumn("sig", minhashSig(col("sh"), numHashes))
-      .select(col("id"), col("sh"), posexplode(
+      .select(col("id"), posexplode(
         array((0 until bands).map(b =>
           struct(lit(b).as("band"), slice(col("sig"), b * rows + 1, rows).as("key"))): _*)))
-      .select(col("id"), col("sh"), col("col.band").as("band"), col("col.key").as("key"))
+      .select(col("id"), col("col.band").as("band"), col("col.key").as("key"))
     // skew guard: drop pathological buckets (boilerplate shingle sets)
-    val bucketed = withSh
+    val bucketed = banded
       .withColumn("bs", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
       .where(col("bs") <= maxBucket)
-    val pairs = bucketed.as("l")
+    val candidates = bucketed.as("l")
       .join(bucketed.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
-    pairs
+    candidates
+      .join(docSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
@@ -130,14 +143,23 @@ object Dedup {
     comps.select(col("id").as(idCol), col("comp").as("group_id"))
   }
 
-  /** 64-bit SimHash of the token multiset. */
+  /** 64-bit SimHash of the token multiset. Bit b's vote comes from the
+    * parity of an affine scramble of the token's [[TextOps.portableHash]]
+    * (h·A_b + B_b mod p) — one O(len) hash per token, then O(1) per bit,
+    * and the whole sketch has an exact DuckDB SQL twin (`LshSql`).
+    * h·A_b ≤ p·(2654435761 + 63·40503) ≈ 2.7e18 stays inside int64.
+    */
   def simhash(textCol: String): org.apache.spark.sql.Column = {
+    val p = TextOps.HashP
     val t = TextOps.tokens(col(textCol))
-    val hashes = transform(t, x => xxhash64(x))
-    // For each bit: +1 if set else -1, summed; bit set in sketch if sum>0.
+    val hashes = transform(t, x => TextOps.portableHash(x))
+    // For each bit: +1 if scrambled-parity set else -1, summed; bit set
+    // in the sketch if the vote sum > 0.
     val bits = (0 until 64).map { b =>
+      val a = 2654435761L + 40503L * b
+      val c = 7919L * b + 17L
       val bitSum = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        (acc, h) => acc + when(((h * a + c) % p) % 2 === 1L, 1L).otherwise(-1L))
       when(bitSum > 0, lit(1L).cast("long") * (1L << b)).otherwise(0L)
     }
     bits.reduce(_ + _)
@@ -166,7 +188,7 @@ object Dedup {
         col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
       .distinct()
     pairs
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .where(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }

@@ -90,6 +90,32 @@ object TextOps {
       .select(col(idCol), coalesce(col("lang_guess"), lit("unk")).as("lang_guess"))
   }
 
+  /** Large prime modulus shared by [[portableHash]] and its DuckDB SQL
+    * twin (`LshSql`).
+    */
+  val HashP = 1000000007L
+
+  /** Position-weighted character hash mod a large prime — a *portable*
+    * 64-bit-safe string hash: identical pure-integer arithmetic is
+    * expressible in DuckDB SQL, so every operator built on it (MinHash,
+    * SimHash, banding) gets a full-value cross-engine oracle. Weight of
+    * position i is the quadratic scramble ((i²%p)·1000003 + i·7919 +
+    * 12345) % p, so the hash is position-sensitive (unlike a plain char
+    * sum) while needing no modular powers. All intermediates fit int64:
+    * ascii·weight ≤ 127·p ≈ 1.3e11, running sum re-modded every step.
+    * Codegen'd `functions._` only — no UDF.
+    */
+  def portableHash(s: Column): Column = {
+    val p = HashP
+    val terms = transform(sequence(lit(1), length(s)), i => {
+      val il = i.cast("long")
+      val w = (((il * il) % p) * 1000003L + il * 7919L + 12345L) % p
+      ascii(s.substr(i, lit(1))).cast("long") * w
+    })
+    when(length(s) === 0, 0L)
+      .otherwise(coalesce(aggregate(terms, lit(0L), (acc, t) => (acc + t) % p), lit(0L)))
+  }
+
   /** Cheap structural per-token hash (length, first/last char) summed over
     * tokens — order-independent document fingerprint that is expressible
     * identically in DuckDB SQL. A production pipeline would swap in

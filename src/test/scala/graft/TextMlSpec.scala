@@ -57,7 +57,7 @@ class TextMlSpec extends SparkSpec {
 
   test("simhash pairs exact dup at distance 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2).toLong)).toMap
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     assert(pairs.get((1L, 2L)).contains(0L), s"got $pairs")
     assert(!pairs.keySet.exists(p => p._1 == 6L || p._2 == 6L))
   }
