@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.algos.{CDLP, PageRank, Triangles, WCC}
 import graft.graph.{GraphBuilder, LinkGraph}
-import graft.synth.{Synth, SynthSql, SynthSql2}
+import graft.synth.{Synth, SynthSql, SynthSql2, SynthSql3}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -198,6 +198,24 @@ object SparkEntry {
       val g = graphFor(s, dir)
       withOid(g, graft.algos.BFS.run(g, "assistant"), "level")
     }),
+    // bfs_generic tree mode (apps/bfs/bfs_generic.h): level + min-id
+    // shortest-path parent per reachable vertex
+    "tg_bfs_tree" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      graft.algos.BFSGeneric.tree(g, "assistant")
+        .join(g.vertices.toDF, Seq("id"))
+        .join(g.vertices.toDF.select(col("id").as("parent"), col("oid").as("parent_oid")),
+          Seq("parent"), "left")
+        .select(col("oid"), col("level"), col("parent_oid"))
+    }),
+    // NetworkX-tolerance PageRank (pagerank_networkx.h:135-147): iterate
+    // until sum(|dr|) < tol*N — the driver-checked twin self-selects the
+    // same converged round
+    "tg_pagerank_tol" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      val pr = PageRank.run(g, PageRank.Config(0.85, 100, Some(1e-6), tolTimesN = true))
+      withOid(g, pr.select(col("id"), round(col("rank"), 6).as("pr")), "pr")
+    }),
     "tg_hits" -> ((s, dir) => {
       val g = graphFor(s, dir)
       withOid(g, graft.algos.HITS.run(g, maxIter = 5, tol = 0.0)
@@ -268,7 +286,8 @@ object SparkEntry {
     // session plane: REPORT_GRAPH (fragment_reporter.h:56-116)
     "tg_report" -> ((s, dir) =>
       graft.graph.GraphOps.report(graphFor(s, dir))),
-    // rows-only checks (no portable SQL): deterministic heavy algorithms
+    // heavy deterministic algorithms — full-value oracles via unrolled
+    // CTE chains (SynthSql3)
     "tg_betweenness" -> ((s, dir) => {
       val g = graphFor(s, dir)
       withOid(g, graft.algos.Betweenness.run(g, Seq("assistant", "tool:t0", "system"))
@@ -365,6 +384,10 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "tg_sssp" -> SynthSql2.ssspSql(OracleSf),
     "tg_bfs" -> SynthSql2.bfsSql(OracleSf),
+    "tg_bfs_tree" -> SynthSql3.bfsTreeSql(OracleSf),
+    "tg_pagerank_tol" -> SynthSql3.pageRankTolSql(OracleSf),
+    "tg_betweenness" -> SynthSql3.betweennessSql(OracleSf, Seq("assistant", "tool:t0", "system")),
+    "tg_louvain" -> SynthSql3.louvainSql(OracleSf, rounds = 5),
     "tg_hits" -> SynthSql2.hitsSql(OracleSf),
     "tg_degcent" -> SynthSql2.degCentralitySql(OracleSf),
     "tg_lcc" -> SynthSql2.lccSql(OracleSf),

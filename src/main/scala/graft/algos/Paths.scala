@@ -67,6 +67,47 @@ object SSSP {
   }
 }
 
+/** NetworkX-style BFS outputs (reference `gs::BFSGeneric`,
+  * `apps/bfs/bfs_generic.h`): the BFS tree (shortest-path parent
+  * pointers with a deterministic min-id tie-break), and the full
+  * predecessor/successor relations of the BFS DAG. All derived from the
+  * level table with one edge join each — no extra fixpoint.
+  */
+object BFSGeneric {
+
+  /** (id, level, parent) for reachable vertices; parent = smallest-id
+    * predecessor on a shortest path, null for the source.
+    */
+  def tree(g: LinkGraph, sourceOid: String): DataFrame = {
+    val lvl = BFS.run(g, sourceOid).where(col("level").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val parents = dagEdges(g, lvl)
+      .groupBy(col("dst").as("id")).agg(min(col("src")).as("parent"))
+    lvl.join(parents, Seq("id"), "left").select(col("id"), col("level"), col("parent"))
+  }
+
+  /** All (id, pred) pairs of the BFS DAG (every shortest-path
+    * predecessor, not just the tree parent).
+    */
+  def predecessors(g: LinkGraph, sourceOid: String): DataFrame = {
+    val lvl = BFS.run(g, sourceOid).where(col("level").isNotNull)
+    dagEdges(g, lvl).select(col("dst").as("id"), col("src").as("pred"))
+  }
+
+  /** All (id, succ) pairs of the BFS DAG. */
+  def successors(g: LinkGraph, sourceOid: String): DataFrame = {
+    val lvl = BFS.run(g, sourceOid).where(col("level").isNotNull)
+    dagEdges(g, lvl).select(col("src").as("id"), col("dst").as("succ"))
+  }
+
+  /** Edges u→v of the BFS DAG: level(u) = level(v) − 1. */
+  private def dagEdges(g: LinkGraph, lvl: DataFrame): DataFrame =
+    g.edges.toDF.select(col("src"), col("dst"))
+      .join(lvl.select(col("id").as("src"), col("level").as("sl")), "src")
+      .join(lvl.select(col("id").as("dst"), col("level").as("dl")), "dst")
+      .where(col("sl") === col("dl") - 1)
+}
+
 /** BFS levels from a source over out-edges, semantics of `grape::BFS`
   * (`benchmarks/apps/bfs/bfs.h`): level(source)=0, unvisited = null;
   * frontier expansion, first visit wins.

@@ -1,0 +1,173 @@
+package graft.synth
+
+/** DuckDB oracle SQL, third wave: unrolled Brandes betweenness, unrolled
+  * synchronous Louvain sweeps, NetworkX-tolerance PageRank with a
+  * self-selecting converged round, and the BFS-tree (bfs_generic)
+  * parent derivation. Together with [[SynthSql]]/[[SynthSql2]]/[[LshSql]]
+  * these make every driver query a full-value cross-engine check.
+  */
+object SynthSql3 {
+
+  /** Batched Brandes betweenness over the given source oids (reference
+    * `gs::BetweennessCentrality`,
+    * `apps/centrality/betweenness/betweenness_centrality.h`): forward
+    * level-synchronous sigma accumulation unrolled to `maxLevel`, then
+    * the dependency back-propagation unrolled backwards; empty levels
+    * are no-ops so a generous fixed unroll equals the Spark fixpoint.
+    * Output matches `Betweenness.run` rounded to 4 dp (unnormalized).
+    */
+  def betweennessSql(sf: Double, sources: Seq[String], maxLevel: Int = 15): String = {
+    val srcs = sources.map(s => s"'$s'").mkString(", ")
+    val fwd = (1 to maxLevel).map { k =>
+      val p = s"f${k - 1}"; val st = s"st${k - 1}"
+      s"""f$k AS MATERIALIZED (
+         |  SELECT f.s, e.dst AS id, CAST($k AS BIGINT) AS lvl, sum(f.sigma) AS sigma
+         |  FROM dedges e JOIN $p f ON e.src = f.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM $st st WHERE st.s = f.s AND st.id = e.dst)
+         |  GROUP BY f.s, e.dst),
+         |st$k AS MATERIALIZED (SELECT * FROM $st UNION ALL SELECT * FROM f$k)""".stripMargin
+    }.mkString(",\n")
+    val bwd = (maxLevel to 1 by -1).map { l =>
+      val prev = if (l == maxLevel) s"d${maxLevel + 1}" else s"d${l + 1}"
+      s"""wl$l AS (SELECT st.s, st.id AS w, st.sigma AS sw, d.delta AS dw
+         |  FROM st$maxLevel st JOIN $prev d ON st.s = d.s AND st.id = d.id WHERE st.lvl = $l),
+         |cb$l AS (SELECT w.s, e.src AS id, sum((1.0 + w.dw) / w.sw) AS cf
+         |  FROM dedges e JOIN wl$l w ON e.dst = w.w GROUP BY w.s, e.src),
+         |ad$l AS (SELECT c.s, c.id, c.cf * st.sigma AS ad
+         |  FROM cb$l c JOIN st$maxLevel st ON st.s = c.s AND st.id = c.id AND st.lvl = ${l - 1}),
+         |d$l AS MATERIALIZED (SELECT d.s, d.id, d.delta + coalesce(a.ad, 0.0) AS delta
+         |  FROM $prev d LEFT JOIN ad$l a ON a.s = d.s AND a.id = d.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |srcs AS (SELECT id AS s FROM vertices WHERE oid IN ($srcs)),
+       |f0 AS (SELECT s, s AS id, CAST(0 AS BIGINT) AS lvl, 1.0 AS sigma FROM srcs),
+       |st0 AS (SELECT * FROM f0),
+       |$fwd,
+       |d${maxLevel + 1} AS MATERIALIZED (SELECT s, id, 0.0 AS delta FROM st$maxLevel),
+       |$bwd
+       |SELECT v.oid AS oid, round(coalesce(b.bw, 0.0), 4) AS betweenness
+       |FROM vertices v LEFT JOIN (
+       |  SELECT id, sum(delta) AS bw FROM d1 WHERE s <> id GROUP BY id) b ON b.id = v.id""".stripMargin
+  }
+
+  /** Synchronous Louvain phase-1 sweeps unrolled `rounds` times
+    * (reference `gs::LouvainAppBase`,
+    * `apps/pregel/louvain/louvain_app_base.h:43`). The modularity-gain
+    * arithmetic mirrors `Louvain.run` operand-for-operand (integer-valued
+    * doubles throughout except the final /2m division, identical IEEE op
+    * order → exact cross-engine equality); tie-break = (gain desc, c
+    * asc); a converged sweep is a no-op so extra unrolled rounds are
+    * safe.
+    */
+  def louvainSql(sf: Double, rounds: Int = 5): String = {
+    val body = (1 to rounds).map { r =>
+      val p = s"cm${r - 1}"
+      s"""tot$r AS MATERIALIZED (
+         |  SELECT c.community, sum(coalesce(d.kdeg, 0.0)) AS tot
+         |  FROM $p c LEFT JOIN degl d ON c.id = d.id GROUP BY c.community),
+         |wvc$r AS MATERIALIZED (
+         |  SELECT u.src AS id, c.community AS c, sum(u.w) AS wvc
+         |  FROM und2 u JOIN $p c ON u.dst = c.id GROUP BY u.src, c.community),
+         |cand$r AS MATERIALIZED (
+         |  SELECT w.id, w.c, cm.community AS cur,
+         |         w.wvc - ((1.0 * d.kdeg) * (t.tot - CASE WHEN w.c = cm.community THEN d.kdeg ELSE 0.0 END)) / (SELECT m2 FROM m2t) AS gain
+         |  FROM wvc$r w JOIN degl d ON w.id = d.id JOIN $p cm ON w.id = cm.id
+         |  JOIN tot$r t ON t.community = w.c),
+         |stay$r AS (SELECT id, max(gain) AS stay FROM cand$r WHERE c = cur GROUP BY id),
+         |best$r AS (
+         |  SELECT s.id, CASE WHEN s.gain > coalesce(st.stay, 0.0) + 1e-12 THEN s.c ELSE s.cur END AS newc
+         |  FROM (SELECT id, c, cur, gain,
+         |               row_number() OVER (PARTITION BY id ORDER BY gain DESC, c ASC) AS rn
+         |        FROM cand$r) s
+         |  LEFT JOIN stay$r st ON st.id = s.id
+         |  WHERE s.rn = 1),
+         |cm$r AS MATERIALIZED (
+         |  SELECT c.id, coalesce(b.newc, c.community) AS community
+         |  FROM cm${r - 1} c LEFT JOIN best$r b ON c.id = b.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |und2 AS MATERIALIZED (
+       |  SELECT src, dst, sum(w) AS w FROM (
+       |    SELECT src, dst, weight AS w FROM dedges WHERE src <> dst
+       |    UNION ALL SELECT dst, src, weight FROM dedges WHERE src <> dst) x
+       |  GROUP BY src, dst),
+       |m2t AS (SELECT sum(w) AS m2 FROM und2),
+       |degl AS MATERIALIZED (SELECT src AS id, sum(w) AS kdeg FROM und2 GROUP BY src),
+       |cm0 AS (SELECT id, id AS community FROM vertices),
+       |$body
+       |SELECT v.oid AS oid, cv.oid AS community_oid
+       |FROM cm$rounds c JOIN vertices v ON c.id = v.id JOIN vertices cv ON c.community = cv.id""".stripMargin
+  }
+
+  /** NetworkX-criterion PageRank (reference `gs::PageRankNetworkX`,
+    * `apps/pagerank/pagerank_networkx.h:135-147`): iterate until
+    * Σ|r−r_prev| < tol·N. Unrolls `maxRounds` and *self-selects* the
+    * first converged round, so the oracle stops at exactly the round the
+    * Spark loop stops at (the L1 sequence decays geometrically — ~0.8×
+    * per round on this graph — so the threshold crossing is robust to
+    * cross-engine FP noise).
+    */
+  def pageRankTolSql(sf: Double, maxRounds: Int = 25, damping: Double = 0.85,
+      tol: Double = 1e-6): String = {
+    val n = "(SELECT n FROM nv)"
+    val body = (1 to maxRounds).map { k =>
+      val p = s"r${k - 1}"
+      s"""d$k AS MATERIALIZED (
+         |  SELECT coalesce(sum(r), 0.0) AS ds FROM $p LEFT JOIN outd ON $p.id = outd.src
+         |  WHERE outd.src IS NULL),
+         |r$k AS MATERIALIZED (
+         |  SELECT v.id,
+         |         ((1.0 - $damping)/$n) + $damping*((SELECT ds FROM d$k)/$n)
+         |           + $damping*coalesce(m.s, 0.0) AS r
+         |  FROM vertices v LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.r/o.od) AS s
+         |    FROM dedges e JOIN $p p ON e.src = p.id JOIN outd o ON o.src = e.src
+         |    GROUP BY e.dst) m ON v.id = m.id),
+         |l$k AS MATERIALIZED (SELECT sum(abs(a.r - b.r)) AS v FROM r$k a JOIN $p b ON a.id = b.id)""".stripMargin
+    }.mkString(",\n")
+    val l1s = (1 to maxRounds).map(k => s"SELECT $k AS k, (SELECT v FROM l$k) AS v").mkString(" UNION ALL ")
+    val outs = (1 to maxRounds).map(k =>
+      s"SELECT v.oid AS oid, round(r$k.r, 6) AS pr FROM vertices v JOIN r$k ON v.id = r$k.id WHERE (SELECT ks FROM kconv) = $k")
+      .mkString(" UNION ALL ")
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |outd AS MATERIALIZED (SELECT src, count(*) AS od FROM dedges GROUP BY src),
+       |nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vertices),
+       |r0 AS MATERIALIZED (SELECT id, 1.0/$n AS r FROM vertices),
+       |$body,
+       |l1s AS (SELECT * FROM ($l1s)),
+       |kconv AS (SELECT min(k) AS ks FROM l1s WHERE v < $tol * $n)
+       |SELECT * FROM ($outs)""".stripMargin
+  }
+
+  /** BFS tree (reference `gs::BFSGeneric`, `apps/bfs/bfs_generic.h`):
+    * per reachable vertex its level and the smallest-id predecessor on a
+    * shortest path (null for the source). Levels from the same unrolled
+    * expansion as [[SynthSql2.bfsSql]].
+    */
+  def bfsTreeSql(sf: Double, rounds: Int = 15): String = {
+    val body = (1 to rounds).map { k =>
+      val p = s"b${k - 1}"
+      s"""b$k AS MATERIALIZED (
+         |  SELECT v.id,
+         |         CASE WHEN p.lvl IS NULL AND m.hit THEN $k ELSE p.lvl END AS lvl
+         |  FROM vertices v JOIN $p p ON v.id = p.id
+         |  LEFT JOIN (
+         |    SELECT DISTINCT e.dst AS id, TRUE AS hit
+         |    FROM dedges e JOIN $p p2 ON e.src = p2.id
+         |    WHERE p2.lvl = ${k - 1}) m ON m.id = v.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |b0 AS (SELECT id, CASE WHEN oid = 'assistant' THEN 0 ELSE NULL END AS lvl FROM vertices),
+       |$body,
+       |lv AS (SELECT id, lvl FROM b$rounds WHERE lvl IS NOT NULL),
+       |par AS (
+       |  SELECT e.dst AS id, min(e.src) AS par
+       |  FROM dedges e JOIN lv ls ON e.src = ls.id JOIN lv ld ON e.dst = ld.id
+       |  WHERE ls.lvl = ld.lvl - 1 GROUP BY e.dst)
+       |SELECT v.oid AS oid, CAST(l.lvl AS BIGINT) AS level, pv.oid AS parent_oid
+       |FROM lv l JOIN vertices v ON l.id = v.id
+       |LEFT JOIN par p ON p.id = l.id
+       |LEFT JOIN vertices pv ON p.par = pv.id""".stripMargin
+  }
+}

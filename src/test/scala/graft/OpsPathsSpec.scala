@@ -75,6 +75,24 @@ class OpsPathsSpec extends SparkSpec {
     assert(c("v000003") > 0.0 && c("v000004") == 0.0)
   }
 
+  test("bfs_generic: tree, predecessors, successors") {
+    // BFS from v0: levels 0,1,2,{1 via shortcut},unreached
+    val tr = graft.algos.BFSGeneric.tree(g, "v000000").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+    assert(tr(0L) == ((0L, None)))
+    assert(tr(1L) == ((1L, Some(0L))))
+    assert(tr(2L) == ((2L, Some(1L))))
+    assert(tr(3L) == ((1L, Some(0L)))) // shortcut edge is the 1-hop parent
+    assert(!tr.contains(4L))
+    val preds = graft.algos.BFSGeneric.predecessors(g, "v000000").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(preds == Set((1L, 0L), (3L, 0L), (2L, 1L)))
+    val succs = graft.algos.BFSGeneric.successors(g, "v000000").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(succs == Set((0L, 1L), (0L, 3L), (1L, 2L)))
+  }
+
   test("projectEdges filters by predicate") {
     val pg = GraphOps.projectEdges(g, col("weight") < 5.0)
     assert(pg.edges.count() == 3)
