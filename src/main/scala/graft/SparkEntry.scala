@@ -258,6 +258,43 @@ object SparkEntry {
         .groupBy(col("oid")).agg(min(col("hops")).cast("long").as("hops"))
     }),
 
+    // ---- composable GIE traversal DSL (graft.gie.Traversal, §2.C) ----
+    // 2-hop EdgeExpand chain with mid-hop Select; path-multiplicity
+    // groupCount (traverser multiplicity preserved, as in Gremlin)
+    "tg_gie_2hop" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      graft.gie.G.V(g, col("oid").like("u%"))
+        .out().has(col("oid").like("agent:%")).out()
+        .auxilia().groupCount("oid")
+    }),
+    // PathExpand 1..3 (Dedup-fused min-hop) from the system vertex
+    "tg_gie_pathexpand" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      graft.gie.G.V(g, col("oid") === "system").pathExpand(1, 3)
+        .auxilia().df.select(col("oid"), col("__hops").as("hops"))
+    }),
+    // ShortestPathExpand + Auxilia + Select: hop distance from tool:t0
+    // to every tool vertex
+    "tg_gie_shortest" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      graft.gie.G.V(g, col("oid") === "tool:t0").shortestPathExpand(15)
+        .auxilia().where(col("oid").like("tool:%"))
+        .df.select(col("oid"), col("__hops").as("hops"))
+    }),
+    // Apply-SEMI sub-traversal: users with at least one agent out-neighbor
+    "tg_gie_exists" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      graft.gie.G.V(g, col("oid").like("u%"))
+        .whereExists(_.out().has(col("oid").like("agent:%")))
+        .auxilia().values("oid")
+    }),
+    // groupCount + OrderBy + limit => TopK (TakeOrderedAndProject)
+    "tg_gie_topk" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      graft.gie.G.V(g).out().auxilia().groupCount("oid")
+        .orderBy(col("n").desc, col("oid").asc).limit(10)
+    }),
+
     // ---- training-data pipeline plane: dedup / text / similarity ----
     "d_dedup_norm" -> ((s, dir) =>
       graft.text.Dedup.normalized(t(s, dir, "documents"), "doc_id", "text")),
@@ -385,6 +422,11 @@ object SparkEntry {
     "tg_sssp" -> SynthSql2.ssspSql(OracleSf),
     "tg_bfs" -> SynthSql2.bfsSql(OracleSf),
     "tg_bfs_tree" -> SynthSql3.bfsTreeSql(OracleSf),
+    "tg_gie_2hop" -> SynthSql3.gie2hopSql(OracleSf),
+    "tg_gie_pathexpand" -> SynthSql3.giePathExpandSql(OracleSf, "system", 1, 3),
+    "tg_gie_shortest" -> SynthSql3.gieShortestSql(OracleSf, "tool:t0", 15, "tool:%"),
+    "tg_gie_exists" -> SynthSql3.gieExistsSql(OracleSf),
+    "tg_gie_topk" -> SynthSql3.gieTopkSql(OracleSf, 10),
     "tg_pagerank_tol" -> SynthSql3.pageRankTolSql(OracleSf),
     "tg_betweenness" -> SynthSql3.betweennessSql(OracleSf, Seq("assistant", "tool:t0", "system")),
     "tg_louvain" -> SynthSql3.louvainSql(OracleSf, rounds = 5),

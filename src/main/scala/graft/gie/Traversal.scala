@@ -1,0 +1,177 @@
+package graft.gie
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Engine
+import graft.graph.LinkGraph
+
+/** Composable GIE-style traversal algebra over a [[LinkGraph]] — the
+  * Spark-native restatement of the reference's IR dataflow operators
+  * (`research/query_service/ir/proto/algebra.proto`): Scan (:196),
+  * Select (:42), EdgeExpand OUT/IN/BOTH (:254), GetV (:216), Auxilia
+  * (:247), As (:236), PathExpand (:287), ShortestPathExpand (:302),
+  * Apply-SEMI/ANTI (:330), Dedup (:135), OrderBy+limit ⇒ TopK
+  * (:116,131), GroupBy count (:79). A traversal is a DataFrame of
+  * *traversers* — one row per active traverser, multiplicity preserved
+  * (so `.out().out().groupCount` counts paths, as Gremlin does) — and
+  * every step lowers to declarative Dataset ops that Catalyst plans
+  * (filter pushdown into the vertex scan, broadcast/shuffle join
+  * selection, partial aggregation).
+  *
+  * Columns: `__v` = current vertex id; user tags via [[as_]]; `__hops`
+  * after a path expansion; `oid` after [[auxilia]] (property fetch).
+  */
+final class Traversal private[gie] (g: LinkGraph, val df: DataFrame) {
+
+  private def next(d: DataFrame) = new Traversal(g, d)
+  private def edges = g.edges.toDF
+
+  /** Select/IndexPredicate on the oid property (`algebra.proto:42,162`):
+    * a left-semi join against the *filtered vertex scan*, so the
+    * predicate pushes down to the vertex table instead of materializing
+    * properties onto every traverser.
+    */
+  def has(pred: Column): Traversal =
+    next(df.join(
+      g.vertices.toDF.where(pred).select(col("id").as("__v")),
+      Seq("__v"), "left_semi"))
+
+  /** Arbitrary filter on the traverser frame (requires the referenced
+    * columns, e.g. `oid` after [[auxilia]]).
+    */
+  def where(pred: Column): Traversal = next(df.where(pred))
+
+  /** EdgeExpand OUT + GetV END (`algebra.proto:254,216`): one row per
+    * (traverser, out-edge) — multiplicity = path count. Stale
+    * per-vertex columns (oid/__hops) are dropped.
+    */
+  def out(): Traversal = expand(col("src"), col("dst"))
+
+  /** EdgeExpand IN + GetV START. */
+  def in(): Traversal = expand(col("dst"), col("src"))
+
+  /** EdgeExpand BOTH. */
+  def both(): Traversal = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    next(carried
+      .join(sym.withColumnRenamed("src", "__v"), Seq("__v"))
+      .withColumn("__v", col("dst")).drop("dst"))
+  }
+
+  private def expand(from: Column, to: Column): Traversal =
+    next(carried
+      .join(edges.select(from.as("__v"), to.as("__to")), Seq("__v"))
+      .withColumn("__v", col("__to")).drop("__to"))
+
+  /** Traverser columns that survive an expansion (drop fetched props). */
+  private def carried: DataFrame = {
+    val stale = Seq("oid", "__hops").filter(df.columns.contains)
+    stale.foldLeft(df)((d, c) => d.drop(c))
+  }
+
+  /** As/tag (`algebra.proto:236`): stash the current vertex under `tag`. */
+  def as_(tag: String): Traversal = next(df.withColumn(tag, col("__v")))
+
+  /** GIE select-by-tag: jump the traverser back to a tagged vertex. */
+  def back(tag: String): Traversal =
+    next(carried.withColumn("__v", col(tag)))
+
+  /** Auxilia (`algebra.proto:247`): fetch the oid property for the
+    * current vertex (join against the vertex table).
+    */
+  def auxilia(): Traversal =
+    next(df.drop("oid").join(g.vertices.toDF.select(col("id").as("__v"), col("oid")), Seq("__v")))
+
+  /** Dedup (`algebra.proto:135`) on the given keys (default: the
+    * current vertex), projecting to those keys — deterministic.
+    */
+  def dedup(keys: String*): Traversal = {
+    val ks = if (keys.isEmpty) Seq("__v") else keys
+    next(df.select(ks.map(col): _*).distinct())
+  }
+
+  /** Apply-SEMI (`algebra.proto:330`): keep traversers whose current
+    * vertex has at least one result under the sub-traversal. Correlated
+    * on the current vertex; the sub-traversal runs once over the
+    * distinct vertex set (no per-row subquery).
+    */
+  def whereExists(f: Traversal => Traversal): Traversal = applySemi(f, "left_semi")
+
+  /** Apply-ANTI: keep traversers with *no* sub-traversal result. */
+  def whereNotExists(f: Traversal => Traversal): Traversal = applySemi(f, "left_anti")
+
+  private def applySemi(f: Traversal => Traversal, how: String): Traversal = {
+    val origin = next(df.select(col("__v")).distinct().withColumn("__origin", col("__v")))
+    val hits = f(origin).df.select(col("__origin").as("__v")).distinct()
+    next(df.join(hits, Seq("__v"), how))
+  }
+
+  /** PathExpand lower..upper hops (`algebra.proto:287`) fused with
+    * Dedup: the set of vertices whose shortest hop distance from the
+    * current traverser *set* falls in [lower, upper], with that
+    * distance as `__hops`. Level-synchronous first-visit expansion —
+    * each hop is one frontier join + anti-join, materialized
+    * ([[Engine.materialize]]) to keep lineage flat.
+    */
+  def pathExpand(lower: Int, upper: Int): Traversal = {
+    require(lower >= 0 && upper >= lower, "need 0 <= lower <= upper")
+    var reached = Engine.materialize(
+      df.select(col("__v")).distinct().withColumn("__hops", lit(0L)))
+    var frontier = reached.select(col("__v"))
+    var h = 0
+    var live = frontier.count()
+    while (h < upper && live > 0) {
+      h += 1
+      val hopsDf = broadcast(Engine.scalarLong(g.vertices.sparkSession, "__h", h.toLong))
+      val nxt = Engine.materialize(
+        frontier.join(edges.select(col("src").as("__v"), col("dst")), Seq("__v"))
+          .select(col("dst").as("__v")).distinct()
+          .join(reached.select(col("__v")), Seq("__v"), "left_anti")
+          .crossJoin(hopsDf)
+          .select(col("__v"), col("__h").as("__hops")))
+      live = nxt.count()
+      if (live > 0) {
+        reached = Engine.materialize(reached.unionByName(nxt))
+        frontier = nxt.select(col("__v"))
+      }
+    }
+    next(reached.where(col("__hops").between(lower, upper)))
+  }
+
+  /** ShortestPathExpand (`algebra.proto:302`): every vertex reachable
+    * within `maxHops`, at its shortest hop distance (`__hops`),
+    * including the start set at 0.
+    */
+  def shortestPathExpand(maxHops: Int): Traversal = pathExpand(0, maxHops)
+
+  /** GroupBy count (`algebra.proto:79`, Gremlin groupCount). */
+  def groupCount(key: String): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+
+  /** OrderBy + limit ⇒ TopK (`algebra.proto:116,131` —
+    * TakeOrderedAndProject on the Spark side).
+    */
+  def topK(n: Int, ordering: Column*): Traversal =
+    next(df.orderBy(ordering: _*).limit(n))
+
+  def limit(n: Int): Traversal = next(df.limit(n))
+
+  /** Sink (`algebra.proto:369`): project out result columns. */
+  def values(cols: String*): DataFrame = df.select(cols.map(col): _*)
+}
+
+/** Traversal sources (GIE Scan, `algebra.proto:196`). */
+object G {
+
+  /** All vertices, one traverser each. */
+  def V(g: LinkGraph): Traversal =
+    new Traversal(g, g.vertices.toDF.select(col("id").as("__v")))
+
+  /** Vertices matching an oid predicate — the predicate lands on the
+    * vertex scan (IndexPredicate pushdown analog).
+    */
+  def V(g: LinkGraph, pred: Column): Traversal =
+    new Traversal(g, g.vertices.toDF.where(pred).select(col("id").as("__v")))
+}

@@ -139,6 +139,75 @@ object SynthSql3 {
        |SELECT * FROM ($outs)""".stripMargin
   }
 
+  // ---- GIE traversal DSL twins (graft.gie.Traversal) ----
+
+  /** 2-hop EdgeExpand chain with a mid-hop Select: user → agent → any,
+    * path-multiplicity counts per endpoint oid (traverser multiplicity
+    * is preserved through EdgeExpand, as in Gremlin/GIE).
+    */
+  def gie2hopSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT vd.oid AS oid, count(*) AS n
+       |FROM dedges e1 JOIN dedges e2 ON e1.dst = e2.src
+       |JOIN vertices vs ON vs.id = e1.src
+       |JOIN vertices vm ON vm.id = e1.dst
+       |JOIN vertices vd ON vd.id = e2.dst
+       |WHERE vs.oid LIKE 'u%' AND vm.oid LIKE 'agent:%'
+       |GROUP BY vd.oid""".stripMargin
+
+  /** First-visit level chain shared by the PathExpand /
+    * ShortestPathExpand twins.
+    */
+  private def frontierCtes(sourceOid: String, upper: Int): String = {
+    val body = (1 to upper).map { k =>
+      val f = s"f${k - 1}"; val vis = s"vis${k - 1}"
+      s"""f$k AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS id FROM dedges e JOIN $f f ON e.src = f.id
+         |  WHERE e.dst NOT IN (SELECT id FROM $vis)),
+         |vis$k AS MATERIALIZED (SELECT id, h FROM $vis UNION ALL SELECT id, $k AS h FROM f$k)""".stripMargin
+    }.mkString(",\n")
+    s"""f0 AS (SELECT id FROM vertices WHERE oid = '$sourceOid'),
+       |vis0 AS (SELECT id, 0 AS h FROM f0),
+       |$body""".stripMargin
+  }
+
+  /** PathExpand lower..upper (Dedup-fused min-hop semantics of
+    * `Traversal.pathExpand`).
+    */
+  def giePathExpandSql(sf: Double, sourceOid: String, lower: Int, upper: Int): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |${frontierCtes(sourceOid, upper)}
+       |SELECT v.oid AS oid, CAST(z.h AS BIGINT) AS hops
+       |FROM vis$upper z JOIN vertices v ON z.id = v.id
+       |WHERE z.h BETWEEN $lower AND $upper""".stripMargin
+
+  /** ShortestPathExpand + endpoint filter (`Traversal.shortestPathExpand`
+    * then Auxilia + Select).
+    */
+  def gieShortestSql(sf: Double, sourceOid: String, maxHops: Int, oidLike: String): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |${frontierCtes(sourceOid, maxHops)}
+       |SELECT v.oid AS oid, CAST(z.h AS BIGINT) AS hops
+       |FROM vis$maxHops z JOIN vertices v ON z.id = v.id
+       |WHERE v.oid LIKE '$oidLike'""".stripMargin
+
+  /** Apply-SEMI (whereExists sub-traversal): users with an agent
+    * out-neighbor.
+    */
+  def gieExistsSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT v.oid AS oid FROM vertices v
+       |WHERE v.oid LIKE 'u%' AND EXISTS (
+       |  SELECT 1 FROM dedges e JOIN vertices vd ON vd.id = e.dst
+       |  WHERE e.src = v.id AND vd.oid LIKE 'agent:%')""".stripMargin
+
+  /** OrderBy+limit TopK over a groupCount. */
+  def gieTopkSql(sf: Double, k: Int): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT vd.oid AS oid, count(*) AS n
+       |FROM dedges e JOIN vertices vd ON vd.id = e.dst
+       |GROUP BY vd.oid ORDER BY n DESC, oid ASC LIMIT $k""".stripMargin
+
   /** BFS tree (reference `gs::BFSGeneric`, `apps/bfs/bfs_generic.h`):
     * per reachable vertex its level and the smallest-id predecessor on a
     * shortest path (null for the source). Levels from the same unrolled
