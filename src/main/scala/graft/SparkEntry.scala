@@ -258,6 +258,26 @@ object SparkEntry {
         .groupBy(col("oid")).agg(min(col("hops")).cast("long").as("hops"))
     }),
 
+    // ---- multi-label property-graph plane (ArrowFragment analog) ----
+    // WCC over PROJECT(non-tool vertex labels, reply edges) — the
+    // per-label project + algorithm path of the reference
+    "tg_ml_wcc_reply" -> ((s, dir) => {
+      val pg = graft.graph.PropertyGraph.fromTranscripts(
+        Synth.transcripts(s, Synth.sfOfDir(dir)).toDF)
+      val g2 = pg.project(Seq("user", "assistant", "agent", "system"), Seq("reply"))
+      graft.algos.WCC.canonical(g2, graft.algos.WCC.run(g2))
+    }),
+    // invoke-label projection: per-assistant out-degree + invoked weight
+    "tg_ml_invoke_deg" -> ((s, dir) => {
+      val pg = graft.graph.PropertyGraph.fromTranscripts(
+        Synth.transcripts(s, Synth.sfOfDir(dir)).toDF)
+      val g3 = pg.project(Seq("assistant", "tool"), Seq("invoke"))
+      g3.edges.toDF.groupBy(col("src"))
+        .agg(count(lit(1)).as("out_deg"), sum(col("weight")).as("w_out"))
+        .join(g3.vertices.toDF.select(col("id").as("src"), col("oid")), "src")
+        .select(col("oid"), col("out_deg"), col("w_out"))
+    }),
+
     // ---- composable GIE traversal DSL (graft.gie.Traversal, §2.C) ----
     // 2-hop EdgeExpand chain with mid-hop Select; path-multiplicity
     // groupCount (traverser multiplicity preserved, as in Gremlin)
@@ -323,6 +343,12 @@ object SparkEntry {
     // session plane: REPORT_GRAPH (fragment_reporter.h:56-116)
     "tg_report" -> ((s, dir) =>
       graft.graph.GraphOps.report(graphFor(s, dir))),
+    // closeness for the hub set — ONE batched reverse multi-source SSSP
+    "tg_closeness" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      graft.algos.Paths2.closeness(g, Seq("assistant", "tool:t0", "system"))
+        .select(col("oid"), round(col("closeness"), 6).as("closeness"))
+    }),
     // heavy deterministic algorithms — full-value oracles via unrolled
     // CTE chains (SynthSql3)
     "tg_betweenness" -> ((s, dir) => {
@@ -422,6 +448,8 @@ object SparkEntry {
     "tg_sssp" -> SynthSql2.ssspSql(OracleSf),
     "tg_bfs" -> SynthSql2.bfsSql(OracleSf),
     "tg_bfs_tree" -> SynthSql3.bfsTreeSql(OracleSf),
+    "tg_ml_wcc_reply" -> SynthSql3.mlWccReplySql(OracleSf),
+    "tg_ml_invoke_deg" -> SynthSql3.mlInvokeDegSql(OracleSf),
     "tg_gie_2hop" -> SynthSql3.gie2hopSql(OracleSf),
     "tg_gie_pathexpand" -> SynthSql3.giePathExpandSql(OracleSf, "system", 1, 3),
     "tg_gie_shortest" -> SynthSql3.gieShortestSql(OracleSf, "tool:t0", 15, "tool:%"),
@@ -430,6 +458,7 @@ object SparkEntry {
     "tg_pagerank_tol" -> SynthSql3.pageRankTolSql(OracleSf),
     "tg_betweenness" -> SynthSql3.betweennessSql(OracleSf, Seq("assistant", "tool:t0", "system")),
     "tg_louvain" -> SynthSql3.louvainSql(OracleSf, rounds = 5),
+    "tg_closeness" -> SynthSql3.closenessSql(OracleSf, Seq("assistant", "tool:t0", "system")),
     "tg_hits" -> SynthSql2.hitsSql(OracleSf),
     "tg_degcent" -> SynthSql2.degCentralitySql(OracleSf),
     "tg_lcc" -> SynthSql2.lccSql(OracleSf),

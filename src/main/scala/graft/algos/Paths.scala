@@ -65,6 +65,55 @@ object SSSP {
     e.unpersist()
     state
   }
+
+  /** Batched multi-source SSSP: ALL sources relax simultaneously with
+    * state keyed by (source s, vertex id) — the same batching shape as
+    * [[Betweenness]] — instead of a driver loop of single-source runs.
+    * State is *sparse* (only reached pairs exist), so the frontier join
+    * and the improve-merge are ordinary keyed join-aggregates; one
+    * message exchange per superstep. Returns (s, id, dist) for reached
+    * pairs; `reversed=true` relaxes over flipped edges (closeness).
+    */
+  def multiSource(g: LinkGraph, sourceOids: Seq[String], reversed: Boolean = false): DataFrame = {
+    val spark = g.vertices.sparkSession
+    Engine.withoutAQE(spark) {
+      val e0 = g.edges.toDF
+      val e = (if (reversed)
+        e0.select(col("dst").as("src"), col("src").as("dst"), col("weight"))
+      else e0.select(col("src"), col("dst"), col("weight")))
+        .repartition(col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      val srcs = g.vertices.toDF.where(col("oid").isin(sourceOids: _*))
+        .select(col("id").as("s"))
+      var state = Engine.materialize(
+        srcs.select(col("s"), col("s").as("id"), lit(0.0).as("dist")))
+      var frontier = state
+      var changed = 1L
+      while (changed > 0) {
+        val msgs = e
+          .join(frontier.select(col("s"), col("id").as("src"), col("dist").as("sd"))
+            .hint("shuffle_hash"), "src")
+          .groupBy(col("s"), col("dst").as("id"))
+          .agg(min(col("sd") + col("weight")).as("nd"))
+        val upd = Engine.materialize(
+          msgs.join(state.withColumnRenamed("dist", "old").hint("shuffle_hash"),
+            Seq("s", "id"), "left")
+            .where(col("old").isNull || col("nd") < col("old"))
+            .select(col("s"), col("id"), col("nd").as("dist")))
+        changed = upd.count()
+        if (changed > 0) {
+          state = Engine.materialize(
+            state.join(upd.select(col("s"), col("id")), Seq("s", "id"), "left_anti")
+              .unionByName(upd))
+          state.count()
+          frontier = upd
+        }
+      }
+      e.unpersist()
+      state
+    }
+  }
 }
 
 /** NetworkX-style BFS outputs (reference `gs::BFSGeneric`,

@@ -92,45 +92,41 @@ object Paths2 {
       .where(col("dist").isNotNull).count() > 0
 
   /** Mean shortest-path length over reachable pairs from `numSources`
-    * deterministically-sampled sources (ids 0, s, 2s, …).
+    * deterministically-sampled sources (ids 0, s, 2s, …) — one batched
+    * multi-source SSSP ([[SSSP.multiSource]]), not a per-source loop.
     */
   def averageLength(g: LinkGraph, numSources: Int = 8): Double = {
     val n = g.numVertices
     val step = math.max(1L, n / numSources)
     val sources = (0L until n by step).take(numSources)
     val oids = g.vertices.toDF.where(col("id").isin(sources: _*))
-      .select("oid").collect().map(_.getString(0))
-    val sums = oids.map { o =>
-      val r = SSSP.run(g, o).agg(sum(col("dist")), count(col("dist"))).head()
-      (if (r.isNullAt(0)) 0.0 else r.getDouble(0),
-        if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    val total = sums.map(_._1).sum
-    val cnt = sums.map(_._2).sum - oids.length // exclude self distances
+      .select("oid").collect().map(_.getString(0)).toSeq
+    val r = SSSP.multiSource(g, oids)
+      .agg(sum(col("dist")), count(lit(1))).head()
+    val total = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    val cnt = (if (r.isNullAt(1)) 0L else r.getLong(1)) - oids.length // exclude self
     if (cnt <= 0) 0.0 else total / cnt
   }
 
-  /** Closeness centrality (wf_improved) for the given oids: one reverse
-    * SSSP per source.
+  /** Closeness centrality (wf_improved) for the given oids — ONE batched
+    * reverse multi-source SSSP for all sources ((s, vertex)-keyed state,
+    * the [[Betweenness]] pattern) instead of a driver loop.
     */
   def closeness(g: LinkGraph, oids: Seq[String]): DataFrame = {
     val spark = g.vertices.sparkSession
     import spark.implicits._
     val n = g.numVertices
-    val rev = {
-      val e = g.edges
-      graft.graph.LinkGraph(g.vertices,
-        e.toDF.select(col("dst").as("src"), col("src").as("dst"), col("weight"))
-          .as[graft.schema.Edge])
-    }
-    val rows = oids.map { o =>
-      val r = SSSP.run(rev, o).where(col("dist").isNotNull && col("dist") > 0)
-        .agg(sum(col("dist")), count(lit(1))).head()
-      val tot = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
-      val reach = if (r.isNullAt(1)) 0L else r.getLong(1)
-      val c = if (tot > 0) (reach.toDouble / (n - 1)) * (reach.toDouble / tot) else 0.0
-      (o, c)
-    }
-    rows.toDF("oid", "closeness")
+    val per = SSSP.multiSource(g, oids, reversed = true)
+      .where(col("dist") > 0)
+      .groupBy(col("s"))
+      .agg(sum(col("dist")).as("tot"), count(lit(1)).as("reach"))
+    val scored = g.vertices.toDF.where(col("oid").isin(oids: _*))
+      .join(per.withColumnRenamed("s", "id"), Seq("id"), "left")
+      .select(col("oid"),
+        when(col("tot") > 0,
+          (col("reach").cast("double") / lit((n - 1).toDouble)) *
+            (col("reach").cast("double") / col("tot")))
+          .otherwise(0.0).as("closeness"))
+    scored
   }
 }

@@ -22,15 +22,11 @@ object Paths3 {
     * is only feasible on small graphs — callers pick the source set).
     * Returns (src_oid, oid, dist).
     */
-  def apspLengths(g: LinkGraph, sourceOids: Seq[String]): DataFrame = {
-    val results = sourceOids.map { o =>
-      SSSP.run(g, o)
-        .join(g.vertices.toDF, Seq("id"))
-        .where(col("dist").isNotNull)
-        .select(lit(o).as("src_oid"), col("oid"), col("dist"))
-    }
-    results.reduce(_ unionAll _)
-  }
+  def apspLengths(g: LinkGraph, sourceOids: Seq[String]): DataFrame =
+    SSSP.multiSource(g, sourceOids)
+      .join(g.vertices.toDF.select(col("id").as("s"), col("oid").as("src_oid")), "s")
+      .join(g.vertices.toDF, Seq("id"))
+      .select(col("src_oid"), col("oid"), col("dist"))
 
   /** Attribute assortativity (reference `gs::AttributeAssortativity`,
     * `apps/assortativity/attribute_assortativity.h`): mixing-matrix

@@ -139,6 +139,81 @@ object SynthSql3 {
        |SELECT * FROM ($outs)""".stripMargin
   }
 
+  /** Closeness (wf_improved) for the source set via unrolled batched
+    * reverse Bellman-Ford relaxation in min-union form (twin of
+    * `Paths2.closeness` on `SSSP.multiSource(reversed = true)`). Edge
+    * weights are positive integer counts so distances are exact
+    * integer-valued doubles — cross-engine equality is exact; `rounds`
+    * vs `rounds+1` verified converged at build time.
+    */
+  def closenessSql(sf: Double, sources: Seq[String], rounds: Int = 30): String = {
+    val srcs = sources.map(s => s"'$s'").mkString(", ")
+    val body = (1 to rounds).map { k =>
+      val p = s"ms${k - 1}"
+      s"""ms$k AS MATERIALIZED (
+         |  SELECT s, id, min(dist) AS dist FROM (
+         |    SELECT s, id, dist FROM $p
+         |    UNION ALL
+         |    SELECT p.s, e.src AS id, p.dist + e.weight AS dist
+         |    FROM dedges e JOIN $p p ON e.dst = p.id
+         |  ) z GROUP BY s, id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vertices),
+       |srcs AS (SELECT id AS s FROM vertices WHERE oid IN ($srcs)),
+       |ms0 AS (SELECT s, s AS id, 0.0 AS dist FROM srcs),
+       |$body,
+       |agg AS (SELECT s, sum(dist) AS tot, count(*) AS reach FROM ms$rounds WHERE dist > 0 GROUP BY s)
+       |SELECT v.oid AS oid,
+       |       round(CASE WHEN a.tot > 0
+       |             THEN (CAST(a.reach AS DOUBLE) / ((SELECT n FROM nv) - 1)) * (CAST(a.reach AS DOUBLE) / a.tot)
+       |             ELSE 0.0 END, 6) AS closeness
+       |FROM vertices v LEFT JOIN agg a ON a.s = v.id
+       |WHERE v.oid IN ($srcs)""".stripMargin
+  }
+
+  // ---- multi-label property-graph twins (graft.graph.PropertyGraph) ----
+
+  /** WCC over the PROJECT(vertex labels ≠ tool, edge label = reply)
+    * simple graph — twin of `PropertyGraph.project(...non-tool...,
+    * Seq("reply"))` + `WCC.canonical`. The reply/invoke split is
+    * re-derived from the `reply` CTE of the shared graph derivation;
+    * unroll verified converged (20 vs 21 identical at build time).
+    */
+  def mlWccReplySql(sf: Double, rounds: Int = 22): String = {
+    val body = (1 to rounds).map { k =>
+      s"""c$k AS MATERIALIZED (
+         |  SELECT v.id, least(p.comp, coalesce(m.mc, p.comp)) AS comp
+         |  FROM mlv v JOIN c${k - 1} p ON v.id = p.id
+         |  LEFT JOIN (SELECT u.b AS id, min(pc.comp) AS mc FROM undr u JOIN c${k - 1} pc ON u.a = pc.id GROUP BY u.b) m ON m.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |mlv AS MATERIALIZED (SELECT id, oid FROM vertices WHERE oid NOT LIKE 'tool:%'),
+       |redges AS MATERIALIZED (
+       |  SELECT DISTINCT vs.id AS src, vd.id AS dst
+       |  FROM (SELECT DISTINCT src_oid, dst_oid FROM reply) r
+       |  JOIN vertices vs ON r.src_oid = vs.oid JOIN vertices vd ON r.dst_oid = vd.oid
+       |  WHERE vs.oid NOT LIKE 'tool:%' AND vd.oid NOT LIKE 'tool:%'),
+       |undr AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+       |  SELECT src AS a, dst AS b FROM redges WHERE src <> dst
+       |  UNION ALL SELECT dst, src FROM redges WHERE src <> dst) x),
+       |c0 AS (SELECT id, id AS comp FROM mlv),
+       |$body
+       |SELECT v.oid AS oid, cv.oid AS comp_oid
+       |FROM mlv v JOIN c$rounds c ON v.id = c.id JOIN mlv cv ON c.comp = cv.id""".stripMargin
+  }
+
+  /** Per-assistant out-degree and weight in the PROJECT(assistant+tool,
+    * invoke) view — twin of `PropertyGraph.project(Seq("assistant",
+    * "tool"), Seq("invoke"))` edge aggregates.
+    */
+  def mlInvokeDegSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |inv AS (SELECT src_oid, dst_oid, CAST(count(*) AS DOUBLE) AS w
+       |        FROM invoke GROUP BY src_oid, dst_oid)
+       |SELECT src_oid AS oid, CAST(count(*) AS BIGINT) AS out_deg, sum(w) AS w_out
+       |FROM inv GROUP BY src_oid""".stripMargin
+
   // ---- GIE traversal DSL twins (graft.gie.Traversal) ----
 
   /** 2-hop EdgeExpand chain with a mid-hop Select: user → agent → any,
