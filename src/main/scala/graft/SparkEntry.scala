@@ -148,6 +148,19 @@ object SparkEntry {
         .join(t(s, dir, "orders").where(col("o_totalprice") > 400000)
           .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))),
+    // Join FULL OUTER: per-nation customer vs supplier counts over
+    // deliberately misaligned nation ranges (nulls on both sides)
+    "q_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer").where(col("c_nationkey") < 13)
+        .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("nc"))
+      val p = t(s, dir, "supplier").where(col("s_nationkey") > 10)
+        .groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("ns"))
+      c.join(p, Seq("nk"), "full_outer").select(col("nk"), col("nc"), col("ns"))
+    }),
+    // Join TIMES (GIE JoinKind TIMES = cartesian product)
+    "q_cross" -> ((s, dir) =>
+      t(s, dir, "region").select(col("r_name"))
+        .crossJoin(t(s, dir, "nation").select(col("n_name")))),
     // Dedup (distinct on keys)
     "q_dedup" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_nationkey"), col("c_mktsegment")).distinct()),
@@ -232,6 +245,26 @@ object SparkEntry {
       withOid(g, graft.algos.Clustering.lcc(g)
         .select(col("id"), round(col("lcc"), 6).as("lcc")), "lcc")
     }),
+    // eigenvector / Katz centrality, fixed-round mode (tol=0) so the
+    // unrolled SQL twins match round-for-round
+    "tg_eigen" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      withOid(g, graft.algos.Centrality.eigenvector(g, maxIter = 15, tol = 0.0)
+        .select(col("id"), round(col("centrality"), 6).as("centrality")), "centrality")
+    }),
+    "tg_katz" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      withOid(g, graft.algos.Centrality.katz(g, alpha = 0.005, beta = 1.0, maxIter = 10, tol = 0.0)
+        .select(col("id"), round(col("centrality"), 6).as("centrality")), "centrality")
+    }),
+    // node boundary of the tool vertex set
+    "tg_boundary" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      val tools = g.vertices.toDF.where(col("oid").like("tool:%")).select(col("id"))
+      graft.algos.Assortativity.nodeBoundary(g, tools)
+        .join(g.vertices.toDF, Seq("id"))
+        .select(col("oid"))
+    }),
     "tg_avgdegconn" -> ((s, dir) =>
       graft.algos.Assortativity.averageDegreeConnectivity(graphFor(s, dir))
         .select(col("degree"), round(col("avg_nbr_degree"), 6).as("avg_nbr_degree"))),
@@ -313,6 +346,16 @@ object SparkEntry {
       val g = graphFor(s, dir)
       graft.gie.G.V(g).out().auxilia().groupCount("oid")
         .orderBy(col("n").desc, col("oid").asc).limit(10)
+    }),
+    // SegmentApply (algebra.proto:341): per-agent top-2 out-edges by
+    // weight — edge-positioned expand + windowed segment ranking
+    "tg_gie_segment" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      graft.gie.G.V(g, col("oid").like("agent:%")).outE()
+        .segmentTopK("__src", 2, col("__w").desc, col("__v").asc)
+        .auxilia().df
+        .join(g.vertices.toDF.select(col("id").as("__src"), col("oid").as("src_oid")), "__src")
+        .select(col("src_oid"), col("oid").as("dst_oid"), col("__w").as("w"))
     }),
 
     // ---- training-data pipeline plane: dedup / text / similarity ----
@@ -422,6 +465,13 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
     "q_dedup" -> "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+    "q_outer" ->
+      """SELECT coalesce(c.nk, s.nk) AS nk, c.nc, s.ns FROM
+        |  (SELECT c_nationkey AS nk, count(*) AS nc FROM customer WHERE c_nationkey < 13 GROUP BY 1) c
+        |FULL JOIN
+        |  (SELECT s_nationkey AS nk, count(*) AS ns FROM supplier WHERE s_nationkey > 10 GROUP BY 1) s
+        |ON c.nk = s.nk""".stripMargin,
+    "q_cross" -> "SELECT r_name, n_name FROM region CROSS JOIN nation",
     "q_window" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -455,10 +505,14 @@ object SparkEntry {
     "tg_gie_shortest" -> SynthSql3.gieShortestSql(OracleSf, "tool:t0", 15, "tool:%"),
     "tg_gie_exists" -> SynthSql3.gieExistsSql(OracleSf),
     "tg_gie_topk" -> SynthSql3.gieTopkSql(OracleSf, 10),
+    "tg_gie_segment" -> SynthSql3.gieSegmentSql(OracleSf, "agent:%", 2),
     "tg_pagerank_tol" -> SynthSql3.pageRankTolSql(OracleSf),
     "tg_betweenness" -> SynthSql3.betweennessSql(OracleSf, Seq("assistant", "tool:t0", "system")),
     "tg_louvain" -> SynthSql3.louvainSql(OracleSf, rounds = 5),
     "tg_closeness" -> SynthSql3.closenessSql(OracleSf, Seq("assistant", "tool:t0", "system")),
+    "tg_eigen" -> SynthSql3.eigenvectorSql(OracleSf, rounds = 15),
+    "tg_katz" -> SynthSql3.katzSql(OracleSf, rounds = 10, alpha = 0.005, beta = 1.0),
+    "tg_boundary" -> SynthSql3.nodeBoundarySql(OracleSf),
     "tg_hits" -> SynthSql2.hitsSql(OracleSf),
     "tg_degcent" -> SynthSql2.degCentralitySql(OracleSf),
     "tg_lcc" -> SynthSql2.lccSql(OracleSf),

@@ -71,6 +71,31 @@ final class Traversal private[gie] (g: LinkGraph, val df: DataFrame) {
     stale.foldLeft(df)((d, c) => d.drop(c))
   }
 
+  /** EdgeExpand OUT keeping the edge position (`algebra.proto:254` with
+    * EXPAND_EDGE): traverser moves to the edge's END vertex but carries
+    * `__src` (start) and `__w` (weight property) — the GetV(END) +
+    * edge-property Auxilia fusion.
+    */
+  def outE(): Traversal =
+    next(carried
+      .join(edges.withColumnRenamed("src", "__v"), Seq("__v"))
+      .withColumn("__src", col("__v"))
+      .withColumn("__v", col("dst")).drop("dst")
+      .withColumnRenamed("weight", "__w"))
+
+  /** SegmentApply (`algebra.proto:341`): apply a ranking/limit
+    * sub-operation *per segment* of traversers sharing `segCol` —
+    * lowered to a Window (one hash exchange on the segment key), keeping
+    * the top `n` per segment under `ordering`. The GIE runtime routes
+    * each segment through the sub-plan; ranking/limit sub-plans are
+    * exactly a window, so no per-segment iteration is needed.
+    */
+  def segmentTopK(segCol: String, n: Int, ordering: Column*): Traversal = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(segCol)).orderBy(ordering: _*)
+    next(df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= n).drop("__rn"))
+  }
+
   /** As/tag (`algebra.proto:236`): stash the current vertex under `tag`. */
   def as_(tag: String): Traversal = next(df.withColumn(tag, col("__v")))
 

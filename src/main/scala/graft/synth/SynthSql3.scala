@@ -172,6 +172,66 @@ object SynthSql3 {
        |WHERE v.oid IN ($srcs)""".stripMargin
   }
 
+  /** Eigenvector centrality, fixed `rounds` power iterations with
+    * per-round L2 normalization (twin of `Centrality.eigenvector(g,
+    * maxIter = rounds, tol = 0)`; reference
+    * `apps/centrality/eigenvector/eigenvector_centrality.h` — pull over
+    * in-edges, self-retaining x' = x + Aᵀx).
+    */
+  def eigenvectorSql(sf: Double, rounds: Int = 15): String = {
+    val body = (1 to rounds).map { k =>
+      val p = s"x${k - 1}"
+      s"""raw$k AS MATERIALIZED (
+         |  SELECT v.id, p.x + coalesce(m.s, 0.0) AS raw
+         |  FROM vertices v JOIN $p p ON v.id = p.id
+         |  LEFT JOIN (SELECT e.dst AS id, sum(px.x) AS s FROM dedges e JOIN $p px ON e.src = px.id GROUP BY e.dst) m
+         |    ON m.id = v.id),
+         |nrm$k AS (SELECT CASE WHEN sqrt(sum(raw*raw)) = 0 THEN 1.0 ELSE sqrt(sum(raw*raw)) END AS v FROM raw$k),
+         |x$k AS MATERIALIZED (SELECT id, raw / (SELECT v FROM nrm$k) AS x FROM raw$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vertices),
+       |x0 AS (SELECT id, 1.0/(SELECT n FROM nv) AS x FROM vertices),
+       |$body
+       |SELECT v.oid AS oid, round(x$rounds.x, 6) AS centrality
+       |FROM vertices v JOIN x$rounds ON v.id = x$rounds.id""".stripMargin
+  }
+
+  /** Katz centrality, fixed `rounds` iterations x' = α·Aᵀx + β with a
+    * final L2 normalize (twin of `Centrality.katz(g, alpha, beta,
+    * maxIter = rounds, tol = 0)`; reference
+    * `apps/centrality/katz/katz_centrality.h`). α must keep α·λ₁ < 1
+    * (λ₁ ≈ √maxdeg ≈ 114 on this graph → α = 0.005 contracts).
+    */
+  def katzSql(sf: Double, rounds: Int = 10, alpha: Double = 0.005, beta: Double = 1.0): String = {
+    val body = (1 to rounds).map { k =>
+      val p = s"x${k - 1}"
+      s"""x$k AS MATERIALIZED (
+         |  SELECT v.id, CAST($alpha AS DOUBLE) * coalesce(m.s, 0.0) + CAST($beta AS DOUBLE) AS x
+         |  FROM vertices v JOIN $p p ON v.id = p.id
+         |  LEFT JOIN (SELECT e.dst AS id, sum(px.x) AS s FROM dedges e JOIN $p px ON e.src = px.id GROUP BY e.dst) m
+         |    ON m.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |x0 AS (SELECT id, CAST(0.0 AS DOUBLE) AS x FROM vertices),
+       |$body,
+       |nrm AS (SELECT CASE WHEN sqrt(sum(x*x)) = 0 THEN 1.0 ELSE sqrt(sum(x*x)) END AS v FROM x$rounds)
+       |SELECT v.oid AS oid, round(x$rounds.x / (SELECT v FROM nrm), 6) AS centrality
+       |FROM vertices v JOIN x$rounds ON v.id = x$rounds.id""".stripMargin
+  }
+
+  /** Node boundary of the tool vertex set (reference
+    * `gs::NodeBoundary`, `apps/boundary/node_boundary.h`): out-neighbors
+    * of S not themselves in S.
+    */
+  def nodeBoundarySql(sf: Double, oidLike: String = "tool:%"): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |s AS (SELECT id FROM vertices WHERE oid LIKE '$oidLike')
+       |SELECT DISTINCT v.oid AS oid
+       |FROM dedges e JOIN s ON e.src = s.id
+       |JOIN vertices v ON v.id = e.dst
+       |WHERE e.dst NOT IN (SELECT id FROM s)""".stripMargin
+
   // ---- multi-label property-graph twins (graft.graph.PropertyGraph) ----
 
   /** WCC over the PROJECT(vertex labels ≠ tool, edge label = reply)
@@ -282,6 +342,20 @@ object SynthSql3 {
        |SELECT vd.oid AS oid, count(*) AS n
        |FROM dedges e JOIN vertices vd ON vd.id = e.dst
        |GROUP BY vd.oid ORDER BY n DESC, oid ASC LIMIT $k""".stripMargin
+
+  /** SegmentApply (per-source top-k out-edges by weight) — twin of
+    * `Traversal.outE().segmentTopK(...)`. Per-src ranking commutes with
+    * the source filter, so ranking over all sources then filtering
+    * matches the filtered traversal.
+    */
+  def gieSegmentSql(sf: Double, srcLike: String, k: Int): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |rk AS (SELECT src, dst, weight,
+       |              row_number() OVER (PARTITION BY src ORDER BY weight DESC, dst ASC) AS rn
+       |       FROM dedges)
+       |SELECT vs.oid AS src_oid, vd.oid AS dst_oid, rk.weight AS w
+       |FROM rk JOIN vertices vs ON vs.id = rk.src JOIN vertices vd ON vd.id = rk.dst
+       |WHERE rk.rn <= $k AND vs.oid LIKE '$srcLike'""".stripMargin
 
   /** BFS tree (reference `gs::BFSGeneric`, `apps/bfs/bfs_generic.h`):
     * per reachable vertex its level and the smallest-id predecessor on a

@@ -79,6 +79,15 @@ class GieSpec extends SparkSpec {
     assert(around == Set("u0", "a0", "t0"))
   }
 
+  test("outE + segmentTopK (SegmentApply): top-1 out-edge per source") {
+    // all weights 1.0 → tie-break by dst id asc; ids: u0=0,u1=1,a0=2,a1=3,t0=4
+    val top1 = G.V(g).outE()
+      .segmentTopK("__src", 1, col("__w").desc, col("__v").asc)
+      .df.select(col("__src"), col("__v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1 == Map(0L -> 2L, 1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L))
+  }
+
   test("dedup + topK") {
     val top = G.V(g).out().auxilia().groupCount("oid")
       .orderBy(col("n").desc, col("oid").asc).limit(2)
