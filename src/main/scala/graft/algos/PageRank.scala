@@ -75,6 +75,10 @@ object PageRank {
       .repartition(col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val danglingCount = verts.where(col("dangling")).count()
+    // Vertices with no in-edges never receive a contribution row; their
+    // rank is exactly `base` every round, so the tolerance check handles
+    // them as a driver-side constant instead of a |V| join.
+    val noInCount = n - simpleEdges.select(col("dst")).distinct().count()
 
     // Edge table with 1/outdeg and the destination's dangling flag baked
     // in; the flag rides the gather groupBy (same cardinality: dst →
@@ -141,33 +145,37 @@ object PageRank {
       val cNextM =
         if (isCkptIter) Engine.materialize(cNext)
         else cNext.persist(StorageLevel.MEMORY_AND_DISK)
-      // one pass over the vertex table: next dangling mass, plus the L1
-      // delta when a tolerance is set (fixed-round runs skip the
-      // prev-contribution join entirely — one less exchange per superstep)
+      // Convergence/dangling stats without touching the vertex table:
+      // the contribution frame's dst set is IDENTICAL every superstep
+      // (every vertex with ≥1 in-edge gets a row — the gather left-join
+      // emits a message for every edge), so the L1 delta needs only a
+      // co-partitioned left join of consecutive contribution frames plus
+      // a driver-side constant for the (n - inCount) zero-in-degree
+      // vertices whose rank is exactly `base`. Dangling mass folds into
+      // the same aggregate via the baked dstDangling flag — tol mode now
+      // costs exactly ONE extra join per superstep over fixed-round.
       val stats: Row =
         if (cfg.tol.isDefined) {
-          verts
-            .join(cNextM.select(col("id"), col("c").as("cN")).hint("shuffle_hash"), Seq("id"), "left")
+          cNextM
             .join(cPrev.select(col("id"), col("c").as("cO")).hint("shuffle_hash"), Seq("id"), "left")
             .crossJoin(broadcast(scalars))
             .select(
-              (abs((col("__baseN") + lit(d) * coalesce(col("cN"), lit(0.0))) -
-                (col("__baseO") + lit(d) * coalesce(col("cO"), lit(0.0))))).as("ad"),
-              when(col("dangling"),
-                col("__baseN") + lit(d) * coalesce(col("cN"), lit(0.0))).as("dr"))
-            .agg(sum(col("ad")), sum(col("dr"))).head()
+              (abs((col("__baseN") - col("__baseO")) +
+                lit(d) * (col("c") - coalesce(col("cO"), lit(0.0))))).as("ad"),
+              when(col("dstDangling"), col("c")).as("dc"))
+            .agg(sum(col("ad")), sum(col("dc"))).head()
         } else {
           // fixed-round: dsum = |D|·base + d·Σ_{dangling} c — a straight
           // aggregate over the cached contributions, no joins at all
           cNextM.agg(max(lit(-1.0)), sum(when(col("dstDangling"), col("c")))).head()
         }
-      delta = if (stats.isNullAt(0)) 0.0 else stats.getDouble(0)
-      dsum =
-        if (cfg.tol.isDefined) { if (stats.isNullAt(1)) 0.0 else stats.getDouble(1) }
-        else {
-          val sC = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
-          danglingCount * baseNext + d * sC
-        }
+      val sC = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
+      dsum = danglingCount * baseNext + d * sC
+      delta =
+        if (cfg.tol.isDefined) {
+          val inDelta = if (stats.isNullAt(0)) 0.0 else stats.getDouble(0)
+          inDelta + noInCount * math.abs(baseNext - base)
+        } else if (stats.isNullAt(0)) 0.0 else stats.getDouble(0)
       base = baseNext
       if (isCkptIter) { windowFrames.foreach(_.unpersist()); windowFrames = Nil }
       else windowFrames ::= cNextM
