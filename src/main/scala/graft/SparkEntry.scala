@@ -383,6 +383,16 @@ object SparkEntry {
     "s_lsh_topk" -> ((s, dir) =>
       graft.ml.Similarity.lshTopK(
         t(s, dir, "embeddings"), "vec_id", "embedding", (0L until 10L).toSeq, 5)),
+    // multimodal plane: frame-sampling plumbing (flatMap/Unfold shape)
+    // over the deterministic media table — per-media frame count + last
+    // sampled timestamp have closed arithmetic forms, so even this plane
+    // gets a full-value oracle (codec itself stays stubbed)
+    "m_frames" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.syntheticMedia(s, 500L)
+      graft.multimodal.Multimodal.sampleFrames(media, 5000L)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"), max(col("ts_ms")).as("max_ts_ms"))
+    }),
     // session plane: REPORT_GRAPH (fragment_reporter.h:56-116)
     "tg_report" -> ((s, dir) =>
       graft.graph.GraphOps.report(graphFor(s, dir))),
@@ -531,6 +541,16 @@ object SparkEntry {
     "s_cosine_topk" -> SynthSql2.cosineTopKSql((0L until 10L).toSeq, 5),
     "s_lsh_topk" -> graft.synth.LshSql.lshTopKSql((0L until 10L).toSeq, 5),
     "tg_kcore" -> SynthSql2.kcoreSql(OracleSf, KcoreK),
+    // frame count = min(max(duration/5000, 1), 16), duration = 1000 +
+    // h(i,5) % 60000 — mirrors Multimodal.syntheticMedia + DecodeStub
+    "m_frames" ->
+      """WITH m AS (SELECT unnest(generate_series(0, 499)) AS i),
+        |d AS (SELECT i, 1000 + ((CAST(i AS BIGINT)*1000003 + 5*7919 + 12345) % 1000000007) % 60000 AS dur
+        |      FROM m WHERE i % 3 <> 0)
+        |SELECT CAST(i AS BIGINT) AS media_id,
+        |       CAST(least(greatest(dur // 5000, 1), 16) AS BIGINT) AS n_frames,
+        |       CAST((least(greatest(dur // 5000, 1), 16) - 1) * 5000 AS BIGINT) AS max_ts_ms
+        |FROM d""".stripMargin,
     "tg_report" ->
       s"""WITH ${SynthSql.graphCtes(OracleSf)}
          |SELECT (SELECT count(*) FROM vertices) AS nodes,
