@@ -265,6 +265,44 @@ object SparkEntry {
         .join(g.vertices.toDF, Seq("id"))
         .select(col("oid"))
     }),
+    // graph-level clustering scalars (gs::AvgClustering / gs::Transitivity)
+    "tg_transitivity" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      val sess = s; import sess.implicits._
+      Seq(graft.algos.Clustering.transitivity(g)).toDF("transitivity")
+        .select(round(col("transitivity"), 6).as("transitivity"))
+    }),
+    "tg_avgclustering" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      val sess = s; import sess.implicits._
+      Seq(graft.algos.Clustering.avgClustering(g)).toDF("avg_clustering")
+        .select(round(col("avg_clustering"), 6).as("avg_clustering"))
+    }),
+    // all-pairs shortest path lengths for the hub source set (batched
+    // multi-source SSSP)
+    "tg_apsp" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      graft.algos.Paths3.apspLengths(g, Seq("assistant", "tool:t0", "system"))
+        .select(col("src_oid"), col("oid"), round(col("dist"), 6).as("dist"))
+    }),
+    // attribute assortativity over the participant-kind category
+    "tg_attr_assort" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      val sess = s; import sess.implicits._
+      val attr = g.vertices.toDF.select(col("id"),
+        graft.graph.PropertyGraph.labelOf(col("oid")).as("cat"))
+      Seq(graft.algos.Paths3.attributeAssortativity(g, attr)).toDF("attr_assortativity")
+        .select(round(col("attr_assortativity"), 6).as("attr_assortativity"))
+    }),
+    // edge boundary of the tool vertex set
+    "tg_edge_boundary" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      val tools = g.vertices.toDF.where(col("oid").like("tool:%")).select(col("id"))
+      graft.algos.Assortativity.edgeBoundary(g, tools)
+        .join(g.vertices.toDF.select(col("id").as("src"), col("oid").as("src_oid")), "src")
+        .join(g.vertices.toDF.select(col("id").as("dst"), col("oid").as("dst_oid")), "dst")
+        .select(col("src_oid"), col("dst_oid"))
+    }),
     "tg_avgdegconn" -> ((s, dir) =>
       graft.algos.Assortativity.averageDegreeConnectivity(graphFor(s, dir))
         .select(col("degree"), round(col("avg_nbr_degree"), 6).as("avg_nbr_degree"))),
@@ -383,6 +421,34 @@ object SparkEntry {
     "s_lsh_topk" -> ((s, dir) =>
       graft.ml.Similarity.lshTopK(
         t(s, dir, "embeddings"), "vec_id", "embedding", (0L until 10L).toSeq, 5)),
+    // bipartite weighted label diffusion (gs::LPAU2I): users seed a
+    // 2-dim label vector by oid parity; 2 u2i+i2u rounds; long-format
+    // (oid, pos, v) output
+    "tg_lpau2i" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      val users = g.vertices.toDF.where(col("oid").like("u%"))
+        .select(col("id"),
+          when(substring(col("oid"), 2, 18).cast("long") % 2 === 0,
+            array(lit(1.0), lit(0.0)))
+            .otherwise(array(lit(0.0), lit(1.0))).as("labels"))
+      graft.algos.LPAU2I.run(g, users, propNum = 2, rounds = 2)
+        .select(col("id"), posexplode(col("labels")))
+        .join(g.vertices.toDF, Seq("id"))
+        .select(col("oid"), col("pos"), round(col("col"), 6).as("v"))
+    }),
+    // deterministic sampling walks (gs::SamplingPath) — portable pick
+    // hash, so the walk itself is oracle-checked
+    "tg_sampling" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      graft.algos.Paths3.samplingPaths(g, Seq("system", "assistant", "tool:t0"), steps = 3)
+        .select(col("start_oid"), concat_ws(">", col("path")).as("path_str"))
+    }),
+    // bounded all-simple-paths enumeration (gs::AllSimplePaths)
+    "tg_simple_paths" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      graft.algos.Paths3.allSimplePaths(g, "system", "tool:t0", cutoff = 2)
+        .select(concat_ws(">", col("path")).as("path_str"))
+    }),
     // multimodal plane: frame-sampling plumbing (flatMap/Unfold shape)
     // over the deterministic media table — per-media frame count + last
     // sampled timestamp have closed arithmetic forms, so even this plane
@@ -523,6 +589,14 @@ object SparkEntry {
     "tg_eigen" -> SynthSql3.eigenvectorSql(OracleSf, rounds = 15),
     "tg_katz" -> SynthSql3.katzSql(OracleSf, rounds = 10, alpha = 0.005, beta = 1.0),
     "tg_boundary" -> SynthSql3.nodeBoundarySql(OracleSf),
+    "tg_transitivity" -> SynthSql3.transitivitySql(OracleSf),
+    "tg_avgclustering" -> SynthSql3.avgClusteringSql(OracleSf),
+    "tg_apsp" -> SynthSql3.apspSql(OracleSf, Seq("assistant", "tool:t0", "system")),
+    "tg_attr_assort" -> SynthSql3.attrAssortSql(OracleSf),
+    "tg_edge_boundary" -> SynthSql3.edgeBoundarySql(OracleSf),
+    "tg_lpau2i" -> SynthSql3.lpau2iSql(OracleSf, rounds = 2),
+    "tg_sampling" -> SynthSql3.samplingSql(OracleSf, Seq("system", "assistant", "tool:t0"), 3),
+    "tg_simple_paths" -> SynthSql3.simplePathsSql(OracleSf, "system", "tool:t0"),
     "tg_hits" -> SynthSql2.hitsSql(OracleSf),
     "tg_degcent" -> SynthSql2.degCentralitySql(OracleSf),
     "tg_lcc" -> SynthSql2.lccSql(OracleSf),

@@ -133,12 +133,16 @@ object Paths3 {
   }
 
   /** Deterministic random-path sampling (reference `gs::SamplingPath`):
-    * from each start vertex walk `steps` hops, choosing at every step the
-    * out-neighbor minimizing h(seed, step, dst) — a hash-seeded uniform
-    * pick that needs no RNG state. Returns (start_oid, path array).
+    * from each start vertex walk `steps` hops, choosing at every step
+    * the out-neighbor minimizing a hash of (seed, step, tip, dst) — a
+    * hash-seeded uniform pick that needs no RNG state. The pick hash is
+    * pure integer arithmetic over [[graft.text.TextOps.portableHash]],
+    * so the walk has an exact DuckDB twin (`SynthSql3.samplingSql`).
+    * Returns (start_oid, path array).
     */
   def samplingPaths(g: LinkGraph, startOids: Seq[String], steps: Int, seed: Long = 42L): DataFrame = {
     val spark = g.vertices.sparkSession
+    val p = graft.text.TextOps.HashP
     val oidEdges = g.edges.toDF
       .join(g.vertices.toDF.select(col("id").as("src"), col("oid").as("a")), "src")
       .join(g.vertices.toDF.select(col("id").as("dst"), col("oid").as("b")), "dst")
@@ -152,7 +156,10 @@ object Paths3 {
         .partitionBy(col("start")).orderBy(col("__pick"), col("b"))
       walk = Engine.materialize(
         walk.join(oidEdges.withColumnRenamed("a", "tip"), Seq("tip"), "left")
-          .withColumn("__pick", xxhash64(lit(seed), lit(step), col("tip"), col("b")))
+          .withColumn("__pick",
+            (graft.text.TextOps.portableHash(col("tip")) * 31L +
+              graft.text.TextOps.portableHash(col("b")) * 17L +
+              lit(seed * 1000003L + step * 7919L)) % p)
           .withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1)
           .select(col("start"),

@@ -21,8 +21,10 @@ object LshSql {
   private val toksSql =
     """list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"""
 
-  /** `portableHash` of the string-valued SQL expression `sv`. */
-  private def phash(sv: String): String =
+  /** `portableHash` of the string-valued SQL expression `sv` (shared by
+    * the sketch twins here and the sampling-walk twin in `SynthSql3`).
+    */
+  def phash(sv: String): String =
     s"""(coalesce(list_aggregate(list_transform(generate_series(1, length($sv)), """ +
       s"""i -> CAST(ascii(substr($sv, i, 1)) AS BIGINT) * """ +
       s"""((((CAST(i AS BIGINT) * i) % $P) * 1000003 + i*7919 + 12345) % $P)), 'sum'), 0) % $P)"""

@@ -172,6 +172,114 @@ object SynthSql3 {
        |WHERE v.oid IN ($srcs)""".stripMargin
   }
 
+  /** Shared degree-ordered-orientation triangle CTE block (same
+    * derivation as `SynthSql.trianglesSql` / `SynthSql2.lccSql`).
+    */
+  private val triangleCtes: String =
+    """und1 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |         FROM dedges WHERE src <> dst),
+      |degt AS MATERIALIZED (SELECT v, count(*) AS d FROM (
+      |  SELECT a AS v FROM und1 UNION ALL SELECT b AS v FROM und1) x GROUP BY v),
+      |ore AS MATERIALIZED (
+      |  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND a < b) THEN a ELSE b END AS src,
+      |         CASE WHEN (da.d < db.d) OR (da.d = db.d AND a < b) THEN b ELSE a END AS dst,
+      |         CASE WHEN (da.d < db.d) OR (da.d = db.d AND a < b) THEN db.d ELSE da.d END AS dd
+      |  FROM und1 JOIN degt da ON und1.a = da.v JOIN degt db ON und1.b = db.v),
+      |wedges AS MATERIALIZED (
+      |  SELECT e1.src AS s, e1.dst AS v, e2.dst AS w
+      |  FROM ore e1 JOIN ore e2 ON e1.src = e2.src
+      |  WHERE (e1.dd < e2.dd) OR (e1.dd = e2.dd AND e1.dst < e2.dst)),
+      |tri AS MATERIALIZED (SELECT s, v, w FROM wedges
+      |        WHERE EXISTS (SELECT 1 FROM ore e3 WHERE e3.src = wedges.v AND e3.dst = wedges.w)),
+      |tcnt AS MATERIALIZED (SELECT id, count(*) AS t FROM (
+      |  SELECT s AS id FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri) x
+      |  GROUP BY id)""".stripMargin
+
+  /** Transitivity = 2·Σ per-vertex triangle counts / Σ deg·(deg−1)
+    * (integer operands — cross-engine exact; twin of
+    * `Clustering.transitivity`).
+    */
+  def transitivitySql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |$triangleCtes
+       |SELECT round((2.0 * (SELECT CAST(coalesce(sum(t), 0) AS DOUBLE) FROM tcnt)) /
+       |             (SELECT CAST(sum(d * (d - 1)) AS DOUBLE) FROM degt), 6) AS transitivity""".stripMargin
+
+  /** Mean local clustering coefficient over all vertices (twin of
+    * `Clustering.avgClustering`; lcc unrounded before the mean).
+    */
+  def avgClusteringSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |$triangleCtes,
+       |lccv AS (
+       |  SELECT CASE WHEN coalesce(dg.d, 0) < 2 THEN 0.0
+       |         ELSE (coalesce(tcnt.t, 0) * 2.0) / (dg.d * (dg.d - 1)) END AS lcc
+       |  FROM vertices ver
+       |  LEFT JOIN degt dg ON ver.id = dg.v
+       |  LEFT JOIN tcnt ON ver.id = tcnt.id)
+       |SELECT round(avg(lcc), 6) AS avg_clustering FROM lccv""".stripMargin
+
+  /** All-pairs shortest path lengths for a source set — unrolled
+    * min-union Bellman-Ford over forward edges (twin of
+    * `Paths3.apspLengths` on `SSSP.multiSource`).
+    */
+  def apspSql(sf: Double, sources: Seq[String], rounds: Int = 30): String = {
+    val srcs = sources.map(s => s"'$s'").mkString(", ")
+    val body = (1 to rounds).map { k =>
+      val p = s"ms${k - 1}"
+      s"""ms$k AS MATERIALIZED (
+         |  SELECT s, id, min(dist) AS dist FROM (
+         |    SELECT s, id, dist FROM $p
+         |    UNION ALL
+         |    SELECT p.s, e.dst AS id, p.dist + e.weight AS dist
+         |    FROM dedges e JOIN $p p ON e.src = p.id
+         |  ) z GROUP BY s, id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |srcs AS (SELECT id AS s FROM vertices WHERE oid IN ($srcs)),
+       |ms0 AS (SELECT s, s AS id, 0.0 AS dist FROM srcs),
+       |$body
+       |SELECT vs.oid AS src_oid, v.oid AS oid, round(m.dist, 6) AS dist
+       |FROM ms$rounds m JOIN vertices vs ON m.s = vs.id JOIN vertices v ON m.id = v.id""".stripMargin
+  }
+
+  /** Attribute (mixing-matrix) assortativity over the participant-kind
+    * category (twin of `Paths3.attributeAssortativity` with
+    * `PropertyGraph.labelOf` as the attribute).
+    */
+  def attrAssortSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |cat AS (SELECT id,
+       |        CASE WHEN oid LIKE 'tool:%' THEN 'tool'
+       |             WHEN oid LIKE 'assistant%' THEN 'assistant'
+       |             WHEN oid LIKE 'agent:%' THEN 'agent'
+       |             WHEN oid = 'system' THEN 'system'
+       |             ELSE 'user' END AS cat FROM vertices),
+       |mm AS MATERIALIZED (SELECT a.cat AS ca, b.cat AS cb, count(*) AS n
+       |      FROM dedges e JOIN cat a ON e.src = a.id JOIN cat b ON e.dst = b.id
+       |      GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM mm),
+       |tr AS (SELECT CAST(coalesce(sum(n), 0) AS DOUBLE) / (SELECT t FROM tot) AS v FROM mm WHERE ca = cb),
+       |ab AS (SELECT coalesce(sum((CAST(na AS DOUBLE) / (SELECT t FROM tot)) *
+       |                           (CAST(nb AS DOUBLE) / (SELECT t FROM tot))), 0.0) AS s
+       |       FROM (SELECT ca, sum(n) AS na FROM mm GROUP BY ca) x
+       |       JOIN (SELECT cb, sum(n) AS nb FROM mm GROUP BY cb) y ON x.ca = y.cb)
+       |SELECT round(CASE WHEN (SELECT s FROM ab) = 1.0 THEN 1.0
+       |       ELSE ((SELECT v FROM tr) - (SELECT s FROM ab)) / (1.0 - (SELECT s FROM ab)) END, 6)
+       |  AS attr_assortativity""".stripMargin
+
+  /** Edge boundary of the tool vertex set (reference `gs::EdgeBoundary`,
+    * `apps/boundary/edge_boundary.h`).
+    */
+  def edgeBoundarySql(sf: Double, oidLike: String = "tool:%"): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |s AS (SELECT id FROM vertices WHERE oid LIKE '$oidLike')
+       |SELECT vs.oid AS src_oid, vd.oid AS dst_oid
+       |FROM dedges e JOIN s ON e.src = s.id
+       |JOIN vertices vs ON vs.id = e.src
+       |JOIN vertices vd ON vd.id = e.dst
+       |WHERE e.dst NOT IN (SELECT id FROM s)""".stripMargin
+
   /** Eigenvector centrality, fixed `rounds` power iterations with
     * per-round L2 normalization (twin of `Centrality.eigenvector(g,
     * maxIter = rounds, tol = 0)`; reference
@@ -273,6 +381,80 @@ object SynthSql3 {
        |        FROM invoke GROUP BY src_oid, dst_oid)
        |SELECT src_oid AS oid, CAST(count(*) AS BIGINT) AS out_deg, sum(w) AS w_out
        |FROM inv GROUP BY src_oid""".stripMargin
+
+  /** Bipartite weighted label diffusion (twin of `LPAU2I.run` with the
+    * oid-parity seed, long (id, pos) state format): `rounds` pairs of
+    * u2i / i2u steps, each `sum(v·w)/sum(w)` per (dst, pos) from the
+    * sending side only, receivers of no message keep their vector.
+    */
+  def lpau2iSql(sf: Double, rounds: Int = 2): String = {
+    val steps = (0 until rounds * 2).map { k =>
+      val fromU = if (k % 2 == 0) "TRUE" else "FALSE"
+      val p = s"st$k"
+      s"""msg${k + 1} AS MATERIALIZED (
+         |  SELECT e.dst AS id, s.pos, sum(s.v * e.weight) / sum(e.weight) AS nv
+         |  FROM dedges e JOIN $p s ON e.src = s.id WHERE s.isu = $fromU
+         |  GROUP BY e.dst, s.pos),
+         |st${k + 1} AS MATERIALIZED (
+         |  SELECT s.id, s.pos,
+         |         CASE WHEN s.isu = $fromU OR m.nv IS NULL THEN s.v ELSE m.nv END AS v,
+         |         s.isu
+         |  FROM $p s LEFT JOIN msg${k + 1} m ON m.id = s.id AND m.pos = s.pos)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |st0 AS (
+       |  SELECT v.id, p.pos,
+       |         CASE WHEN v.oid LIKE 'u%' THEN
+       |           (CASE WHEN (CAST(substr(v.oid, 2) AS BIGINT) % 2 = 0) = (p.pos = 0)
+       |                 THEN 1.0 ELSE 0.0 END)
+       |         ELSE 0.0 END AS v,
+       |         v.oid LIKE 'u%' AS isu
+       |  FROM vertices v CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS pos) p),
+       |$steps
+       |SELECT v.oid AS oid, CAST(s.pos AS INTEGER) AS pos, round(s.v, 6) AS v
+       |FROM st${rounds * 2} s JOIN vertices v ON s.id = v.id""".stripMargin
+  }
+
+  /** Deterministic sampling walks (twin of `Paths3.samplingPaths`):
+    * per start oid, `steps` argmin-hash hops over the distinct oid-edge
+    * table; dead ends keep the tip. Output path joined with '>'.
+    */
+  def samplingSql(sf: Double, starts: Seq[String], steps: Int, seed: Long = 42L): String = {
+    val p = graft.text.TextOps.HashP
+    val st = starts.map(s => s"('$s')").mkString(", ")
+    val body = (0 until steps).map { step =>
+      val prev = s"w$step"
+      val pick = s"((${LshSql.phash("w.tip")} * 31 + ${LshSql.phash("eo.dst_oid")} * 17 + " +
+        s"${seed * 1000003L + step * 7919L}) % $p)"
+      s"""w${step + 1} AS MATERIALIZED (
+         |  SELECT start,
+         |         CASE WHEN b IS NULL THEN path ELSE path || '>' || b END AS path,
+         |         coalesce(b, tip) AS tip
+         |  FROM (
+         |    SELECT w.start, w.path, w.tip, eo.dst_oid AS b,
+         |           row_number() OVER (PARTITION BY w.start ORDER BY $pick, eo.dst_oid) AS rn
+         |    FROM $prev w LEFT JOIN edges_oid eo ON eo.src_oid = w.tip) z
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |st(start) AS (VALUES $st),
+       |w0 AS (SELECT start, start AS path, start AS tip FROM st),
+       |$body
+       |SELECT start AS start_oid, path AS path_str FROM w$steps""".stripMargin
+  }
+
+  /** All simple paths from `src` to `dst` with ≤ 2 edges (twin of
+    * `Paths3.allSimplePaths(cutoff = 2)`), path joined with '>'.
+    */
+  def simplePathsSql(sf: Double, src: String, dst: String): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT '$src' || '>' || '$dst' AS path_str
+       |FROM edges_oid WHERE src_oid = '$src' AND dst_oid = '$dst'
+       |UNION ALL
+       |SELECT '$src' || '>' || e1.dst_oid || '>' || '$dst' AS path_str
+       |FROM edges_oid e1 JOIN edges_oid e2 ON e2.src_oid = e1.dst_oid
+       |WHERE e1.src_oid = '$src' AND e2.dst_oid = '$dst'
+       |  AND e1.dst_oid <> '$src' AND e1.dst_oid <> '$dst'""".stripMargin
 
   // ---- GIE traversal DSL twins (graft.gie.Traversal) ----
 
