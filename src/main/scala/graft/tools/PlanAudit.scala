@@ -35,7 +35,20 @@ object PlanAudit {
     def countOf(s: String, token: String): Int = s.sliding(token.length).count(_ == token)
 
     Seq("q_scan_filter", "q_group_agg", "q_topk", "q_join_agg", "q_window",
-      "tg_edges", "d_textstats", "s_cosine_topk").foreach(audit)
+      "tg_edges", "d_textstats", "s_cosine_topk", "tg_gie_2hop", "tg_gie_segment").foreach(audit)
+
+    // MinHash candidate shuffle: the dedup exchange must carry BARE id
+    // pairs — the shingle arrays re-join by id afterwards
+    {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val plan = graft.text.Dedup.minhashPairs(docs, "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      val bare = plan.contains("Exchange hashpartitioning(id_a")
+      val shInDedup = "hashpartitioning\\(id_a[^\\n]*sh".r.findFirstIn(plan).isDefined
+      println("==== minhash_pairs ====")
+      println(s"---- minhash_pairs summary: candidateExchangeBareIds=$bare " +
+        s"shingleInCandidateExchange=$shInDedup exchanges=${countOf(plan, "Exchange")}")
+    }
 
     // one PageRank superstep plan: build graph and show the gather job
     val g = SparkEntry.graphFor(spark, sfDir)
