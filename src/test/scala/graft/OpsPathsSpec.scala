@@ -98,6 +98,17 @@ class OpsPathsSpec extends SparkSpec {
     assert(pg.edges.count() == 3)
   }
 
+  test("induceSubgraph keeps only edges with both endpoints in the set") {
+    val s = spark
+    import s.implicits._
+    val keep = Seq(0L, 1L, 3L).toDF("id")
+    val sub = GraphBuilder.induceSubgraph(g, keep)
+    assert(sub.vertices.collect().map(_.id).toSet == Set(0L, 1L, 3L))
+    // 0→1 survives, 0→3 survives; 1→2 and 2→3 drop (2 excluded)
+    val es = sub.edges.collect().map(e => (e.src, e.dst)).toSet
+    assert(es == Set((0L, 1L), (0L, 3L)))
+  }
+
   test("toUndirected symmetrizes and merges weights") {
     val und = GraphBuilder.toUndirected(g.edges)
     val m = und.collect().map(e => (e.src, e.dst) -> e.weight).toMap
