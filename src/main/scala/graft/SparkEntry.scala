@@ -93,6 +93,29 @@ object SparkEntry {
         .join(g.vertices.toDF.select(col("id").as("label"), col("oid").as("label_oid")), Seq("label"))
         .select("oid", "label_oid")
     }),
+    // the Pregel vertex-program UDF surface (engine/Pregel.scala) driven
+    // through the SAME HashMin-WCC oracle as tg_wcc — a second engine
+    // path must reach the identical fixpoint
+    "tg_pregel_wcc" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      val sess = s; import sess.implicits._
+      val und = g.edges.toDF.where(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+        .unionAll(g.edges.toDF.where(col("src") =!= col("dst"))
+          .select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .select(col("src"), col("dst"), lit(1.0).as("weight"))
+        .as[graft.schema.Edge]
+      val comps = graft.engine.Pregel.run(
+        graft.graph.LinkGraph(g.vertices, und),
+        graft.engine.Pregel.Program(
+          init = col("id"),
+          message = col("state"),
+          combine = c => min(c),
+          update = least(col("state"), coalesce(col("msg"), col("state"))),
+          maxIter = 100))
+      graft.algos.WCC.canonical(g, comps.withColumnRenamed("state", "comp"))
+    }),
     "tg_triangles" -> ((s, dir) => {
       val g = graphFor(s, dir)
       withOid(g, Triangles.run(g), "triangles")
@@ -508,6 +531,7 @@ object SparkEntry {
     "tg_degrees" -> SynthSql.degreesSql(OracleSf),
     "tg_pagerank" -> SynthSql.pageRankSql(OracleSf, PrRounds),
     "tg_wcc" -> SynthSql.wccSql(OracleSf),
+    "tg_pregel_wcc" -> SynthSql.wccSql(OracleSf),
     "tg_cdlp" -> SynthSql.cdlpSql(OracleSf, CdlpRounds),
     "tg_triangles" -> SynthSql.trianglesSql(OracleSf),
     "q_scan_filter" ->
