@@ -116,40 +116,76 @@ object Bench {
     spark.stop()
 
     // ---- phase 2: scaling — identical parquet input at both levels ----
-    def scalingRun(p: Int): (Double, Double) = {
+    // One measured run at parallelism p. Besides wall-clock throughput it
+    // records process CPU seconds (all executor threads live in this JVM,
+    // so getProcessCpuTime covers exactly the work we scheduled) and the
+    // machine load average around the run — co-tenant steal inflates wall
+    // but not CPU time, so a noisy run is self-evident in the numbers.
+    case class Run(p: Int, thr: Double, sec: Double, cpuSec: Double, load: Double) {
+      // steal-robust throughput: wall replaced by cpuSec/p ("the wall this
+      // run would have had on idle cores at 100% utilization")
+      def thrCpu: Double = if (cpuSec > 0) thr * (sec / (cpuSec / p)) else 0.0
+      def util: Double = if (sec > 0) cpuSec / (sec * p) else 0.0
+    }
+    def loadAvg(): Double =
+      scala.util.Try(Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble)
+        .getOrElse(-1.0)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def scalingRun(p: Int): Run = {
       val s = session(p)
       val gl = loadGraph(s, tmp)
       gl.edges.count()
+      val l0 = loadAvg()
+      val cpu0 = osBean.getProcessCpuTime
       val log = new MetricsLog
       val (_, sec) = timed { PageRank.run(gl, PageRank.Config(0.85, 12), log).count() }
+      val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
+      val l1 = loadAvg()
       s.stop()
-      (throughput(log), sec)
+      Run(p, throughput(log), sec, cpuSec, math.max(l0, l1))
     }
-    // The sandbox shares its cores with co-tenants (load-average ~20
-    // from outside the VM is common); a single run's throughput can be
-    // halved by steal. The low/high points take the best of three runs —
-    // peak throughput is the right estimator for a capacity ratio.
-    def bestOf3(p: Int): (Double, Double) =
-      Seq(scalingRun(p), scalingRun(p), scalingRun(p)).maxBy(_._1)
-    val (thrLow, prLowSec) = bestOf3(lowCpus)
-    q("pagerank_12r_lowp") = prLowSec
-    val (thrHigh, prHighSec) = bestOf3(highCpus)
-    q("pagerank_12r_highp") = prHighSec
-    val (thrFull, prFullSec) = scalingRun(cpus)
-    q("pagerank_12r_fullp") = prFullSec
+    // The sandbox shares its cores with co-tenants (load-average ~20 from
+    // outside the VM is common); a single run's throughput can be halved
+    // by steal. The arms are INTERLEAVED (L,H,L,H,…) over `reps` rounds so
+    // steal hits both equally, and each arm takes its best run — peak
+    // throughput is the right estimator for a capacity ratio.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
+    val rounds = (1 to reps).map { _ => (scalingRun(lowCpus), scalingRun(highCpus)) }
+    val lows = rounds.map(_._1)
+    val highs = rounds.map(_._2)
+    val bestLow = lows.maxBy(_.thr)
+    val bestHigh = highs.maxBy(_.thr)
+    q("pagerank_12r_lowp") = bestLow.sec
+    q("pagerank_12r_highp") = bestHigh.sec
+    val full = scalingRun(cpus)
+    q("pagerank_12r_fullp") = full.sec
 
-    val efficiency = if (thrLow > 0) (thrHigh / thrLow) / (highCpus.toDouble / lowCpus) else 0.0
+    val ratio = highCpus.toDouble / lowCpus
+    val efficiency = if (bestLow.thr > 0) (bestHigh.thr / bestLow.thr) / ratio else 0.0
+    // CPU-time-normalized efficiency: immune to steal (CPU time accrues
+    // only while our threads run), still pays every real parallel cost
+    // (shuffle, cache contention, GC) — the cross-check for a noisy wall.
+    val bestLowCpu = lows.maxBy(_.thrCpu)
+    val bestHighCpu = highs.maxBy(_.thrCpu)
+    val efficiencyCpu =
+      if (bestLowCpu.thrCpu > 0) (bestHighCpu.thrCpu / bestLowCpu.thrCpu) / ratio else 0.0
     val total = q.values.sum
 
     val qJson = q.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    def runsJson(rs: Seq[Run]): String = rs.map(r =>
+      f"""{"thr":${r.thr}%.0f,"thr_cpu":${r.thrCpu}%.0f,"sec":${r.sec}%.1f,""" +
+        f""""util":${r.util}%.2f,"load":${r.load}%.1f}""").mkString("[", ",", "]")
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir",""" +
         f""""graph":{"vertices":$nV,"edges":$nE},""" +
         f""""pagerank":{"iterations_to_convergence":$prIters,"tol":1e-6,""" +
         f""""edges_per_sec_per_superstep":$thrHeadline%.0f},""" +
         f""""scaling":{"cores_low":$lowCpus,"cores_high":$highCpus,""" +
-        f""""edges_per_sec_low":$thrLow%.0f,"edges_per_sec_high":$thrHigh%.0f,""" +
-        f""""efficiency":$efficiency%.3f}}"""
+        f""""edges_per_sec_low":${bestLow.thr}%.0f,"edges_per_sec_high":${bestHigh.thr}%.0f,""" +
+        f""""efficiency":$efficiency%.3f,"efficiency_cpu":$efficiencyCpu%.3f,""" +
+        f""""protocol":"interleaved L,H x$reps, best-of-$reps per arm",""" +
+        f""""runs_low":${runsJson(lows)},"runs_high":${runsJson(highs)}}}"""
     Files.writeString(Paths.get("BENCH.json"), json + "\n")
 
     val md =
@@ -160,17 +196,23 @@ object Bench {
          |weighted edges. Scaling runs read the identical materialized edge
          |parquet at N=$lowCpus and 4N=$highCpus cores (the in-sandbox
          |stand-in for N vs 4N executors per BASELINE.json; no real cluster
-         |in this sandbox). Low/high points are best-of-3 runs: the VM
-         |shares cores with co-tenants and a single run can lose half its
-         |throughput to steal.
+         |in this sandbox). The VM shares cores with co-tenants, so the two
+         |arms are INTERLEAVED (L,H,L,H,…) over $reps rounds — steal hits
+         |both arms equally — and each arm takes its best run. Alongside
+         |wall throughput, every run records process CPU seconds (all
+         |executor threads live in this JVM) and the machine load average:
+         |`efficiency_cpu` replaces wall with cpuSec/cores, which steal
+         |cannot inflate, as the cross-check for a noisy window.
          |
          || metric | value |
          ||---|---|
          || PageRank edges/sec per superstep (local[$cpus], 10 rounds, headline) | $thrHeadline%.0f |
-         || PageRank edges/sec per superstep (local[$cpus], parquet-input 12r) | $thrFull%.0f |
-         || PageRank edges/sec per superstep (local[$highCpus], 12r) | $thrHigh%.0f |
-         || PageRank edges/sec per superstep (local[$lowCpus], 12r) | $thrLow%.0f |
-         || scaling efficiency (local[$lowCpus]→local[$highCpus], ÷${highCpus / lowCpus}) | $efficiency%.3f |
+         || PageRank edges/sec per superstep (local[$cpus], parquet-input 12r) | ${full.thr}%.0f |
+         || PageRank edges/sec per superstep (local[$highCpus], 12r, best wall / best cpu-norm) | ${bestHigh.thr}%.0f / ${bestHighCpu.thrCpu}%.0f |
+         || PageRank edges/sec per superstep (local[$lowCpus], 12r, best wall / best cpu-norm) | ${bestLow.thr}%.0f / ${bestLowCpu.thrCpu}%.0f |
+         || scaling efficiency (local[$lowCpus]→local[$highCpus], ÷${highCpus / lowCpus}, wall) | $efficiency%.3f |
+         || scaling efficiency (CPU-time-normalized, steal-immune) | $efficiencyCpu%.3f |
+         || load average seen across scaling runs (min/max) | ${(lows ++ highs).map(_.load).min}%.1f / ${(lows ++ highs).map(_.load).max}%.1f |
          || PageRank iterations to convergence (absolute L1 < 1e-6) | $prIters |
          || derive graph | $deriveSec%.1f s |
          || PageRank to convergence | $prConvSec%.1f s |

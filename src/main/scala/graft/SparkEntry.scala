@@ -48,6 +48,11 @@ object SparkEntry {
     */
   def graphFor(spark: SparkSession, dir: String): LinkGraph = {
     val sf = Synth.sfOfDir(dir)
+    // drop entries bound to stopped sessions so long-lived drivers (the
+    // test JVM) don't accumulate dead LinkGraphs across sessions
+    graphCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) graphCache.remove(k)
+    }
     graphCache.getOrElseUpdate((spark, sf), {
       val g = GraphBuilder.fromTranscripts(Synth.transcripts(spark, sf).toDF)
       g.persist()
@@ -127,6 +132,25 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .where(col("l_quantity") > 45 && col("l_returnflag") === "R")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+    // CSV loader surface (`loader.py:44-88`: delimiter/header/column
+    // selection): round-trip customer through pipe-delimited CSV with an
+    // explicit schema (no inference scan), select a column subset, and
+    // aggregate — the oracle aggregates the parquet source directly, so
+    // any loader-option mishandling breaks the hash
+    "q_csv_load" -> ((s, dir) => {
+      val src = t(s, dir, "customer")
+      val csvDir = "/tmp/graft_csv_customer_" + new java.io.File(dir).getName
+      src.write.mode("overwrite")
+        .option("header", "true").option("delimiter", "|").csv(csvDir)
+      s.read
+        .option("header", "true").option("delimiter", "|")
+        .schema(src.schema)
+        .csv(csvDir)
+        .select(col("c_mktsegment"), col("c_acctbal"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          dec(sum(dec(col("c_acctbal")))).cast("double").as("acctbal_sum"))
+    }),
     // GroupBy aggregates: sum/min/max/count/countDistinct/avg
     "q_group_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -418,6 +442,27 @@ object SparkEntry {
         .join(g.vertices.toDF.select(col("id").as("__src"), col("oid").as("src_oid")), "__src")
         .select(col("src_oid"), col("oid").as("dst_oid"), col("__w").as("w"))
     }),
+    // Gremlin *string* front-end (the reference's interactive entry
+    // point — antlr Gremlin → IR; here graft.gie.Gremlin's recursive
+    // descent → the same Traversal algebra, so these share the GIE
+    // DSL queries' SQL twins): text in, frame out
+    "tg_gremlin_2hop" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().has('oid', TextP.startingWith('u'))" +
+          ".out().has('oid', TextP.startingWith('agent:')).out()" +
+          ".groupCount().by('oid')")),
+    "tg_gremlin_pathexpand" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().has('oid', 'system').out('1..3').hops()")),
+    "tg_gremlin_exists" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().has('oid', TextP.startingWith('u'))" +
+          ".where(__.out().has('oid', TextP.startingWith('agent:')))" +
+          ".values('oid')")),
+    "tg_gremlin_topk" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().out().groupCount().by('oid')" +
+          ".order().by('n', desc).by('oid', asc).limit(10)")),
 
     // ---- training-data pipeline plane: dedup / text / similarity ----
     "d_dedup_norm" -> ((s, dir) =>
@@ -482,6 +527,20 @@ object SparkEntry {
         .groupBy(col("media_id"))
         .agg(count(lit(1)).as("n_frames"), max(col("ts_ms")).as("max_ts_ms"))
     }),
+    // REAL image decode (javax.imageio): hash-pixel PNGs → ImageIO
+    // decode → exact order-sensitive pixel checksum; the oracle
+    // recomputes the pixels from the generator formula, so any codec
+    // error (wrong channel order, transpose, lossy write) breaks the hash
+    "m_image_decode" -> ((s, dir) =>
+      graft.multimodal.Multimodal.decodeImages(
+        graft.multimodal.Multimodal.syntheticImages(s, 200L)).toDF),
+    // decode → nearest-neighbor resize to 8×8 → PNG re-encode → decode
+    // again: the checksum proves the full round trip pixel-exactly
+    "m_image_resize" -> ((s, dir) =>
+      graft.multimodal.Multimodal.decodeImages(
+        graft.multimodal.Multimodal.resizeImages(
+          graft.multimodal.Multimodal.syntheticImages(s, 200L), 8, 8))
+        .toDF.select(col("media_id"), col("checksum"))),
     // session plane: REPORT_GRAPH (fragment_reporter.h:56-116)
     "tg_report" -> ((s, dir) =>
       graft.graph.GraphOps.report(graphFor(s, dir))),
@@ -498,9 +557,11 @@ object SparkEntry {
       withOid(g, graft.algos.Betweenness.run(g, Seq("assistant", "tool:t0", "system"))
         .select(col("id"), round(col("betweenness"), 4).as("betweenness")), "betweenness")
     }),
+    // multi-level Louvain (phase-1 sweeps + community coarsening +
+    // re-sweep, louvain_app_base.h:43's structure)
     "tg_louvain" -> ((s, dir) => {
       val g = graphFor(s, dir)
-      graft.algos.Louvain.run(g, maxRounds = 5)
+      graft.algos.Louvain.runMultiLevel(g, roundsPerLevel = 5, levels = 2)
         .join(g.vertices.toDF, Seq("id"))
         .join(g.vertices.toDF.select(col("id").as("community"), col("oid").as("community_oid")),
           Seq("community"))
@@ -511,6 +572,29 @@ object SparkEntry {
     "tg_kcore" -> ((s, dir) => {
       val g = graphFor(s, dir)
       withOid(g, graft.algos.Cores.kcore(g, KcoreK).select(col("id"), col("deg")), "deg")
+    }),
+    // full shell decomposition (gs::KShell) — Spark peels k = 1, 2, …;
+    // the SQL twin reaches the same core numbers via the H-index fixpoint
+    "tg_kshell" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      withOid(g, graft.algos.Cores.kshell(g).select(col("id"), col("shell")), "shell")
+    }),
+    // SSSP parent pointers (gs::SSSPPath) — min-id tight-edge predecessor
+    "tg_sssp_path" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      graft.algos.Paths2.withParents(g, "assistant")
+        .join(g.vertices.toDF, Seq("id"))
+        .join(g.vertices.toDF.select(col("id").as("parent"), col("oid").as("parent_oid")),
+          Seq("parent"), "left")
+        .select(col("oid"), round(col("dist"), 6).as("dist"), col("parent_oid"))
+    }),
+    // sampled mean shortest-path length (gs::SSSPAverageLength) over the
+    // hub source set — one batched multi-source SSSP
+    "tg_avg_path_len" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      val sess = s; import sess.implicits._
+      Seq(graft.algos.Paths2.averageLength(g, Seq("assistant", "tool:t0", "system")))
+        .toDF("avg_len").select(round(col("avg_len"), 6).as("avg_len"))
     }),
     // token-set Jaccard of adjacent doc ids (the n-gram Jaccard op in a
     // SQL-checkable form)
@@ -537,6 +621,10 @@ object SparkEntry {
     "q_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity > 45 AND l_returnflag = 'R'""".stripMargin,
+    "q_csv_load" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS acctbal_sum
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
     "q_group_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
@@ -606,9 +694,14 @@ object SparkEntry {
     "tg_gie_exists" -> SynthSql3.gieExistsSql(OracleSf),
     "tg_gie_topk" -> SynthSql3.gieTopkSql(OracleSf, 10),
     "tg_gie_segment" -> SynthSql3.gieSegmentSql(OracleSf, "agent:%", 2),
+    // Gremlin-string queries lower to the same algebra ⇒ same twins
+    "tg_gremlin_2hop" -> SynthSql3.gie2hopSql(OracleSf),
+    "tg_gremlin_pathexpand" -> SynthSql3.giePathExpandSql(OracleSf, "system", 1, 3),
+    "tg_gremlin_exists" -> SynthSql3.gieExistsSql(OracleSf),
+    "tg_gremlin_topk" -> SynthSql3.gieTopkSql(OracleSf, 10),
     "tg_pagerank_tol" -> SynthSql3.pageRankTolSql(OracleSf),
     "tg_betweenness" -> SynthSql3.betweennessSql(OracleSf, Seq("assistant", "tool:t0", "system")),
-    "tg_louvain" -> SynthSql3.louvainSql(OracleSf, rounds = 5),
+    "tg_louvain" -> graft.synth.SynthSql4.louvainMultiSql(OracleSf, rounds = 5, levels = 2),
     "tg_closeness" -> SynthSql3.closenessSql(OracleSf, Seq("assistant", "tool:t0", "system")),
     "tg_eigen" -> SynthSql3.eigenvectorSql(OracleSf, rounds = 15),
     "tg_katz" -> SynthSql3.katzSql(OracleSf, rounds = 10, alpha = 0.005, beta = 1.0),
@@ -639,6 +732,10 @@ object SparkEntry {
     "s_cosine_topk" -> SynthSql2.cosineTopKSql((0L until 10L).toSeq, 5),
     "s_lsh_topk" -> graft.synth.LshSql.lshTopKSql((0L until 10L).toSeq, 5),
     "tg_kcore" -> SynthSql2.kcoreSql(OracleSf, KcoreK),
+    "tg_kshell" -> graft.synth.SynthSql4.kshellSql(OracleSf),
+    "tg_sssp_path" -> graft.synth.SynthSql4.ssspPathSql(OracleSf),
+    "tg_avg_path_len" -> graft.synth.SynthSql4.avgPathLenSql(
+      OracleSf, Seq("assistant", "tool:t0", "system")),
     // frame count = min(max(duration/5000, 1), 16), duration = 1000 +
     // h(i,5) % 60000 — mirrors Multimodal.syntheticMedia + DecodeStub
     "m_frames" ->
@@ -649,6 +746,43 @@ object SparkEntry {
         |       CAST(least(greatest(dur // 5000, 1), 16) AS BIGINT) AS n_frames,
         |       CAST((least(greatest(dur // 5000, 1), 16) - 1) * 5000 AS BIGINT) AS max_ts_ms
         |FROM d""".stripMargin,
+    // real-ImageIO decode: pixels re-derived from the generator hash —
+    // pixel (p) of image c is rgb = (h(c,1e5+p), h(c,2e5+p), h(c,3e5+p))
+    // % 256 with h(c,i) = (c*1000003 + i*7919 + 12345) % 1000000007
+    "m_image_decode" ->
+      """WITH m AS (SELECT CAST(unnest(generate_series(0, 199)) AS BIGINT) AS c),
+        |dims AS (SELECT c,
+        |    8 + ((c*1000003 + CAST(30 AS BIGINT)*7919 + 12345) % 1000000007) % 9 AS w,
+        |    8 + ((c*1000003 + CAST(31 AS BIGINT)*7919 + 12345) % 1000000007) % 9 AS h
+        |  FROM m),
+        |ps AS (SELECT CAST(unnest(generate_series(0, 255)) AS BIGINT) AS p),
+        |px AS (SELECT d.c, d.w, d.h, ps.p,
+        |    ((d.c*1000003 + (100000 + ps.p)*7919 + 12345) % 1000000007) % 256 AS r,
+        |    ((d.c*1000003 + (200000 + ps.p)*7919 + 12345) % 1000000007) % 256 AS g,
+        |    ((d.c*1000003 + (300000 + ps.p)*7919 + 12345) % 1000000007) % 256 AS b
+        |  FROM dims d CROSS JOIN ps WHERE ps.p < d.w * d.h)
+        |SELECT c AS media_id, CAST(min(w) AS INT) AS width, CAST(min(h) AS INT) AS height,
+        |       CAST(sum((p + 1) * (r + 2*g + 4*b)) AS BIGINT) AS checksum
+        |FROM px GROUP BY c""".stripMargin,
+    // nearest-neighbor resample to 8x8: out pixel q picks source pixel
+    // p = ((q//8)*h//8)*w + ((q%8)*w//8) — floor-div, same as the Scala
+    "m_image_resize" ->
+      """WITH m AS (SELECT CAST(unnest(generate_series(0, 199)) AS BIGINT) AS c),
+        |dims AS (SELECT c,
+        |    8 + ((c*1000003 + CAST(30 AS BIGINT)*7919 + 12345) % 1000000007) % 9 AS w,
+        |    8 + ((c*1000003 + CAST(31 AS BIGINT)*7919 + 12345) % 1000000007) % 9 AS h
+        |  FROM m),
+        |qs AS (SELECT CAST(unnest(generate_series(0, 63)) AS BIGINT) AS q),
+        |src AS (SELECT d.c, qs.q,
+        |    ((qs.q // 8) * d.h // 8) * d.w + ((qs.q % 8) * d.w // 8) AS p
+        |  FROM dims d CROSS JOIN qs),
+        |px AS (SELECT c, q,
+        |    ((c*1000003 + (100000 + p)*7919 + 12345) % 1000000007) % 256 AS r,
+        |    ((c*1000003 + (200000 + p)*7919 + 12345) % 1000000007) % 256 AS g,
+        |    ((c*1000003 + (300000 + p)*7919 + 12345) % 1000000007) % 256 AS b
+        |  FROM src)
+        |SELECT c AS media_id, CAST(sum((q + 1) * (r + 2*g + 4*b)) AS BIGINT) AS checksum
+        |FROM px GROUP BY c""".stripMargin,
     "tg_report" ->
       s"""WITH ${SynthSql.graphCtes(OracleSf)}
          |SELECT (SELECT count(*) FROM vertices) AS nodes,

@@ -101,10 +101,18 @@ object Paths2 {
     val sources = (0L until n by step).take(numSources)
     val oids = g.vertices.toDF.where(col("id").isin(sources: _*))
       .select("oid").collect().map(_.getString(0)).toSeq
-    val r = SSSP.multiSource(g, oids)
+    averageLength(g, oids)
+  }
+
+  /** Same estimator with an explicit source set (the oracle-checked
+    * form — the SQL twin unrolls the identical batched relaxation for
+    * the same sources).
+    */
+  def averageLength(g: LinkGraph, sourceOids: Seq[String]): Double = {
+    val r = SSSP.multiSource(g, sourceOids)
       .agg(sum(col("dist")), count(lit(1))).head()
     val total = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
-    val cnt = (if (r.isNullAt(1)) 0L else r.getLong(1)) - oids.length // exclude self
+    val cnt = (if (r.isNullAt(1)) 0L else r.getLong(1)) - sourceOids.length // exclude self
     if (cnt <= 0) 0.0 else total / cnt
   }
 

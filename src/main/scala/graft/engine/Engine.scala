@@ -49,6 +49,26 @@ object Engine {
     */
   def materialize(df: DataFrame): DataFrame = df.localCheckpoint(false)
 
+  /** [[materialize]] + stats reset, for superstep states the next
+    * round's plan references MORE THAN ONCE (e.g. Louvain's community
+    * frame rides four joins per sweep round). `localCheckpoint` seeds
+    * the new LogicalRDD's sizeInBytes from the child plan's stats, and
+    * Catalyst's join-stats visitor multiplies children — so a state with
+    * k self-references compounds sizeInBytes bits by k× PER ROUND.
+    * Exponential bit growth turns the driver's stats BigInt arithmetic
+    * into the bottleneck (measured: a 30-round Louvain sweep wedged the
+    * driver for 20+ min in BigInteger.multiply around round ~25; states
+    * with one self-reference, like PageRank's, grow linearly and never
+    * hit this). Rebuilding the frame over the checkpointed RDD resets
+    * propagated stats to the session default each round. Join planning
+    * is unaffected — superstep joins are explicitly hinted — and the
+    * Row round-trip cost is bounded by the state's |V| rows.
+    */
+  def materializeReset(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(false)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   /** Run `f` with AQE disabled, restoring the previous setting after.
     *
     * The superstep plans are statically shaped — co-partitioned hinted

@@ -181,6 +181,11 @@ final class Traversal private[gie] (g: LinkGraph, val df: DataFrame) {
   def topK(n: Int, ordering: Column*): Traversal =
     next(df.orderBy(ordering: _*).limit(n))
 
+  /** OrderBy without the fused limit (a following [[limit]] restores
+    * the TakeOrderedAndProject fusion — Catalyst collapses Sort+Limit).
+    */
+  def ordered(ordering: Column*): Traversal = next(df.orderBy(ordering: _*))
+
   def limit(n: Int): Traversal = next(df.limit(n))
 
   /** Sink (`algebra.proto:369`): project out result columns. */

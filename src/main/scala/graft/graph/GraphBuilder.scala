@@ -119,8 +119,17 @@ object GraphBuilder {
     *
     * Output is value-identical to `oidEdges` + dense relabeling (the
     * oid→id map is bijective, so prev_oid ≠ oid ⇔ prev_id ≠ id).
+    *
+    * The oid→id map join is broadcast ONLY while the dense-id table is
+    * small (`broadcastMaxVertices`); above that it degrades to a plain
+    * shuffle join — an unconditional broadcast hint would be a driver
+    * OOM the moment oid cardinality grows with the data (e.g. per-user
+    * ids). The count is one cheap job on the already-persisted map.
     */
-  def fromTranscripts(turns: DataFrame): LinkGraph = {
+  def fromTranscripts(
+      turns: DataFrame,
+      broadcastMaxVertices: Long = 10000000L
+  ): LinkGraph = {
     val spark = turns.sparkSession
     import spark.implicits._
     val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
@@ -133,17 +142,19 @@ object GraphBuilder {
     val voids = withOid.select(col("oid"))
       .unionAll(invoke.select(col("dst_oid").as("oid")))
     val vs = Ids.denseRank(voids, "oid").select(col("id"), col("oid")).as[Vertex]
-    val vsDf = vs.toDF
+    val vsDf = vs.toDF.persist(StorageLevel.MEMORY_AND_DISK)
+    val hint: DataFrame => DataFrame =
+      if (vsDf.count() <= broadcastMaxVertices) broadcast(_) else identity
     val turnIds = withOid
-      .join(broadcast(vsDf), Seq("oid"))
+      .join(hint(vsDf), Seq("oid"))
       .select(col("conv_id"), col("turn_idx"), col("id"))
     val replyIds = turnIds
       .withColumn("prev", lag(col("id"), 1).over(w))
       .where(col("prev").isNotNull && col("prev") =!= col("id"))
       .select(col("prev").as("src"), col("id").as("dst"))
     val invokeIds = invoke
-      .join(broadcast(vsDf.select(col("id").as("src"), col("oid").as("src_oid"))), "src_oid")
-      .join(broadcast(vsDf.select(col("id").as("dst"), col("oid").as("dst_oid"))), "dst_oid")
+      .join(hint(vsDf.select(col("id").as("src"), col("oid").as("src_oid"))), "src_oid")
+      .join(hint(vsDf.select(col("id").as("dst"), col("oid").as("dst_oid"))), "dst_oid")
       .select(col("src"), col("dst"))
     val es = replyIds.unionAll(invokeIds)
       .groupBy(col("src"), col("dst"))

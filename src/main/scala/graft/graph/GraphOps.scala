@@ -65,6 +65,41 @@ object GraphOps {
     (LinkGraph(g.vertices, store.read(spark, table, version).as[Edge]), version)
   }
 
+  /** MODIFY_VERTICES add/delete (`dag_utils.py:289`,
+    * `grape_instance.cc:1143`): apply a vertex batch and commit both
+    * planes as new snapshot versions. Deleting a vertex prunes its
+    * incident edges (induced-subgraph delete semantics); re-adding an
+    * existing id is idempotent (latest oid wins via max — ids are the
+    * identity, oid the property).
+    */
+  def modifyVertices(
+      g: LinkGraph,
+      add: Dataset[Vertex],
+      delete: Dataset[Vertex],
+      store: SnapshotStore,
+      vertexTable: String,
+      edgeTable: String
+  ): (LinkGraph, Int, Int) = {
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val delIds = delete.toDF.select(col("id"))
+    val mergedVs = g.vertices.toDF.join(delIds, Seq("id"), "left_anti")
+      .unionAll(add.toDF)
+      .groupBy(col("id")).agg(max(col("oid")).as("oid"))
+    val prunedEs = g.edges.toDF
+      .join(delIds.select(col("id").as("src")), Seq("src"), "left_anti")
+      .join(delIds.select(col("id").as("dst")), Seq("dst"), "left_anti")
+      .select(col("src"), col("dst"), col("weight"))
+    val nAdd = add.count().toDouble
+    val nDel = delete.count().toDouble
+    val vv = store.write(vertexTable, mergedVs,
+      Map("op" -> 3.0, "added" -> nAdd, "deleted" -> nDel))
+    val ev = store.write(edgeTable, prunedEs, Map("op" -> 3.0, "deleted" -> nDel))
+    (LinkGraph(
+      store.read(spark, vertexTable, vv).as[Vertex],
+      store.read(spark, edgeTable, ev).as[Edge]), vv, ev)
+  }
+
   /** CLEAR_EDGES (`dag_utils.py:676`): commit an empty edge snapshot. */
   def clearEdges(g: LinkGraph, store: SnapshotStore, table: String): (LinkGraph, Int) = {
     val spark = g.vertices.sparkSession

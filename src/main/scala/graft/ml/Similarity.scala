@@ -77,18 +77,18 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** Approximate top-k: only candidates sharing the query's LSH bucket
-    * (any of `nTables` independent plane sets) are scored. Recall is
-    * traded for a bucket equi-join instead of a cross product — the
-    * 100 TB path.
+  /** Bare (id, table, key) bucket table for `nTables` independent plane
+    * sets (table t uses planes t·nPlanes .. t·nPlanes+nPlanes-1). The
+    * vector payload is deliberately NOT carried: candidates ride the
+    * bucket shuffle as bare ids and vectors are re-joined by id only for
+    * final scoring — the same payload-free-candidate shape as the
+    * MinHash family.
     */
-  def lshTopK(
+  private def bucketTable(
       corpus: DataFrame, idCol: String, vecCol: String,
-      queryIds: Seq[Long], k: Int,
-      nPlanes: Int = 8, nTables: Int = 4
+      nPlanes: Int, nTables: Int, maxBucket: Int
   ): DataFrame = {
     val buckets = (0 until nTables).map { t =>
-      // rotate planes per table by offsetting the plane index
       val bits = (0 until nPlanes).map { p =>
         val proj = aggregate(
           zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
@@ -98,50 +98,72 @@ object Similarity {
       }
       struct(lit(t).as("table"), bits.reduce(_ + _).as("key"))
     }
-    val hashed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val hashed = corpus.select(col(idCol).as("id"),
       explode(array(buckets: _*)).as("b"))
-      .select(col("id"), col("v"), col("b.table"), col("b.key"))
+      .select(col("id"), col("b.table"), col("b.key"))
+    // skew guard (groupBy count, map-side combined — never a window):
+    // drop degenerate buckets (e.g. the all-zeros key from near-origin
+    // vectors) instead of letting one bucket drive an O(n²) self-join.
+    val keep = hashed.groupBy(col("table"), col("key"))
+      .agg(count(lit(1)).as("bs"))
+      .where(col("bs") <= maxBucket)
+      .select(col("table"), col("key"))
+    hashed.join(keep, Seq("table", "key"))
+  }
+
+  /** Approximate top-k: only candidates sharing the query's LSH bucket
+    * (any of `nTables` independent plane sets) are scored. Recall is
+    * traded for a bucket equi-join instead of a cross product — the
+    * 100 TB path. Candidate generation is payload-free (bare ids in the
+    * bucket join); vectors are re-joined by id for scoring, and the
+    * hashed corpus is computed once (queries filter the persisted table
+    * rather than re-hashing).
+    */
+  def lshTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int,
+      nPlanes: Int = 8, nTables: Int = 4, maxBucket: Int = 100000
+  ): DataFrame = {
+    val hashed = bucketTable(corpus, idCol, vecCol, nPlanes, nTables, maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = hashed.where(col("id").isin(queryIds: _*))
-      .select(col("id").as("query_id"), col("v").as("qv"), col("table"), col("key"))
+      .select(col("id").as("query_id"), col("table"), col("key"))
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     hashed
       .join(broadcast(q), Seq("table", "key"))
       .where(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id").as("neighbor_id"), col("qv"), col("v"))
+      .select(col("query_id"), col("id").as("neighbor_id"))
       .distinct()
+      .join(vecs.select(col("id").as("query_id"), col("v").as("qv")), "query_id")
+      .join(vecs.select(col("id").as("neighbor_id"), col("v").as("nv")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("v")), 5).as("cos_sim"))
+        round(cosine(col("qv"), col("nv")), 5).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
-    * LSH-bucketed (id_a < id_b).
+    * LSH-bucketed (id_a < id_b). Same payload-free candidate shape as
+    * [[lshTopK]]: bare ids through the bucket self-join + distinct,
+    * vectors re-joined by id only for the final cosine.
     */
   def cosineNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nPlanes: Int = 8, nTables: Int = 4
+      threshold: Double, nPlanes: Int = 8, nTables: Int = 4,
+      maxBucket: Int = 100000
   ): DataFrame = {
-    val buckets = (0 until nTables).map { t =>
-      val bits = (0 until nPlanes).map { p =>
-        val proj = aggregate(
-          zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
-            (x, i) => x.cast("double") * planeComponent(t * nPlanes + p, i)),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj > 0, lit(1L) * (1L << p)).otherwise(0L)
-      }
-      struct(lit(t).as("table"), bits.reduce(_ + _).as("key"))
-    }
-    val hashed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      explode(array(buckets: _*)).as("b"))
-      .select(col("id"), col("v"), col("b.table"), col("b.key"))
+    val hashed = bucketTable(corpus, idCol, vecCol, nPlanes, nTables, maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     hashed.as("l").join(hashed.as("r"),
       col("l.table") === col("r.table") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.v").as("va"), col("r.v").as("vb"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 5).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }

@@ -9,12 +9,15 @@ import graft.synth.Synth
   * `binary` columns with typed metadata, plus decode / feature-extract /
   * resize / frame-sample stages.
   *
-  * The Spark-side plumbing — schema, partitioning, batched per-partition
-  * processing, output shapes — is real and tested; the actual
-  * codec work is STUBBED behind [[DecodeStub]] (no image/audio libraries
-  * ship in this container): it emits deterministic hash-derived bytes and
-  * features so tests can assert exact values. Swap `DecodeStub` for a
-  * real codec (JNI/FFmpeg/ImageIO) without touching the pipeline.
+  * The **image** path is real: [[ImageCodec]] decodes/encodes PNG (or
+  * any `javax.imageio`-readable format — BMP, GIF, JPEG) with the JDK's
+  * built-in ImageIO, resizes by deterministic nearest-neighbor, and
+  * extracts grid-luminance features from actual pixels. Audio/video
+  * codec work stays STUBBED behind [[DecodeStub]] (no FFmpeg in this
+  * container): it emits deterministic hash-derived bytes and features so
+  * tests can assert exact values. Rows whose bytes ImageIO cannot parse
+  * also fall back to the stub, so synthetic non-image byte streams keep
+  * flowing through the same pipeline.
   *
   * Batching note: in PySpark this plane would be `mapInPandas` with Arrow
   * batches; the Scala-native equivalent is `Dataset.mapPartitions` over a
@@ -33,6 +36,8 @@ object Multimodal {
 
   final case class Feature(media_id: Long, kind: String, dim: Int, feature: Array[Float])
 
+  final case class Decoded(media_id: Long, width: Int, height: Int, checksum: Long)
+
   final case class Frame(media_id: Long, frame_idx: Int, ts_ms: Long, content: Array[Byte])
 
   /** Deterministic synthetic media table (content bytes = hash stream). */
@@ -50,6 +55,95 @@ object Multimodal {
         width = 16 + (Synth.h(i, 3L) % 64L).toInt,
         height = 16 + (Synth.h(i, 4L) % 64L).toInt,
         duration_ms = if (kind == "image") 0L else 1000L + Synth.h(i, 5L) % 60000L)
+    }
+  }
+
+  /** Real image codec on the JDK's `javax.imageio` — no external libs.
+    * Decode is exact for lossless formats (PNG/BMP/GIF), so the
+    * per-pixel checksums below are closed-form predictable from the
+    * synthetic generator and oracle-checkable end-to-end through an
+    * encode → decode → resize → encode → decode chain.
+    */
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    // executors must not spill ImageIO scratch files to disk per call
+    ImageIO.setUseCache(false)
+
+    /** None when the bytes are not a parseable image (ImageIO sniffs the
+      * container signature) — callers fall back to [[DecodeStub]].
+      */
+    def decode(bytes: Array[Byte]): Option[BufferedImage] =
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Deterministic nearest-neighbor resample: out(x,y) takes source
+      * pixel (x·W/w, y·H/h) under integer floor division — the same
+      * closed form the SQL oracle computes.
+      */
+    def resizeNearest(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out.setRGB(x, y, img.getRGB(x * img.getWidth / w, y * img.getHeight / h))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Exact pixel checksum Σ (p+1)·(r + 2g + 4b) over row-major pixel
+      * index p — order-sensitive, so it catches transposed/flipped
+      * decodes, not just value errors.
+      */
+    def checksum(img: BufferedImage): Long = {
+      var sum = 0L
+      var p = 0
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sum += (p + 1).toLong *
+            (((rgb >> 16) & 0xFF) + 2 * ((rgb >> 8) & 0xFF) + 4 * (rgb & 0xFF))
+          p += 1
+          x += 1
+        }
+        y += 1
+      }
+      sum
+    }
+
+    /** dim-bucket mean-luminance feature over row-major pixels (bucket
+      * d covers p ∈ [d·n/dim, (d+1)·n/dim)) — a real pixel statistic in
+      * the same shape as the stub's hash features.
+      */
+    def gridLuma(img: BufferedImage, dim: Int): Array[Float] = {
+      val wpx = img.getWidth
+      val n = wpx * img.getHeight
+      val acc = new Array[Double](dim)
+      val cnt = new Array[Int](dim)
+      var p = 0
+      while (p < n) {
+        val rgb = img.getRGB(p % wpx, p / wpx)
+        val luma = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        val d = (p.toLong * dim / n).toInt
+        acc(d) += luma / 765.0
+        cnt(d) += 1
+        p += 1
+      }
+      Array.tabulate(dim)(d => if (cnt(d) == 0) 0f else ((acc(d) / cnt(d)) - 0.5).toFloat)
     }
   }
 
@@ -73,20 +167,74 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic *real* PNG table: pixel (p = y·W + x) of
+    * image i is rgb = (h(i,1e5+p)%256, h(i,2e5+p)%256, h(i,3e5+p)%256),
+    * dims 8..16 — every byte of the PNG container comes out of
+    * `ImageIO.write`, so downstream decode exercises the real codec and
+    * the SQL oracle predicts pixels from the hash formula alone.
+    */
+  def syntheticImages(spark: SparkSession, n: Long): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0L, n).as[Long].map { i =>
+      val w = 8 + (Synth.h(i, 30L) % 9L).toInt
+      val h = 8 + (Synth.h(i, 31L) % 9L).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var p = 0
+      while (p < w * h) {
+        val r = (Synth.h(i, 100000L + p) % 256L).toInt
+        val g = (Synth.h(i, 200000L + p) % 256L).toInt
+        val b = (Synth.h(i, 300000L + p) % 256L).toInt
+        img.setRGB(p % w, p / w, (r << 16) | (g << 8) | b)
+        p += 1
+      }
+      MediaRow(i, "image", ImageCodec.encodePng(img), w, h, 0L)
+    }
+  }
+
+  /** Real decode: (media_id, decoded width/height, exact pixel
+    * checksum). Rows ImageIO cannot parse are dropped — decode is the
+    * gate, not a best-effort guess.
+    */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[Decoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      ImageCodec.decode(r.content).map(img =>
+        Decoded(r.media_id, img.getWidth, img.getHeight, ImageCodec.checksum(img)))
+    })
+  }
+
   /** Feature extraction: batched per-partition map → (media_id, kind,
-    * dim, feature float[]).
+    * dim, feature float[]). Parseable images get real grid-luminance
+    * pixel features; audio/video (and unparseable bytes) the stub.
     */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[Feature] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(r => Feature(r.media_id, r.kind, dim, DecodeStub.features(r, dim))))
+    media.mapPartitions(_.map { r =>
+      val feat =
+        if (r.kind == "image") ImageCodec.decode(r.content) match {
+          case Some(img) => ImageCodec.gridLuma(img, dim)
+          case None => DecodeStub.features(r, dim)
+        }
+        else DecodeStub.features(r, dim)
+      Feature(r.media_id, r.kind, dim, feat)
+    })
   }
 
-  /** Image resize stage (images only; pass-through metadata update). */
+  /** Image resize stage (images only; pass-through metadata update).
+    * Parseable images go through the real decode → nearest-neighbor
+    * resample → PNG re-encode chain; unparseable bytes keep the stub.
+    */
   def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
-      if (r.kind == "image") r.copy(content = DecodeStub.resized(r, w, h), width = w, height = h)
-      else r
+      if (r.kind == "image") {
+        val bytes = ImageCodec.decode(r.content) match {
+          case Some(img) => ImageCodec.encodePng(ImageCodec.resizeNearest(img, w, h))
+          case None => DecodeStub.resized(r, w, h)
+        }
+        r.copy(content = bytes, width = w, height = h)
+      } else r
     })
   }
 

@@ -23,11 +23,14 @@ object LshSql {
 
   /** `portableHash` of the string-valued SQL expression `sv` (shared by
     * the sketch twins here and the sampling-walk twin in `SynthSql3`).
+    * Each position term is modded by P *before* the sum (same residue —
+    * Spark's twin mods incrementally) so the running sum stays ≤ len·P
+    * and cannot overflow BIGINT even for long high-codepoint strings.
     */
   def phash(sv: String): String =
     s"""(coalesce(list_aggregate(list_transform(generate_series(1, length($sv)), """ +
-      s"""i -> CAST(ascii(substr($sv, i, 1)) AS BIGINT) * """ +
-      s"""((((CAST(i AS BIGINT) * i) % $P) * 1000003 + i*7919 + 12345) % $P)), 'sum'), 0) % $P)"""
+      s"""i -> (CAST(ascii(substr($sv, i, 1)) AS BIGINT) * """ +
+      s"""((((CAST(i AS BIGINT) * i) % $P) * 1000003 + i*7919 + 12345) % $P)) % $P), 'sum'), 0) % $P)"""
 
   /** MinHash+LSH near-dup groups: shingles → signatures → bands →
     * bucket join (with the same maxBucket skew guard) → Jaccard
@@ -119,7 +122,9 @@ object LshSql {
     * across `nTables` tables, scored/ranked like the brute-force twin.
     * Matches `Similarity.lshTopK(idCol="vec_id", vecCol="embedding")`.
     */
-  def lshTopKSql(queryIds: Seq[Long], k: Int, nPlanes: Int = 8, nTables: Int = 4): String = {
+  def lshTopKSql(
+      queryIds: Seq[Long], k: Int, nPlanes: Int = 8, nTables: Int = 4,
+      maxBucket: Int = 100000): String = {
     val keyExpr = (0 until nPlanes).map { pl =>
       val proj = s"list_aggregate(list_transform(generate_series(1, len(v)), i -> " +
         s"v[i] * ${pcSql(s"(t*$nPlanes + $pl)", "(i - 1)")}), 'sum')"
@@ -130,9 +135,12 @@ object LshSql {
        |ks AS MATERIALIZED (
        |  SELECT vec_id, t, CAST($keyExpr AS BIGINT) AS key
        |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, ${nTables - 1})) AS t) tt),
+       |bsz AS (SELECT t, key, count(*) AS c FROM ks GROUP BY t, key),
        |q AS (SELECT vec_id AS query_id, t, key FROM ks WHERE vec_id IN ($ids)),
        |cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
-       |         FROM q JOIN ks c ON c.t = q.t AND c.key = q.key AND c.vec_id <> q.query_id),
+       |         FROM q JOIN ks c ON c.t = q.t AND c.key = q.key AND c.vec_id <> q.query_id
+       |         JOIN bsz ON bsz.t = q.t AND bsz.key = q.key
+       |         WHERE bsz.c <= $maxBucket),
        |scored AS (
        |  SELECT query_id, neighbor_id,
        |         round(list_dot_product(qa.v, ca.v) /

@@ -50,55 +50,6 @@ object SynthSql3 {
        |  SELECT id, sum(delta) AS bw FROM d1 WHERE s <> id GROUP BY id) b ON b.id = v.id""".stripMargin
   }
 
-  /** Synchronous Louvain phase-1 sweeps unrolled `rounds` times
-    * (reference `gs::LouvainAppBase`,
-    * `apps/pregel/louvain/louvain_app_base.h:43`). The modularity-gain
-    * arithmetic mirrors `Louvain.run` operand-for-operand (integer-valued
-    * doubles throughout except the final /2m division, identical IEEE op
-    * order → exact cross-engine equality); tie-break = (gain desc, c
-    * asc); a converged sweep is a no-op so extra unrolled rounds are
-    * safe.
-    */
-  def louvainSql(sf: Double, rounds: Int = 5): String = {
-    val body = (1 to rounds).map { r =>
-      val p = s"cm${r - 1}"
-      s"""tot$r AS MATERIALIZED (
-         |  SELECT c.community, sum(coalesce(d.kdeg, 0.0)) AS tot
-         |  FROM $p c LEFT JOIN degl d ON c.id = d.id GROUP BY c.community),
-         |wvc$r AS MATERIALIZED (
-         |  SELECT u.src AS id, c.community AS c, sum(u.w) AS wvc
-         |  FROM und2 u JOIN $p c ON u.dst = c.id GROUP BY u.src, c.community),
-         |cand$r AS MATERIALIZED (
-         |  SELECT w.id, w.c, cm.community AS cur,
-         |         w.wvc - ((1.0 * d.kdeg) * (t.tot - CASE WHEN w.c = cm.community THEN d.kdeg ELSE 0.0 END)) / (SELECT m2 FROM m2t) AS gain
-         |  FROM wvc$r w JOIN degl d ON w.id = d.id JOIN $p cm ON w.id = cm.id
-         |  JOIN tot$r t ON t.community = w.c),
-         |stay$r AS (SELECT id, max(gain) AS stay FROM cand$r WHERE c = cur GROUP BY id),
-         |best$r AS (
-         |  SELECT s.id, CASE WHEN s.gain > coalesce(st.stay, 0.0) + 1e-12 THEN s.c ELSE s.cur END AS newc
-         |  FROM (SELECT id, c, cur, gain,
-         |               row_number() OVER (PARTITION BY id ORDER BY gain DESC, c ASC) AS rn
-         |        FROM cand$r) s
-         |  LEFT JOIN stay$r st ON st.id = s.id
-         |  WHERE s.rn = 1),
-         |cm$r AS MATERIALIZED (
-         |  SELECT c.id, coalesce(b.newc, c.community) AS community
-         |  FROM cm${r - 1} c LEFT JOIN best$r b ON c.id = b.id)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH ${SynthSql.graphCtes(sf)},
-       |und2 AS MATERIALIZED (
-       |  SELECT src, dst, sum(w) AS w FROM (
-       |    SELECT src, dst, weight AS w FROM dedges WHERE src <> dst
-       |    UNION ALL SELECT dst, src, weight FROM dedges WHERE src <> dst) x
-       |  GROUP BY src, dst),
-       |m2t AS (SELECT sum(w) AS m2 FROM und2),
-       |degl AS MATERIALIZED (SELECT src AS id, sum(w) AS kdeg FROM und2 GROUP BY src),
-       |cm0 AS (SELECT id, id AS community FROM vertices),
-       |$body
-       |SELECT v.oid AS oid, cv.oid AS community_oid
-       |FROM cm$rounds c JOIN vertices v ON c.id = v.id JOIN vertices cv ON c.community = cv.id""".stripMargin
-  }
-
   /** NetworkX-criterion PageRank (reference `gs::PageRankNetworkX`,
     * `apps/pagerank/pagerank_networkx.h:135-147`): iterate until
     * Σ|r−r_prev| < tol·N. Unrolls `maxRounds` and *self-selects* the

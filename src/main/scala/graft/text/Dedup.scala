@@ -96,11 +96,16 @@ object Dedup {
         array((0 until bands).map(b =>
           struct(lit(b).as("band"), slice(col("sig"), b * rows + 1, rows).as("key"))): _*)))
       .select(col("id"), col("col.band").as("band"), col("col.key").as("key"))
-    // skew guard: drop pathological buckets (boilerplate shingle sets)
-    val bucketed = banded
-      .withColumn("bs", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
+    // skew guard: drop pathological buckets (boilerplate shingle sets).
+    // groupBy+join, NOT a window count: a window would shuffle the whole
+    // pathological bucket onto one task before dropping it — exactly the
+    // hub this guard exists to avoid. The aggregate's map-side partial
+    // combine bounds any bucket to one row per task.
+    val keep = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bs"))
       .where(col("bs") <= maxBucket)
+      .select(col("band"), col("key"))
+    val bucketed = banded.join(keep, Seq("band", "key"))
     val candidates = bucketed.as("l")
       .join(bucketed.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
@@ -175,7 +180,12 @@ object Dedup {
       textCol: String,
       maxDist: Int = 3
   ): DataFrame = {
-    val withSig = df.select(col(idCol).as("id"), simhash(textCol).as("sig"))
+    // zero-token docs are excluded (no content signal): keeps the Spark
+    // side in lockstep with the SQL twin, which seeds sketches from
+    // tokenized rows and so never emits a row for an empty token list.
+    val withSig = df
+      .where(size(TextOps.tokens(col(textCol))) > 0)
+      .select(col(idCol).as("id"), simhash(textCol).as("sig"))
     val banded = withSig.select(col("id"), col("sig"), posexplode(
       array((0 until 4).map(b =>
         shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)))

@@ -35,19 +35,50 @@ object PlanAudit {
     def countOf(s: String, token: String): Int = s.sliding(token.length).count(_ == token)
 
     Seq("q_scan_filter", "q_group_agg", "q_topk", "q_join_agg", "q_window",
-      "tg_edges", "d_textstats", "s_cosine_topk", "tg_gie_2hop", "tg_gie_segment").foreach(audit)
+      "tg_edges", "d_textstats", "s_cosine_topk", "tg_gie_2hop", "tg_gie_segment",
+      "tg_gremlin_topk").foreach(audit)
 
     // MinHash candidate shuffle: the dedup exchange must carry BARE id
-    // pairs — the shingle arrays re-join by id afterwards
+    // pairs — the shingle arrays re-join by id afterwards. The bucket
+    // skew guard must be a partial-aggregated groupBy count, NOT a
+    // Window (a window count would route the whole pathological bucket
+    // through one task before dropping it).
     {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val plan = graft.text.Dedup.minhashPairs(docs, "doc_id", "text")
         .queryExecution.executedPlan.toString
       val bare = plan.contains("Exchange hashpartitioning(id_a")
       val shInDedup = "hashpartitioning\\(id_a[^\\n]*sh".r.findFirstIn(plan).isDefined
+      val windowGuard = plan.contains("Window")
       println("==== minhash_pairs ====")
       println(s"---- minhash_pairs summary: candidateExchangeBareIds=$bare " +
-        s"shingleInCandidateExchange=$shInDedup exchanges=${countOf(plan, "Exchange")}")
+        s"shingleInCandidateExchange=$shInDedup windowInGuard=$windowGuard " +
+        s"partialAggGuard=${plan.contains("HashAggregate")} " +
+        s"exchanges=${countOf(plan, "Exchange")}")
+    }
+
+    // Embedding-ANN candidate shuffle (mirror of the minhash audit): the
+    // bucket join and candidate distinct must carry BARE (query_id,
+    // neighbor_id) — vectors re-join by id only for final scoring
+    {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val plan = graft.ml.Similarity.lshTopK(
+        emb, "vec_id", "embedding", (0L until 10L).toSeq, 5)
+        .queryExecution.executedPlan.toString
+      val vecInCandidate =
+        "hashpartitioning\\((query_id|neighbor_id)[^\\n]*(embedding|\\bv#)".r
+          .findFirstIn(plan).isDefined
+      println("==== lsh_topk ====")
+      println(s"---- lsh_topk summary: vectorInCandidateExchange=$vecInCandidate " +
+        s"exchanges=${countOf(plan, "Exchange")} " +
+        s"guardAgg=${plan.contains("HashAggregate")}")
+      val pairPlan = graft.ml.Similarity.cosineNearDupPairs(
+        emb, "vec_id", "embedding", 0.9)
+        .queryExecution.executedPlan.toString
+      val vecInPairs = "hashpartitioning\\(id_a[^\\n]*(embedding|\\bv#)".r
+        .findFirstIn(pairPlan).isDefined
+      println(s"---- cosine_pairs summary: vectorInCandidateExchange=$vecInPairs " +
+        s"exchanges=${countOf(pairPlan, "Exchange")}")
     }
 
     // one PageRank superstep plan: build graph and show the gather job

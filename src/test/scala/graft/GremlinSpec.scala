@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.gie.{G, Gremlin}
+
+/** Gremlin *string* front-end (graft.gie.Gremlin) vs the Traversal DSL
+  * on the GieSpec fixture — every parsed plan must produce the exact
+  * rows of its hand-written DSL equivalent.
+  *
+  *   u0 → a0 → t0,  u0 → a1 → t0,  u1 → a0,  a0 → a1,  t0 → u1
+  */
+class GremlinSpec extends SparkSpec {
+
+  private lazy val g = {
+    val s = spark
+    import s.implicits._
+    val names = Seq("u0", "u1", "a0", "a1", "t0")
+    val vs = names.zipWithIndex.map { case (n, i) => graft.schema.Vertex(i.toLong, n) }.toDS()
+    def id(n: String) = names.indexOf(n).toLong
+    val es = Seq(
+      ("u0", "a0"), ("u0", "a1"), ("u1", "a0"), ("a0", "t0"), ("a1", "t0"),
+      ("a0", "a1"), ("t0", "u1"))
+      .map { case (a, b) => graft.schema.Edge(id(a), id(b), 1.0) }.toDS()
+    graft.graph.LinkGraph(vs, es)
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toSeq.mkString("|")).toSet
+
+  test("two-hop groupCount matches the DSL (multiplicity preserved)") {
+    val viaText = Gremlin.run(g,
+      "g.V().has('oid', TextP.startingWith('u'))" +
+        ".out().has('oid', TextP.startingWith('a')).out().groupCount().by('oid')")
+    val viaDsl = G.V(g, col("oid").like("u%"))
+      .out().has(col("oid").like("a%")).out()
+      .auxilia().groupCount("oid")
+    assert(rows(viaText) == rows(viaDsl))
+    assert(rows(viaText) == Set("t0|3", "a1|2"))
+  }
+
+  test("range expand out('0..2') + hops matches pathExpand") {
+    val viaText = Gremlin.run(g, "g.V().has('oid', 'u0').out('0..2').hops()")
+    val viaDsl = graft.gie.G.V(g, col("oid") === "u0").pathExpand(0, 2)
+      .auxilia().df.select(col("oid"), col("__hops").as("hops"))
+    assert(rows(viaText) == rows(viaDsl))
+    assert(rows(viaText) == Set("u0|0", "a0|1", "a1|1", "t0|2"))
+  }
+
+  test("where(sub-traversal) = Apply SEMI; not(...) = Apply ANTI") {
+    val semi = Gremlin.run(g,
+      "g.V().where(__.out().has('oid', 'a1')).values('oid')")
+    assert(rows(semi) == Set("u0", "a0")) // u0→a1, a0→a1
+    // every fixture vertex has an out-edge (t0→u1 closes the cycle), so
+    // ANTI over out() is empty; ANTI over out-to-a1 keeps the rest
+    assert(rows(Gremlin.run(g, "g.V().not(__.out()).values('oid')")) == Set.empty)
+    val anti = Gremlin.run(g,
+      "g.V().not(__.out().has('oid', 'a1')).values('oid')")
+    assert(rows(anti) == Set("u1", "a1", "t0"))
+  }
+
+  test("repeat(out()).times(2) walks two hops with multiplicity") {
+    val viaText = Gremlin.run(g,
+      "g.V().has('oid', 'u0').repeat(__.out()).times(2).groupCount().by('oid')")
+    val viaDsl = G.V(g, col("oid") === "u0").out().out().auxilia().groupCount("oid")
+    assert(rows(viaText) == rows(viaDsl))
+  }
+
+  test("order + limit lowers to TakeOrderedAndProject over groupCount") {
+    val viaText = Gremlin.run(g,
+      "g.V().out().groupCount().by('oid').order().by('n', desc).by('oid', asc).limit(2)")
+    val got = viaText.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // in-degrees: a0←2, a1←2, t0←2, u1←1 → top-2 by (n desc, oid asc)
+    assert(got == Seq(("a0", 2L), ("a1", 2L)))
+  }
+
+  test("has with eq / neq / within predicates") {
+    assert(rows(Gremlin.run(g, "g.V().has('oid', P.eq('t0')).values('oid')")) == Set("t0"))
+    assert(rows(Gremlin.run(g, "g.V().has('oid', P.within('u0', 'u1')).values('oid')"))
+      == Set("u0", "u1"))
+    assert(rows(Gremlin.run(g, "g.V().has('oid', P.neq('t0')).count()")) == Set("4"))
+  }
+
+  test("dedup collapses multiplicity; as/select jump tags") {
+    val viaText = Gremlin.run(g,
+      "g.V().has('oid', TextP.startingWith('u')).out().out().dedup().values('oid')")
+    val viaDsl = G.V(g, col("oid").like("u%")).out().out().dedup()
+      .auxilia().values("oid")
+    assert(rows(viaText) == rows(viaDsl))
+    val tagged = Gremlin.run(g,
+      "g.V().has('oid', 'u0').as('who').out().out().select('who').values('oid')")
+    assert(rows(tagged).subsetOf(Set("u0")))
+  }
+
+  test("parse errors are rejected with position info") {
+    val e1 = intercept[IllegalArgumentException](Gremlin.run(g, "g.V().has('oid'"))
+    assert(e1.getMessage.contains("parse error"))
+    val e2 = intercept[IllegalArgumentException](Gremlin.run(g, "V().out()"))
+    assert(e2.getMessage.contains("must start with g"))
+    intercept[IllegalArgumentException](Gremlin.run(g, "g.V().frobnicate()"))
+  }
+}

@@ -56,6 +56,28 @@ class OpsPathsSpec extends SparkSpec {
     assert(store.read(spark, "edges", 0).count() == 4)
   }
 
+  test("modifyVertices commits both planes; delete prunes incident edges") {
+    val s = spark
+    import s.implicits._
+    val store = new SnapshotStore(Files.createTempDirectory("graft-ops-v").toString)
+    val add = Seq(graft.schema.Vertex(5L, "v000005")).toDS()
+    val del = Seq(graft.schema.Vertex(3L, "v000003")).toDS()
+    val (g2, vv, ev) = GraphOps.modifyVertices(g, add, del, store, "vertices", "edges")
+    assert(vv == 0 && ev == 0)
+    val oids = g2.vertices.collect().map(_.oid).toSet
+    assert(oids.contains("v000005") && !oids.contains("v000003"))
+    // incident edges of the deleted vertex are pruned (2→3 and 0→3)
+    val es = g2.edges.collect().map(e => (e.src, e.dst)).toSet
+    assert(es == Set((0L, 1L), (1L, 2L)))
+    // idempotent re-add of an existing id keeps one row
+    val (g3, _, _) = GraphOps.modifyVertices(
+      g2, Seq(graft.schema.Vertex(5L, "v000005")).toDS(),
+      s.emptyDataset[graft.schema.Vertex], store, "vertices", "edges")
+    assert(g3.vertices.where(col("id") === 5L).count() == 1)
+    // history remains readable (snapshot isolation)
+    assert(store.read(spark, "vertices", 0).count() == 5)
+  }
+
   test("sssp parents + path extraction") {
     val wp = Paths2.withParents(g, "v000000").collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap

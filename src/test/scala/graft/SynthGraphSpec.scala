@@ -106,6 +106,19 @@ class SynthGraphSpec extends SparkSpec {
     assert(assistantDeg > 10)
   }
 
+  test("derivation is identical on both sides of the broadcast size guard") {
+    val t = Synth.transcripts(spark, sf).toDF
+    // forced-low threshold → every oid-map join degrades to a shuffle join
+    val shuffled = GraphBuilder.fromTranscripts(t, broadcastMaxVertices = 1L)
+    val broadcasted = GraphBuilder.fromTranscripts(t)
+    assert(shuffled.edges.count() == broadcasted.edges.count())
+    val diff = shuffled.edges.toDF.as("a")
+      .join(broadcasted.edges.toDF.as("b"), Seq("src", "dst"), "full_outer")
+      .where(!(col("a.weight") <=> col("b.weight")))
+    assert(diff.count() == 0)
+    assert(shuffled.vertices.count() == broadcasted.vertices.count())
+  }
+
   test("degrees and undirected edge set are consistent") {
     val g = graphFrom(5, Seq((0, 1), (1, 0), (1, 2), (3, 1)))
     val und = g.undirectedEdges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
