@@ -432,6 +432,18 @@ object SparkEntry {
       graft.gie.G.V(g).out().auxilia().groupCount("oid")
         .orderBy(col("n").desc, col("oid").asc).limit(10)
     }),
+    // PathExpand result_opt=ALL_V (path_start.rs/path_end.rs): SIMPLE
+    // walks 1..2 hops from system, materialized as oid path strings at
+    // the sink (ids-only arrays ride the expansion shuffles), then a
+    // per-end-vertex walk summary
+    "tg_gie_paths" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      graft.gie.G.V(g, col("oid") === "system")
+        .pathExpandPaths(1, 2, simple = true)
+        .pathOids().auxilia()
+        .df.groupBy(col("oid"))
+        .agg(count(lit(1)).as("n_walks"), min(col("path_str")).as("min_path"))
+    }),
     // SegmentApply (algebra.proto:341): per-agent top-2 out-edges by
     // weight — edge-positioned expand + windowed segment ranking
     "tg_gie_segment" -> ((s, dir) => {
@@ -463,6 +475,12 @@ object SparkEntry {
       graft.gie.Gremlin.run(graphFor(s, dir),
         "g.V().out().groupCount().by('oid')" +
           ".order().by('n', desc).by('oid', asc).limit(10)")),
+    // simplePath().path() lowers to pathExpandPaths + sink-side oid
+    // decode: the first 50 materialized walk strings in path order
+    "tg_gremlin_paths" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().has('oid', 'system').out('1..2').simplePath().path()" +
+          ".values('path_str').order().by('path_str', asc).limit(50)")),
 
     // ---- training-data pipeline plane: dedup / text / similarity ----
     "d_dedup_norm" -> ((s, dir) =>
@@ -541,6 +559,14 @@ object SparkEntry {
         graft.multimodal.Multimodal.resizeImages(
           graft.multimodal.Multimodal.syntheticImages(s, 200L), 8, 8))
         .toDF.select(col("media_id"), col("checksum"))),
+    // REAL audio decode (javax.sound.sampled): hash-sample 16-bit PCM
+    // WAVs → RIFF container decode → exact order-sensitive sample
+    // checksum; the oracle recomputes samples from the generator
+    // formula, so any codec error (endianness, header offset, width)
+    // breaks the hash
+    "m_audio_decode" -> ((s, dir) =>
+      graft.multimodal.Multimodal.decodeAudio(
+        graft.multimodal.Multimodal.syntheticWavs(s, 300L)).toDF),
     // session plane: REPORT_GRAPH (fragment_reporter.h:56-116)
     "tg_report" -> ((s, dir) =>
       graft.graph.GraphOps.report(graphFor(s, dir))),
@@ -699,6 +725,8 @@ object SparkEntry {
     "tg_gremlin_pathexpand" -> SynthSql3.giePathExpandSql(OracleSf, "system", 1, 3),
     "tg_gremlin_exists" -> SynthSql3.gieExistsSql(OracleSf),
     "tg_gremlin_topk" -> SynthSql3.gieTopkSql(OracleSf, 10),
+    "tg_gie_paths" -> graft.synth.SynthSql4.giePathsSql(OracleSf, "system"),
+    "tg_gremlin_paths" -> graft.synth.SynthSql4.giePathsTopSql(OracleSf, "system", 50),
     "tg_pagerank_tol" -> SynthSql3.pageRankTolSql(OracleSf),
     "tg_betweenness" -> SynthSql3.betweennessSql(OracleSf, Seq("assistant", "tool:t0", "system")),
     "tg_louvain" -> graft.synth.SynthSql4.louvainMultiSql(OracleSf, rounds = 5, levels = 2),
@@ -783,6 +811,21 @@ object SparkEntry {
         |  FROM src)
         |SELECT c AS media_id, CAST(sum((q + 1) * (r + 2*g + 4*b)) AS BIGINT) AS checksum
         |FROM px GROUP BY c""".stripMargin,
+    // real-WAV decode: samples re-derived from the generator hash —
+    // sample p of clip c is (h(c, 5e5+p) % 65536) - 32768, n_samples =
+    // 64 + h(c,40) % 129; checksum sums (p+1)*(s_p + 32768)
+    "m_audio_decode" ->
+      """WITH m AS (SELECT CAST(unnest(generate_series(0, 299)) AS BIGINT) AS c),
+        |ns AS (SELECT c, 64 + ((c*1000003 + CAST(40 AS BIGINT)*7919 + 12345) % 1000000007) % 129 AS ns
+        |  FROM m),
+        |ps AS (SELECT CAST(unnest(generate_series(0, 192)) AS BIGINT) AS p),
+        |sm AS (SELECT n.c, n.ns, ps.p,
+        |    ((n.c*1000003 + (500000 + ps.p)*7919 + 12345) % 1000000007) % 65536 AS su
+        |  FROM ns n CROSS JOIN ps WHERE ps.p < n.ns)
+        |SELECT c AS media_id, CAST(min(ns) AS INT) AS n_samples,
+        |       CAST(8000 AS INT) AS sample_rate,
+        |       CAST(sum((p + 1) * su) AS BIGINT) AS checksum
+        |FROM sm GROUP BY c""".stripMargin,
     "tg_report" ->
       s"""WITH ${SynthSql.graphCtes(OracleSf)}
          |SELECT (SELECT count(*) FROM vertices) AS nodes,

@@ -67,7 +67,7 @@ final class Traversal private[gie] (g: LinkGraph, val df: DataFrame) {
 
   /** Traverser columns that survive an expansion (drop fetched props). */
   private def carried: DataFrame = {
-    val stale = Seq("oid", "__hops").filter(df.columns.contains)
+    val stale = Seq("oid", "__hops", "__path", "path_str").filter(df.columns.contains)
     stale.foldLeft(df)((d, c) => d.drop(c))
   }
 
@@ -170,6 +170,54 @@ final class Traversal private[gie] (g: LinkGraph, val df: DataFrame) {
     * including the start set at 0.
     */
   def shortestPathExpand(maxHops: Int): Traversal = pathExpand(0, maxHops)
+
+  /** PathExpand carrying the path itself (`algebra.proto:287` with
+    * result_opt = ALL_V — the `path_start.rs`/`path_end.rs` traverser
+    * shape): one row per WALK of length ∈ [lower, upper] hops from a
+    * starting traverser, with `__path` = array of vertex ids (start
+    * inclusive) and `__v` = the walk's end. `simple = true` is
+    * path_opt SIMPLE (prune walks revisiting a vertex); false is
+    * ARBITRARY. Walk counts are exponential in general — bound `upper`.
+    * Each hop is one equi-join against the edge table; the path rides
+    * the shuffle as a long array (ids only — oid materialization is a
+    * sink-side concern, [[pathOids]]).
+    */
+  def pathExpandPaths(lower: Int, upper: Int, simple: Boolean = true): Traversal = {
+    require(lower >= 0 && upper >= lower, "need 0 <= lower <= upper")
+    var cur = Engine.materialize(
+      df.select(col("__v")).withColumn("__path", array(col("__v"))))
+    var acc = if (lower == 0) cur else cur.limit(0)
+    var h = 0
+    var live = cur.count()
+    while (h < upper && live > 0) {
+      h += 1
+      var nxt = cur
+        .join(edges.select(col("src").as("__v"), col("dst")), Seq("__v"))
+      if (simple) nxt = nxt.where(!array_contains(col("__path"), col("dst")))
+      cur = Engine.materialize(
+        nxt.select(col("dst").as("__v"), concat(col("__path"), array(col("dst"))).as("__path")))
+      live = cur.count()
+      if (h >= lower && live > 0) acc = acc.unionByName(cur)
+    }
+    next(acc)
+  }
+
+  /** Materialize `__path` (vertex ids) as an oid string `path_str` —
+    * the Sink-side path decode: the distinct path set is exploded,
+    * joined once against the vertex table, and re-assembled in hop
+    * order, then joined back on the array key (a pure function of the
+    * path, so equal walks share one decode). Ids-only paths ride every
+    * upstream shuffle; strings exist only past this point.
+    */
+  def pathOids(sep: String = ">"): Traversal = {
+    val mapping = df.select(col("__path")).distinct()
+      .select(col("__path"), posexplode(col("__path")).as(Seq("__pos", "__pv")))
+      .join(g.vertices.toDF.select(col("id").as("__pv"), col("oid").as("__poid")), Seq("__pv"))
+      .groupBy(col("__path"))
+      .agg(expr(s"concat_ws('$sep', transform(array_sort(collect_list(struct(__pos, __poid))), x -> x.__poid))")
+        .as("path_str"))
+    next(df.join(mapping, Seq("__path")))
+  }
 
   /** GroupBy count (`algebra.proto:79`, Gremlin groupCount). */
   def groupCount(key: String): DataFrame =

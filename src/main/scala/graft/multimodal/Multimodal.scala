@@ -12,12 +12,15 @@ import graft.synth.Synth
   * The **image** path is real: [[ImageCodec]] decodes/encodes PNG (or
   * any `javax.imageio`-readable format — BMP, GIF, JPEG) with the JDK's
   * built-in ImageIO, resizes by deterministic nearest-neighbor, and
-  * extracts grid-luminance features from actual pixels. Audio/video
-  * codec work stays STUBBED behind [[DecodeStub]] (no FFmpeg in this
-  * container): it emits deterministic hash-derived bytes and features so
-  * tests can assert exact values. Rows whose bytes ImageIO cannot parse
-  * also fall back to the stub, so synthetic non-image byte streams keep
-  * flowing through the same pipeline.
+  * extracts grid-luminance features from actual pixels. The **audio**
+  * path is real for WAV/PCM: [[AudioCodec]] encodes/decodes 16-bit
+  * signed PCM in RIFF containers with `javax.sound.sampled` and
+  * extracts bucketed waveform-amplitude features from actual samples.
+  * Compressed codecs (MP3/AAC/video — no FFmpeg in this container) stay
+  * STUBBED behind [[DecodeStub]]: it emits deterministic hash-derived
+  * bytes and features so tests can assert exact values. Rows whose
+  * bytes the JDK cannot parse also fall back to the stub, so synthetic
+  * non-media byte streams keep flowing through the same pipeline.
   *
   * Batching note: in PySpark this plane would be `mapInPandas` with Arrow
   * batches; the Scala-native equivalent is `Dataset.mapPartitions` over a
@@ -147,6 +150,90 @@ object Multimodal {
     }
   }
 
+  /** Real audio codec on the JDK's `javax.sound.sampled` — WAV (RIFF)
+    * containers with 16-bit signed PCM are encoded/decoded natively by
+    * the JDK, no external libs. PCM is lossless, so decoded samples are
+    * bit-exact against the synthetic generator and the sample checksum
+    * below is closed-form predictable in SQL. Compressed codecs (MP3,
+    * AAC, video) have no JDK decoder and stay on [[DecodeStub]].
+    */
+  object AudioCodec {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    /** Encode 16-bit signed little-endian mono PCM as a WAV container. */
+    def encodeWav(samples: Array[Short], sampleRate: Float): Array[Byte] = {
+      val raw = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        raw(2 * i) = (samples(i) & 0xFF).toByte
+        raw(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(raw), fmt, samples.length.toLong)
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** None when the bytes are not a parseable 16-bit signed mono PCM
+      * container — callers fall back to [[DecodeStub]].
+      */
+    def decodePcm16(bytes: Array[Byte]): Option[(Float, Array[Short])] =
+      try {
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        val f = ais.getFormat
+        if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+          f.getEncoding != AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          val ss = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            ss(i) =
+              if (f.isBigEndian) (((raw(2 * i) & 0xFF) << 8) | (raw(2 * i + 1) & 0xFF)).toShort
+              else ((raw(2 * i) & 0xFF) | ((raw(2 * i + 1) & 0xFF) << 8)).toShort
+            i += 1
+          }
+          Some((f.getSampleRate, ss))
+        }
+      } catch { case _: Exception => None }
+
+    /** dim-bucket mean absolute amplitude (bucket d covers samples
+      * p ∈ [d·n/dim, (d+1)·n/dim)) — a real waveform statistic in the
+      * same shape as [[ImageCodec.gridLuma]].
+      */
+    def bucketAmp(samples: Array[Short], dim: Int): Array[Float] = {
+      val n = samples.length
+      val acc = new Array[Double](dim)
+      val cnt = new Array[Int](dim)
+      var p = 0
+      while (p < n) {
+        val d = (p.toLong * dim / n).toInt
+        acc(d) += math.abs(samples(p).toDouble) / 32768.0
+        cnt(d) += 1
+        p += 1
+      }
+      Array.tabulate(dim)(d => if (cnt(d) == 0) 0f else ((acc(d) / cnt(d)) - 0.5).toFloat)
+    }
+
+    /** Exact order-sensitive sample checksum Σ (p+1)·(s_p + 32768) —
+      * the audio analog of [[ImageCodec.checksum]].
+      */
+    def checksum(samples: Array[Short]): Long = {
+      var sum = 0L
+      var p = 0
+      while (p < samples.length) {
+        sum += (p + 1).toLong * (samples(p).toLong + 32768L)
+        p += 1
+      }
+      sum
+    }
+  }
+
   /** STUB decoder: deterministic pseudo-decode. A real implementation
     * decodes the codec bytes; this derives stable values from content so
     * the pipeline shape (batch in, typed batch out) is fully exercised.
@@ -192,6 +279,39 @@ object Multimodal {
     }
   }
 
+  final case class AudioDecoded(media_id: Long, n_samples: Int, sample_rate: Int, checksum: Long)
+
+  /** Deterministic synthetic *real* WAV table: sample p of clip i is
+    * s_p = h(i, 5·10⁵+p) % 65536 − 32768 (16-bit signed), n_samples =
+    * 64 + h(i,40) % 129, rate 8000 Hz — every byte of the RIFF
+    * container comes out of `AudioSystem.write`, so downstream decode
+    * exercises the real codec and the SQL oracle predicts samples from
+    * the hash formula alone.
+    */
+  def syntheticWavs(spark: SparkSession, n: Long): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0L, n).as[Long].map { i =>
+      val ns = 64 + (Synth.h(i, 40L) % 129L).toInt
+      val samples = Array.tabulate[Short](ns)(p =>
+        (Synth.h(i, 500000L + p) % 65536L - 32768L).toShort)
+      MediaRow(i, "audio", AudioCodec.encodeWav(samples, 8000f),
+        width = 0, height = 0, duration_ms = ns.toLong * 1000L / 8000L)
+    }
+  }
+
+  /** Real audio decode: (media_id, sample count, rate, exact sample
+    * checksum). Rows the JDK cannot parse as 16-bit PCM are dropped —
+    * decode is the gate, mirroring [[decodeImages]].
+    */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioDecoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      AudioCodec.decodePcm16(r.content).map { case (rate, ss) =>
+        AudioDecoded(r.media_id, ss.length, rate.toInt, AudioCodec.checksum(ss))
+      }
+    })
+  }
+
   /** Real decode: (media_id, decoded width/height, exact pixel
     * checksum). Rows ImageIO cannot parse are dropped — decode is the
     * gate, not a best-effort guess.
@@ -211,12 +331,17 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[Feature] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
-      val feat =
-        if (r.kind == "image") ImageCodec.decode(r.content) match {
+      val feat = r.kind match {
+        case "image" => ImageCodec.decode(r.content) match {
           case Some(img) => ImageCodec.gridLuma(img, dim)
           case None => DecodeStub.features(r, dim)
         }
-        else DecodeStub.features(r, dim)
+        case "audio" => AudioCodec.decodePcm16(r.content) match {
+          case Some((_, ss)) => AudioCodec.bucketAmp(ss, dim)
+          case None => DecodeStub.features(r, dim)
+        }
+        case _ => DecodeStub.features(r, dim)
+      }
       Feature(r.media_id, r.kind, dim, feat)
     })
   }

@@ -141,6 +141,44 @@ object SynthSql4 {
     * identical converged doubles, each candidate is one IEEE add).
     * Output (oid, dist, parent_oid); unreachable ⇒ both NULL.
     */
+  /** Shared walk CTEs for the PathExpand result_opt=ALL_V twins: all
+    * SIMPLE walks of 1..2 hops from `source` with their oid path
+    * strings ('>'-joined) and end-vertex ids — the exact walk set
+    * `Traversal.pathExpandPaths(1, 2, simple = true)` enumerates.
+    */
+  private def walkCtes(sf: Double, source: String): String =
+    s"""${SynthSql.graphCtes(sf)},
+       |s0 AS (SELECT id, oid FROM vertices WHERE oid = '$source'),
+       |w1 AS MATERIALIZED (
+       |  SELECT s0.oid AS p0, v1.oid AS p1, s0.id AS i0, e1.dst AS i1
+       |  FROM s0 JOIN dedges e1 ON e1.src = s0.id
+       |  JOIN vertices v1 ON v1.id = e1.dst),
+       |w2 AS (
+       |  SELECT w1.p0, w1.p1, v2.oid AS p2, e2.dst AS i2
+       |  FROM w1 JOIN dedges e2 ON e2.src = w1.i1
+       |  JOIN vertices v2 ON v2.id = e2.dst
+       |  WHERE e2.dst <> w1.i0 AND e2.dst <> w1.i1),
+       |allw AS (
+       |  SELECT p0 || '>' || p1 AS path_str, i1 AS tip FROM w1
+       |  UNION ALL
+       |  SELECT p0 || '>' || p1 || '>' || p2 AS path_str, i2 AS tip FROM w2)""".stripMargin
+
+  /** Per-end-vertex walk summary (twin of the `tg_gie_paths` driver
+    * query): walk count + lexicographically-least path per end oid.
+    */
+  def giePathsSql(sf: Double, source: String): String =
+    s"""WITH ${walkCtes(sf, source)}
+       |SELECT v.oid AS oid, count(*) AS n_walks, min(path_str) AS min_path
+       |FROM allw JOIN vertices v ON v.id = allw.tip
+       |GROUP BY v.oid""".stripMargin
+
+  /** First `k` materialized walk strings in path order (twin of the
+    * `tg_gremlin_paths` string-front-end query).
+    */
+  def giePathsTopSql(sf: Double, source: String, k: Int): String =
+    s"""WITH ${walkCtes(sf, source)}
+       |SELECT path_str FROM allw ORDER BY path_str LIMIT $k""".stripMargin
+
   def ssspPathSql(sf: Double, rounds: Int = 25): String = {
     val body = (1 to rounds).map { k =>
       val p = s"s${k - 1}"

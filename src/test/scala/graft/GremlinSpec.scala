@@ -92,6 +92,33 @@ class GremlinSpec extends SparkSpec {
     assert(rows(tagged).subsetOf(Set("u0")))
   }
 
+  test("simplePath().path() materializes walk strings via pathExpandPaths") {
+    val viaText = Gremlin.run(g,
+      "g.V().has('oid', 'u0').out('1..2').simplePath().path().values('path_str')")
+    val viaDsl = G.V(g, col("oid") === "u0").pathExpandPaths(1, 2, simple = true)
+      .pathOids().values("path_str")
+    assert(rows(viaText) == rows(viaDsl))
+    assert(rows(viaText) ==
+      Set("u0>a0", "u0>a1", "u0>a0>t0", "u0>a0>a1", "u0>a1>t0"))
+    // simplePath() without a following path() has no endV lowering
+    intercept[IllegalArgumentException](
+      Gremlin.run(g, "g.V().out('1..2').simplePath().values('oid')"))
+  }
+
+  test("ARBITRARY walks revisit where SIMPLE prunes; lower=0 emits the start") {
+    val s = spark
+    import s.implicits._
+    val g2 = graft.graph.LinkGraph(
+      Seq(graft.schema.Vertex(0L, "x"), graft.schema.Vertex(1L, "y")).toDS(),
+      Seq(graft.schema.Edge(0L, 1L, 1.0), graft.schema.Edge(1L, 0L, 1.0)).toDS())
+    def paths(simple: Boolean, lower: Int, upper: Int) =
+      rows(G.V(g2, col("oid") === "x").pathExpandPaths(lower, upper, simple)
+        .pathOids().values("path_str"))
+    assert(paths(simple = false, 1, 2) == Set("x>y", "x>y>x"))
+    assert(paths(simple = true, 1, 2) == Set("x>y"))
+    assert(paths(simple = false, 0, 1) == Set("x", "x>y"))
+  }
+
   test("parse errors are rejected with position info") {
     val e1 = intercept[IllegalArgumentException](Gremlin.run(g, "g.V().has('oid'"))
     assert(e1.getMessage.contains("parse error"))

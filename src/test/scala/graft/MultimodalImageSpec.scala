@@ -62,4 +62,37 @@ class MultimodalImageSpec extends SparkSpec {
       .collect()
     assert(imgFeats.forall(_.feature.forall(f => f >= -0.5f && f <= 0.5f)))
   }
+
+  test("WAV decode recovers generator samples bit-exactly (RIFF round trip)") {
+    val got = Multimodal.decodeAudio(Multimodal.syntheticWavs(spark, 12L))
+      .collect().map(d => d.media_id -> d).toMap
+    assert(got.size == 12)
+    (0L until 12L).foreach { i =>
+      val ns = 64 + (Synth.h(i, 40L) % 129L).toInt
+      val want = (0 until ns).map { p =>
+        (p + 1).toLong * (Synth.h(i, 500000L + p) % 65536L)
+      }.sum
+      assert(got(i).n_samples == ns, s"n_samples of $i")
+      assert(got(i).sample_rate == 8000, s"rate of $i")
+      assert(got(i).checksum == want, s"sample checksum of $i")
+    }
+  }
+
+  test("audio features are real waveform statistics; non-WAV bytes hit the stub") {
+    val wavFeats = Multimodal.extractFeatures(Multimodal.syntheticWavs(spark, 4L), dim = 8)
+      .collect()
+    assert(wavFeats.length == 4 && wavFeats.forall(_.feature.length == 8))
+    assert(wavFeats.forall(_.feature.forall(f => f >= -0.5f && f <= 0.5f)))
+    // hand-check clip 0's bucketed mean-abs amplitude
+    val ns = 64 + (Synth.h(0L, 40L) % 129L).toInt
+    val samples = Array.tabulate(ns)(p => (Synth.h(0L, 500000L + p) % 65536L - 32768L).toShort)
+    val want = Multimodal.AudioCodec.bucketAmp(samples, 8)
+    val got = wavFeats.find(_.media_id == 0L).get.feature
+    assert(got.sameElements(want))
+    // hash-byte "audio" rows are not RIFF — they must fall back to the stub
+    val stub = Multimodal.extractFeatures(
+      Multimodal.syntheticMedia(spark, 6L).filter((r: Multimodal.MediaRow) => r.kind == "audio"),
+      dim = 8).collect()
+    assert(stub.nonEmpty && stub.forall(_.feature.length == 8))
+  }
 }
