@@ -239,6 +239,16 @@ object SparkEntry {
         .where(col("o_totalprice") > col("avg_price") * 2)
         .select(col("o_orderkey"), col("o_custkey"))
     }),
+    // events: gap-based session windows (session_window aggregate — the
+    // batch form of the streaming sessionization; value pre-cast to
+    // DECIMAL so per-session sums are order-exact cross-engine)
+    "q_event_sessions" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionWindows(
+        t(s, dir, "events").withColumn("value", dec(col("value"))), gap = "30 minutes")
+        .select(col("user_id"),
+          unix_timestamp(col("session_start")).as("sess_start"),
+          col("n_events"),
+          dec(col("total_value")).cast("double").as("total_value"))),
     // events: tumbling-window aggregation (batch form of the streaming op)
     "q_event_window" -> ((s, dir) =>
       t(s, dir, "events")
@@ -636,6 +646,41 @@ object SparkEntry {
     })
   )
 
+  /** k vs k+1 convergence probes for every fixed-unroll FIXPOINT oracle
+    * in [[oracleSql]]: each entry pairs the baked round count with one
+    * extra round; `tools/check_convergence.py` asserts the two results
+    * are identical, replacing the manual re-check the unrolled chains
+    * previously relied on. Schedule-parameterized twins (fixed-round
+    * PageRank/CDLP/eigen/Katz/HITS/LPA, Louvain sweep counts) are
+    * excluded — there the round count is the algorithm's input, not a
+    * convergence horizon.
+    */
+  def convergenceSql: Map[String, (String, String)] = {
+    val srcs = Seq("assistant", "tool:t0", "system")
+    Map(
+      "tg_wcc" -> (SynthSql.wccSql(OracleSf, 30), SynthSql.wccSql(OracleSf, 31)),
+      "tg_sssp" -> (SynthSql2.ssspSql(OracleSf, 25), SynthSql2.ssspSql(OracleSf, 26)),
+      "tg_bfs" -> (SynthSql2.bfsSql(OracleSf, 15), SynthSql2.bfsSql(OracleSf, 16)),
+      "tg_bfs_tree" -> (SynthSql3.bfsTreeSql(OracleSf, 15), SynthSql3.bfsTreeSql(OracleSf, 16)),
+      "tg_kcore" -> (SynthSql2.kcoreSql(OracleSf, KcoreK, 8), SynthSql2.kcoreSql(OracleSf, KcoreK, 9)),
+      "tg_kshell" -> (graft.synth.SynthSql4.kshellSql(OracleSf, 18),
+        graft.synth.SynthSql4.kshellSql(OracleSf, 19)),
+      "tg_betweenness" -> (SynthSql3.betweennessSql(OracleSf, srcs, 15),
+        SynthSql3.betweennessSql(OracleSf, srcs, 16)),
+      "tg_pagerank_tol" -> (SynthSql3.pageRankTolSql(OracleSf, 25), SynthSql3.pageRankTolSql(OracleSf, 26)),
+      "tg_closeness" -> (SynthSql3.closenessSql(OracleSf, srcs, 30), SynthSql3.closenessSql(OracleSf, srcs, 31)),
+      "tg_apsp" -> (SynthSql3.apspSql(OracleSf, srcs, 30), SynthSql3.apspSql(OracleSf, srcs, 31)),
+      "tg_ml_wcc_reply" -> (SynthSql3.mlWccReplySql(OracleSf, 22), SynthSql3.mlWccReplySql(OracleSf, 23)),
+      "tg_sssp_path" -> (graft.synth.SynthSql4.ssspPathSql(OracleSf, 25),
+        graft.synth.SynthSql4.ssspPathSql(OracleSf, 26)),
+      "tg_avg_path_len" -> (graft.synth.SynthSql4.avgPathLenSql(OracleSf, srcs, 30),
+        graft.synth.SynthSql4.avgPathLenSql(OracleSf, srcs, 31)),
+      "d_minhash_groups" -> (
+        graft.synth.LshSql.minhashGroupsSql(16, 8, 3, 0.5, 1000, wccRounds = 10),
+        graft.synth.LshSql.minhashGroupsSql(16, 8, 3, 0.5, 1000, wccRounds = 11))
+    )
+  }
+
   def oracleSql: Map[String, String] = Map(
     "tg_edges" -> SynthSql.edgesSql(OracleSf),
     "tg_degrees" -> SynthSql.degreesSql(OracleSf),
@@ -704,6 +749,25 @@ object SparkEntry {
         |JOIN (SELECT o_custkey AS ck, avg(o_totalprice) AS avg_price FROM orders GROUP BY o_custkey) a
         |  ON o.o_custkey = a.ck
         |WHERE o.o_totalprice > a.avg_price * 2""".stripMargin,
+    // gaps-and-islands twin of session_window: a session breaks where
+    // the inter-event gap reaches 30 min (micro-precision, matching
+    // Spark's end-exclusive session windows)
+    "q_event_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |m AS (
+        |  SELECT user_id, tus, v,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |           OR tus - lag(tus) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+        |s AS (
+        |  SELECT user_id, tus, v,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, CAST(min(tus) // 1000000 AS BIGINT) AS sess_start,
+        |       count(*) AS n_events,
+        |       CAST(CAST(sum(v) AS DECIMAL(18,4)) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "q_event_window" ->
       """SELECT ((epoch_ms(ts) // 1000) - ((epoch_ms(ts) // 1000) % 3600)) AS win_start, event_type,
         |  count(*) AS n,

@@ -41,6 +41,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // k vs k+1 probes for the fixed-unroll fixpoint oracles, asserted
+    // by tools/check_convergence.py (automated replacement for the
+    // manual convergence re-check after generator changes)
+    val conv = SparkEntry.convergenceSql
+      .map { case (k, (a, b)) => s"${q(k)}: [${q(a)}, ${q(b)}]" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/convergence_sql.json"), conv)
     spark.stop()
   }
 }

@@ -42,6 +42,94 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("total"))
 
+  /** Per-user session aggregation with the Catalyst-native
+    * `session_window` (gap-based merging inside the aggregate — no
+    * custom state): one row per (user, maximal event run with
+    * inter-event gaps < `gap`). Works identically for batch and
+    * streaming inputs; in streaming the watermark closes sessions.
+    */
+  def sessionWindows(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"
+  ): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionBuf(events: List[(Long, Double)])
+  final case class UserSession(
+      user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** The same sessionization through the CUSTOM-STATE surface —
+    * `flatMapGroupsWithState` with an event-time timeout (the
+    * KeyValueGroupedDataset analog of the reference's stateful-UDF
+    * plane). Arrived events buffer in per-user state; every gap-split
+    * session that is already CLOSED by later arrivals is emitted
+    * eagerly, the trailing open session stays in state and is emitted
+    * when the watermark passes its end + gap (timeout). Use
+    * [[sessionWindows]] unless per-event custom logic is needed — the
+    * aggregate form is codegen'd and cheaper.
+    */
+  def sessionizeStateful(
+      events: DataFrame, gapMinutes: Int = 30, watermark: String = "2 hours"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMs = gapMinutes * 60000L
+
+    // (closed runs in time order, trailing open run); runs split where
+    // the inter-event gap reaches gapMs
+    def split(evs: List[(Long, Double)]): (List[List[(Long, Double)]], List[(Long, Double)]) = {
+      val sorted = evs.sortBy(_._1)
+      if (sorted.isEmpty) return (Nil, Nil)
+      val runs = sorted.foldLeft(List.empty[List[(Long, Double)]]) {
+        case (Nil, e) => List(List(e))
+        case (cur :: done, e) =>
+          if (e._1 - cur.head._1 >= gapMs) List(e) :: cur :: done
+          else (e :: cur) :: done
+      }
+      (runs.tail.map(_.reverse).reverse, runs.head.reverse)
+    }
+
+    def emit(uid: Long, run: List[(Long, Double)]): UserSession =
+      UserSession(uid, new java.sql.Timestamp(run.head._1),
+        run.size.toLong, run.map(_._2).sum)
+
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuf, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[SessionBuf]) =>
+          val buffered = state.getOption.map(_.events).getOrElse(Nil)
+          if (state.hasTimedOut) {
+            // watermark passed the open tail's end + gap: close it out
+            state.remove()
+            val (closed, open) = split(buffered)
+            (closed ::: (if (open.nonEmpty) List(open) else Nil))
+              .map(emit(uid, _)).iterator
+          } else {
+            val all = buffered ::: it.map(e => (e.ts.getTime, e.value)).toList
+            val (closed, open) = split(all)
+            if (open.nonEmpty) {
+              state.update(SessionBuf(open))
+              state.setTimeoutTimestamp(open.last._1 + gapMs)
+            } else state.remove()
+            closed.map(emit(uid, _)).iterator
+          }
+      }
+  }
+
   /** Merge newly-derived oid-space edges into the latest committed edge
     * snapshot; returns (merged edges in oid space, committed version).
     */

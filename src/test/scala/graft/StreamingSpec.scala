@@ -35,6 +35,66 @@ class StreamingSpec extends SparkSpec {
     assert(stream2.isStreaming && got.nonEmpty)
   }
 
+  test("session windows: streaming (append, watermark-closed) equals batch sessions") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.get(1).toString, r.getLong(2), math.round(r.getDouble(3) * 10000))
+    val allSessions = EventStream.sessionWindows(batch, gap = "30 minutes")
+      .collect().map(key).toSet
+
+    val stage = Files.createTempDirectory("graft-sess")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val stream = spark.readStream.schema(batch.schema)
+      .format("parquet").load(stage.toString)
+    // watermark 0s: the final watermark reaches max(ts), so every
+    // session except each user's open tail is emitted in append mode
+    val q = EventStream.sessionWindows(stream, gap = "30 minutes", watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("evt_sessions")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("evt_sessions").collect().map(key).toSet
+    assert(got.subsetOf(allSessions), "streamed session not present in batch result")
+    // all but the per-user open tails must have closed: at least
+    // (#sessions - #users) rows, and most users have >1 session here
+    val nUsers = batch.select("user_id").distinct().count()
+    assert(got.size >= allSessions.size - nUsers.toInt && got.nonEmpty)
+  }
+
+  test("stateful sessionization (flatMapGroupsWithState) matches session_window") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val expected = EventStream.sessionWindows(batch, gap = "30 minutes")
+      .collect()
+      .map(r => (r.getLong(0), r.get(1).toString.substring(0, 19), r.getLong(2),
+        math.round(r.getDouble(3) * 10000)))
+      .toSet
+
+    val stage = Files.createTempDirectory("graft-sess2")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val stream = spark.readStream.schema(batch.schema)
+      .format("parquet").load(stage.toString)
+    val q = EventStream.sessionizeStateful(stream, gapMinutes = 30, watermark = "0 seconds")
+      .toDF.writeStream.outputMode("append")
+      .format("memory").queryName("evt_sessions_state")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("evt_sessions_state").collect()
+      .map(r => (r.getLong(0), r.get(1).toString.substring(0, 19), r.getLong(2),
+        math.round(r.getDouble(3) * 10000)))
+      .toSet
+    // every custom-state session must be a session_window session; the
+    // two surfaces implement the same gap semantics
+    assert(got.subsetOf(expected), s"stateful session diverged: ${got.diff(expected).take(3)}")
+    val nUsers = batch.select("user_id").distinct().count()
+    assert(got.size >= expected.size - nUsers.toInt && got.nonEmpty)
+  }
+
   test("incremental conversation append maintains edge counts across snapshots") {
     val store = new SnapshotStore(Files.createTempDirectory("graft-stream").toString)
     val all = Synth.transcripts(spark, 0.0001).toDF.persist()
