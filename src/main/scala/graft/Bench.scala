@@ -77,15 +77,34 @@ object Bench {
     val highCpus = sys.env.getOrElse("SPARK_GRAFT_SCALE_HIGH", (lowCpus * 4).toString).toInt
     val tmp = Files.createTempDirectory("graft-bench").toString
     val q = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Per-headline-query utilization + machine load: the headline phase is
+    // single-run (re-running a 70-iteration convergence sweep ×5 would blow
+    // the bench budget), so instead make co-tenant steal SELF-EVIDENT — a
+    // query whose util is far below 1.0 while the load average is high lost
+    // its wall-clock to steal, not to a plan regression.
+    val aux = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    val osBean0 = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def loadAvg0(): Double =
+      scala.util.Try(Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble)
+        .getOrElse(-1.0)
+    def headline[A](name: String, p: Int)(f: => A): A = {
+      val l0 = loadAvg0()
+      val cpu0 = osBean0.getProcessCpuTime
+      val (a, sec) = timed(f)
+      val cpuSec = (osBean0.getProcessCpuTime - cpu0) / 1e9
+      q(name) = sec
+      aux(name) = (if (sec > 0) cpuSec / (sec * p) else 0.0, math.max(l0, loadAvg0()))
+      a
+    }
 
     // ---- phase 1: derive + persist the graph, headline algorithms ----
     var spark = session(cpus)
-    val (g0, deriveSec) = timed {
+    val g0 = headline("derive_graph", cpus) {
       val g = GraphBuilder.fromTranscripts(Synth.transcripts(spark, sf).toDF).persist()
       g.edges.count()
       g
     }
-    q("derive_graph") = deriveSec
     val nV = g0.numVertices
     val nE = g0.edges.count()
     g0.vertices.write.mode("overwrite").parquet(s"$tmp/vertices")
@@ -93,26 +112,21 @@ object Bench {
 
     // fixed-round first: warms codegen/JIT and is the headline throughput
     val prFullLog = new MetricsLog
-    val (_, prFullSec0) = timed {
+    headline("pagerank_10r_head", cpus) {
       PageRank.run(g0, PageRank.Config(0.85, 10), prFullLog).count()
     }
-    q("pagerank_10r_head") = prFullSec0
     val thrHeadline = throughput(prFullLog)
 
     val prConvLog = new MetricsLog
-    val (_, prConvSec) = timed {
+    headline("pagerank_conv", cpus) {
       PageRank.run(g0, PageRank.Config(0.85, 100, Some(1e-6), tolTimesN = false), prConvLog).count()
     }
-    q("pagerank_conv") = prConvSec
     val prIters = prConvLog.iterations
 
     val wccLog = new MetricsLog
-    val (_, wccSec) = timed { WCC.run(g0, Int.MaxValue, wccLog).count() }
-    q("wcc") = wccSec
-    val (_, cdlpSec) = timed { CDLP.run(g0, 10).count() }
-    q("cdlp_10r") = cdlpSec
-    val (_, triSec) = timed { Triangles.run(g0).count() }
-    q("triangles") = triSec
+    headline("wcc", cpus) { WCC.run(g0, Int.MaxValue, wccLog).count() }
+    headline("cdlp_10r", cpus) { CDLP.run(g0, 10).count() }
+    headline("triangles", cpus) { Triangles.run(g0).count() }
     spark.stop()
 
     // ---- phase 2: scaling — identical parquet input at both levels ----
@@ -173,11 +187,14 @@ object Bench {
     val total = q.values.sum
 
     val qJson = q.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val auxJson = aux.map { case (k, (u, l)) =>
+      f""""$k":{"util":$u%.2f,"load":$l%.1f}""" }.mkString("{", ",", "}")
     def runsJson(rs: Seq[Run]): String = rs.map(r =>
       f"""{"thr":${r.thr}%.0f,"thr_cpu":${r.thrCpu}%.0f,"sec":${r.sec}%.1f,""" +
         f""""util":${r.util}%.2f,"load":${r.load}%.1f}""").mkString("[", ",", "]")
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir",""" +
+        f""""headline_runs":$auxJson,""" +
         f""""graph":{"vertices":$nV,"edges":$nE},""" +
         f""""pagerank":{"iterations_to_convergence":$prIters,"tol":1e-6,""" +
         f""""edges_per_sec_per_superstep":$thrHeadline%.0f},""" +
@@ -214,11 +231,11 @@ object Bench {
          || scaling efficiency (CPU-time-normalized, steal-immune) | $efficiencyCpu%.3f |
          || load average seen across scaling runs (min/max) | ${(lows ++ highs).map(_.load).min}%.1f / ${(lows ++ highs).map(_.load).max}%.1f |
          || PageRank iterations to convergence (absolute L1 < 1e-6) | $prIters |
-         || derive graph | $deriveSec%.1f s |
-         || PageRank to convergence | $prConvSec%.1f s |
-         || WCC (to fixpoint) | $wccSec%.1f s |
-         || CDLP 10 rounds | $cdlpSec%.1f s |
-         || Triangles | $triSec%.1f s |
+         || derive graph | ${q("derive_graph")}%.1f s (util ${aux("derive_graph")._1}%.2f) |
+         || PageRank to convergence | ${q("pagerank_conv")}%.1f s (util ${aux("pagerank_conv")._1}%.2f) |
+         || WCC (to fixpoint) | ${q("wcc")}%.1f s |
+         || CDLP 10 rounds | ${q("cdlp_10r")}%.1f s |
+         || Triangles | ${q("triangles")}%.1f s |
          |""".stripMargin
     Files.writeString(Paths.get("BENCH.md"), md)
     // the JSON line must be the LAST stdout output (after a unique

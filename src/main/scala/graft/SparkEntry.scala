@@ -40,6 +40,19 @@ object SparkEntry {
   private val CdlpRounds = 10
   private val KcoreK = 30
 
+  /** Literal probe sets for the has_path / is_simple_path driver queries
+    * (the reference apps answer one query per run). Mix of reachable and
+    * unreachable pairs / valid and invalid walks at the oracle sf.
+    */
+  private val HasPathPairs = Seq(
+    ("assistant", "system"),    // system has no in-edges → false
+    ("system", "assistant"),    // true
+    ("assistant", "tool:t4"))   // true
+  private val SimplePathCases = Seq(
+    Seq("assistant", "u1", "assistant:794"), // both hops are edges → true
+    Seq("u1", "assistant", "u1"),            // repeated vertex → false
+    Seq("assistant", "system"))              // no such edge → false
+
   private val graphCache = TrieMap.empty[(SparkSession, Double), LinkGraph]
 
   /** Transcript-derived graph for the given data dir (memoized per
@@ -491,6 +504,14 @@ object SparkEntry {
       graft.gie.Gremlin.run(graphFor(s, dir),
         "g.V().has('oid', 'system').out('1..2').simplePath().path()" +
           ".values('path_str').order().by('path_str', asc).limit(50)")),
+    // Union (algebra.proto:74): three branch sub-traversals merged with
+    // bag semantics, then groupCount + ordered top-k
+    "tg_gremlin_union" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().has('oid', 'system')" +
+          ".union(__.out(), __.in(), __.out().out())" +
+          ".groupCount().by('oid')" +
+          ".order().by('n', desc).by('oid', asc).limit(20)")),
 
     // ---- training-data pipeline plane: dedup / text / similarity ----
     "d_dedup_norm" -> ((s, dir) =>
@@ -632,6 +653,43 @@ object SparkEntry {
       Seq(graft.algos.Paths2.averageLength(g, Seq("assistant", "tool:t0", "system")))
         .toDF("avg_len").select(round(col("avg_len"), 6).as("avg_len"))
     }),
+    // bfs_generic predecessors mode (apps/bfs/bfs_generic.h): ALL
+    // shortest-path predecessor pairs of the BFS DAG, not just the tree
+    "tg_bfs_preds" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      graft.algos.BFSGeneric.predecessors(g, "assistant")
+        .join(g.vertices.toDF, Seq("id"))
+        .join(g.vertices.toDF.select(col("id").as("pred"), col("oid").as("pred_oid")),
+          Seq("pred"))
+        .select(col("oid"), col("pred_oid"))
+    }),
+    // sssp_has_path (apps/sssp/sssp_has_path.h): per-pair reachability —
+    // the reference app answers one (src, dst) query per run; the probe
+    // set mixes reachable and unreachable pairs
+    "tg_has_path" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      val sess = s; import sess.implicits._
+      HasPathPairs.map { case (a, b) => (a, b, graft.algos.Paths2.hasPath(g, a, b)) }
+        .toDF("src_oid", "dst_oid", "has_path")
+    }),
+    // is_simple_path (gs::IsSimplePath): literal oid walks — edge
+    // existence is the data-dependent part the oracle exercises
+    "tg_is_simple_path" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      val sess = s; import sess.implicits._
+      SimplePathCases.map(p => (p.mkString(">"), graft.algos.Paths3.isSimplePath(g, p)))
+        .toDF("path_str", "is_simple")
+    }),
+    // As/select tag jump via the Gremlin string front-end: tag the agent,
+    // expand to a user, jump back — one bag row per agent→user edge
+    "tg_gremlin_tags" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().has('oid', TextP.startingWith('agent:')).as('a').out()" +
+          ".has('oid', TextP.startingWith('u')).select('a').values('oid')")),
+    // embedding-cosine near-dup pairs (bucket-guarded sign-LSH candidates)
+    "s_cosine_pairs" -> ((s, dir) =>
+      graft.ml.Similarity.cosineNearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.35)),
     // token-set Jaccard of adjacent doc ids (the n-gram Jaccard op in a
     // SQL-checkable form)
     "d_jaccard_adj" -> ((s, dir) => {
@@ -662,6 +720,9 @@ object SparkEntry {
       "tg_sssp" -> (SynthSql2.ssspSql(OracleSf, 25), SynthSql2.ssspSql(OracleSf, 26)),
       "tg_bfs" -> (SynthSql2.bfsSql(OracleSf, 15), SynthSql2.bfsSql(OracleSf, 16)),
       "tg_bfs_tree" -> (SynthSql3.bfsTreeSql(OracleSf, 15), SynthSql3.bfsTreeSql(OracleSf, 16)),
+      "tg_bfs_preds" -> (SynthSql3.bfsPredsSql(OracleSf, 15), SynthSql3.bfsPredsSql(OracleSf, 16)),
+      "tg_has_path" -> (SynthSql3.hasPathSql(OracleSf, HasPathPairs, 18),
+        SynthSql3.hasPathSql(OracleSf, HasPathPairs, 19)),
       "tg_kcore" -> (SynthSql2.kcoreSql(OracleSf, KcoreK, 8), SynthSql2.kcoreSql(OracleSf, KcoreK, 9)),
       "tg_kshell" -> (graft.synth.SynthSql4.kshellSql(OracleSf, 18),
         graft.synth.SynthSql4.kshellSql(OracleSf, 19)),
@@ -789,6 +850,7 @@ object SparkEntry {
     "tg_gremlin_pathexpand" -> SynthSql3.giePathExpandSql(OracleSf, "system", 1, 3),
     "tg_gremlin_exists" -> SynthSql3.gieExistsSql(OracleSf),
     "tg_gremlin_topk" -> SynthSql3.gieTopkSql(OracleSf, 10),
+    "tg_gremlin_union" -> SynthSql3.gieUnionSql(OracleSf, "system", 20),
     "tg_gie_paths" -> graft.synth.SynthSql4.giePathsSql(OracleSf, "system"),
     "tg_gremlin_paths" -> graft.synth.SynthSql4.giePathsTopSql(OracleSf, "system", 50),
     "tg_pagerank_tol" -> SynthSql3.pageRankTolSql(OracleSf),
@@ -823,6 +885,11 @@ object SparkEntry {
     "d_simhash_pairs" -> graft.synth.LshSql.simhashPairsSql(maxDist = 3),
     "s_cosine_topk" -> SynthSql2.cosineTopKSql((0L until 10L).toSeq, 5),
     "s_lsh_topk" -> graft.synth.LshSql.lshTopKSql((0L until 10L).toSeq, 5),
+    "s_cosine_pairs" -> graft.synth.LshSql.cosinePairsSql(0.35),
+    "tg_bfs_preds" -> SynthSql3.bfsPredsSql(OracleSf),
+    "tg_has_path" -> SynthSql3.hasPathSql(OracleSf, HasPathPairs),
+    "tg_is_simple_path" -> SynthSql3.isSimplePathSql(OracleSf, SimplePathCases),
+    "tg_gremlin_tags" -> SynthSql3.gieTagsSql(OracleSf),
     "tg_kcore" -> SynthSql2.kcoreSql(OracleSf, KcoreK),
     "tg_kshell" -> graft.synth.SynthSql4.kshellSql(OracleSf),
     "tg_sssp_path" -> graft.synth.SynthSql4.ssspPathSql(OracleSf),

@@ -21,7 +21,8 @@ import graft.graph.LinkGraph
   * `out('l..u').path()` / `out('l..u').simplePath().path()` (PathExpand
   * result_opt ALL_V: materialized walks with a `path_str` column),
   * `outE()`, `values('oid')`, `dedup()`, `as('t')`, `select('t')`,
-  * `where(<sub>)`, `not(<sub>)`, `repeat(<sub>).times(n)`,
+  * `where(<sub>)`, `not(<sub>)`, `union(<sub>, …)`,
+  * `repeat(<sub>).times(n)`,
   * `groupCount().by('oid')`, `order().by(col, asc|desc)…`,
   * `limit(n)`, `count()`, `endV()`, `hops()` (GIE Auxilia on the
   * PathExpand hop column). String literals take single or double
@@ -214,6 +215,15 @@ object Gremlin {
             case Left(res) => res
             case Right(_) => throw new IllegalArgumentException("not() sub-traversal must stay vertex-typed")
           }))
+        case ("union", subs) if subs.nonEmpty && subs.forall(_.isInstanceOf[Sub]) =>
+          val branches = subs.map { case Sub(sub) =>
+            (o: Traversal) => eval(o, sub, sourceDone = true) match {
+              case Left(res) => res
+              case Right(_) => throw new IllegalArgumentException(
+                "union() branches must stay vertex-typed")
+            }
+          }
+          st = Left(t.union(branches: _*))
         case ("repeat", List(Sub(sub))) => rest match {
           case Step("times", List(Num(n))) :: tl =>
             var cur = t

@@ -133,6 +133,22 @@ final class Traversal private[gie] (g: LinkGraph, val df: DataFrame) {
     next(df.join(hits, Seq("__v"), how))
   }
 
+  /** Union (`algebra.proto:74,394`, Gremlin union()): run each branch
+    * sub-traversal from the current traverser frame and merge the
+    * outputs with bag semantics — traverser multiplicity preserved, as
+    * the GIE runtime merges its parallel branch streams. Branch schemas
+    * are aligned on the columns common to every branch (the current
+    * vertex always survives); `unionAll` is a zero-shuffle concat.
+    */
+  def union(fs: (Traversal => Traversal)*): Traversal = {
+    require(fs.nonEmpty, "union() needs at least one branch")
+    val branches = fs.map(f => f(this).df)
+    val common = branches.map(_.columns.toSet).reduce(_ intersect _)
+    require(common.contains("__v"), "union branches must stay vertex-typed")
+    val cols = branches.head.columns.filter(common.contains).toSeq.map(col)
+    next(branches.map(_.select(cols: _*)).reduce(_ unionAll _))
+  }
+
   /** PathExpand lower..upper hops (`algebra.proto:287`) fused with
     * Dedup: the set of vertices whose shortest hop distance from the
     * current traverser *set* falls in [lower, upper], with that

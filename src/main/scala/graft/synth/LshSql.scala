@@ -122,20 +122,27 @@ object LshSql {
     * across `nTables` tables, scored/ranked like the brute-force twin.
     * Matches `Similarity.lshTopK(idCol="vec_id", vecCol="embedding")`.
     */
-  def lshTopKSql(
-      queryIds: Seq[Long], k: Int, nPlanes: Int = 8, nTables: Int = 4,
-      maxBucket: Int = 100000): String = {
+  /** Shared sign-LSH bucket CTE prefix: `e` (vectors), `ks` (bucket key
+    * per table), `bsz` (bucket sizes for the skew guard).
+    */
+  private def bucketCtes(nPlanes: Int, nTables: Int): String = {
     val keyExpr = (0 until nPlanes).map { pl =>
       val proj = s"list_aggregate(list_transform(generate_series(1, len(v)), i -> " +
         s"v[i] * ${pcSql(s"(t*$nPlanes + $pl)", "(i - 1)")}), 'sum')"
       s"(CASE WHEN $proj > 0 THEN ${1L << pl} ELSE 0 END)"
     }.mkString(" + ")
-    val ids = queryIds.mkString(", ")
-    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |ks AS MATERIALIZED (
        |  SELECT vec_id, t, CAST($keyExpr AS BIGINT) AS key
        |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, ${nTables - 1})) AS t) tt),
-       |bsz AS (SELECT t, key, count(*) AS c FROM ks GROUP BY t, key),
+       |bsz AS (SELECT t, key, count(*) AS c FROM ks GROUP BY t, key)""".stripMargin
+  }
+
+  def lshTopKSql(
+      queryIds: Seq[Long], k: Int, nPlanes: Int = 8, nTables: Int = 4,
+      maxBucket: Int = 100000): String = {
+    val ids = queryIds.mkString(", ")
+    s"""WITH ${bucketCtes(nPlanes, nTables)},
        |q AS (SELECT vec_id AS query_id, t, key FROM ks WHERE vec_id IN ($ids)),
        |cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
        |         FROM q JOIN ks c ON c.t = q.t AND c.key = q.key AND c.vec_id <> q.query_id
@@ -152,4 +159,24 @@ object LshSql {
        |  FROM scored) z
        |WHERE rank <= $k""".stripMargin
   }
+
+  /** Embedding-cosine near-dup pairs — all co-bucket pairs (any of the
+    * `nTables` plane sets, bucket-size-guarded) with cosine ≥ threshold.
+    * Matches `Similarity.cosineNearDupPairs(idCol="vec_id",
+    * vecCol="embedding")`.
+    */
+  def cosinePairsSql(
+      threshold: Double, nPlanes: Int = 8, nTables: Int = 4,
+      maxBucket: Int = 100000): String =
+    s"""WITH ${bucketCtes(nPlanes, nTables)},
+       |cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+       |         FROM ks l JOIN ks r ON r.t = l.t AND r.key = l.key AND l.vec_id < r.vec_id
+       |         JOIN bsz ON bsz.t = l.t AND bsz.key = l.key
+       |         WHERE bsz.c <= $maxBucket)
+       |SELECT id_a, id_b, cos_sim FROM (
+       |  SELECT id_a, id_b,
+       |         round(list_dot_product(a.v, b.v) /
+       |               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 5) AS cos_sim
+       |  FROM cand JOIN e a ON a.vec_id = cand.id_a JOIN e b ON b.vec_id = cand.id_b) z
+       |WHERE cos_sim >= $threshold""".stripMargin
 }

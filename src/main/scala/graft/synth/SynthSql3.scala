@@ -476,6 +476,25 @@ object SynthSql3 {
        |FROM dedges e JOIN vertices vd ON vd.id = e.dst
        |GROUP BY vd.oid ORDER BY n DESC, oid ASC LIMIT $k""".stripMargin
 
+  /** GIE Union (`algebra.proto:74`): three branches from the same
+    * source set — out(), in(), out().out() — merged with bag semantics,
+    * then groupCount + ordered top-k. Twin of
+    * `Traversal.union(_.out(), _.in(), _.out().out())`.
+    */
+  def gieUnionSql(sf: Double, sourceOid: String, k: Int): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |s AS (SELECT id FROM vertices WHERE oid = '$sourceOid'),
+       |u AS (
+       |  SELECT e.dst AS id FROM dedges e JOIN s ON e.src = s.id
+       |  UNION ALL
+       |  SELECT e.src AS id FROM dedges e JOIN s ON e.dst = s.id
+       |  UNION ALL
+       |  SELECT e2.dst AS id FROM dedges e1 JOIN s ON e1.src = s.id
+       |  JOIN dedges e2 ON e2.src = e1.dst)
+       |SELECT v.oid AS oid, count(*) AS n
+       |FROM u JOIN vertices v ON v.id = u.id
+       |GROUP BY v.oid ORDER BY n DESC, oid ASC LIMIT $k""".stripMargin
+
   /** SegmentApply (per-source top-k out-edges by weight) — twin of
     * `Traversal.outE().segmentTopK(...)`. Per-src ranking commutes with
     * the source filter, so ranking over all sources then filtering
@@ -495,7 +514,11 @@ object SynthSql3 {
     * shortest path (null for the source). Levels from the same unrolled
     * expansion as [[SynthSql2.bfsSql]].
     */
-  def bfsTreeSql(sf: Double, rounds: Int = 15): String = {
+  /** Unrolled BFS level chain `b0..b{rounds}` from `sourceOid`, ending
+    * in `lv(id, lvl)` = the reachable set with levels (shared by the
+    * tree/predecessors twins).
+    */
+  private def bfsLevelCtes(sourceOid: String, rounds: Int): String = {
     val body = (1 to rounds).map { k =>
       val p = s"b${k - 1}"
       s"""b$k AS MATERIALIZED (
@@ -508,10 +531,14 @@ object SynthSql3 {
          |    WHERE p2.lvl = ${k - 1}) m ON m.id = v.id
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${SynthSql.graphCtes(sf)},
-       |b0 AS (SELECT id, CASE WHEN oid = 'assistant' THEN 0 ELSE NULL END AS lvl FROM vertices),
+    s"""b0 AS (SELECT id, CASE WHEN oid = '$sourceOid' THEN 0 ELSE NULL END AS lvl FROM vertices),
        |$body,
-       |lv AS (SELECT id, lvl FROM b$rounds WHERE lvl IS NOT NULL),
+       |lv AS (SELECT id, lvl FROM b$rounds WHERE lvl IS NOT NULL)""".stripMargin
+  }
+
+  def bfsTreeSql(sf: Double, rounds: Int = 15): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |${bfsLevelCtes("assistant", rounds)},
        |par AS (
        |  SELECT e.dst AS id, min(e.src) AS par
        |  FROM dedges e JOIN lv ls ON e.src = ls.id JOIN lv ld ON e.dst = ld.id
@@ -520,5 +547,78 @@ object SynthSql3 {
        |FROM lv l JOIN vertices v ON l.id = v.id
        |LEFT JOIN par p ON p.id = l.id
        |LEFT JOIN vertices pv ON p.par = pv.id""".stripMargin
+
+  /** bfs_generic AUX mode (reference `apps/bfs/bfs_generic.h`): ALL
+    * shortest-path predecessor pairs of the BFS DAG — every edge u→v
+    * with level(u) = level(v) − 1. Twin of `BFSGeneric.predecessors`.
+    */
+  def bfsPredsSql(sf: Double, rounds: Int = 15): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |${bfsLevelCtes("assistant", rounds)}
+       |SELECT vd.oid AS oid, vs.oid AS pred_oid
+       |FROM dedges e JOIN lv ls ON e.src = ls.id JOIN lv ld ON e.dst = ld.id
+       |JOIN vertices vd ON vd.id = e.dst JOIN vertices vs ON vs.id = e.src
+       |WHERE ls.lvl = ld.lvl - 1""".stripMargin
+
+  /** sssp_has_path (reference `apps/sssp/sssp_has_path.h`): batched
+    * reachability for the given (src, dst) oid pairs — one multi-source
+    * frontier chain keyed by source tag, converged at `rounds` (probed
+    * k vs k+1 like the other unrolled fixpoints).
+    */
+  def hasPathSql(sf: Double, pairs: Seq[(String, String)], rounds: Int = 18): String = {
+    val srcs = pairs.map(_._1).distinct.zipWithIndex
+    val srcVals = srcs.map { case (o, t) => s"($t, '$o')" }.mkString(", ")
+    val pairVals = pairs.map { case (a, b) => s"('$a', '$b')" }.mkString(", ")
+    val body = (1 to rounds).map { k =>
+      val f = s"f${k - 1}"; val vis = s"vis${k - 1}"
+      s"""f$k AS MATERIALIZED (
+         |  SELECT DISTINCT p.tag, e.dst AS id FROM dedges e JOIN $f p ON e.src = p.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM $vis v WHERE v.tag = p.tag AND v.id = e.dst)),
+         |vis$k AS MATERIALIZED (
+         |  SELECT tag, id FROM $vis UNION ALL SELECT tag, id FROM f$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |s0(tag, oid) AS (VALUES $srcVals),
+       |f0 AS (SELECT s.tag, v.id FROM s0 s JOIN vertices v ON v.oid = s.oid),
+       |vis0 AS (SELECT tag, id FROM f0),
+       |$body
+       |SELECT p.src_oid, p.dst_oid,
+       |  EXISTS (SELECT 1 FROM vis$rounds v JOIN s0 s ON s.tag = v.tag
+       |          JOIN vertices tv ON tv.id = v.id
+       |          WHERE s.oid = p.src_oid AND tv.oid = p.dst_oid) AS has_path
+       |FROM (VALUES $pairVals) p(src_oid, dst_oid)""".stripMargin
   }
+
+  /** is_simple_path (reference `gs::IsSimplePath`): for each literal oid
+    * walk, every consecutive pair must be an edge and no vertex may
+    * repeat (the repeat check is a generator-side constant — it depends
+    * only on the literal path; the edge-existence is data-dependent and
+    * is what the oracle exercises).
+    */
+  def isSimplePathSql(sf: Double, paths: Seq[Seq[String]]): String = {
+    val rows = paths.map { p =>
+      val pathStr = p.mkString(">")
+      val noDup = p.distinct.size == p.size
+      if (p.size < 2) s"SELECT '$pathStr' AS path_str, ${p.nonEmpty} AS is_simple"
+      else {
+        val hops = p.zip(p.tail).map { case (a, b) => s"('$a', '$b')" }.mkString(", ")
+        s"""SELECT '$pathStr' AS path_str, ($noDup AND
+           |  (SELECT count(*) FROM (VALUES $hops) h(a, b)
+           |   JOIN edges_oid e ON e.src_oid = h.a AND e.dst_oid = h.b) = ${p.size - 1}) AS is_simple""".stripMargin
+      }
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |$rows""".stripMargin
+  }
+
+  /** As/select tag jump (`algebra.proto:236` As + select-by-tag): tag
+    * the agent, expand to a user, jump back — one bag row per
+    * agent→user edge. Twin of the Gremlin `as('a')…select('a')` query.
+    */
+  def gieTagsSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT vs.oid AS oid
+       |FROM dedges e JOIN vertices vs ON vs.id = e.src
+       |JOIN vertices vd ON vd.id = e.dst
+       |WHERE vs.oid LIKE 'agent:%' AND vd.oid LIKE 'u%'""".stripMargin
 }

@@ -119,6 +119,22 @@ class GremlinSpec extends SparkSpec {
     assert(paths(simple = false, 0, 1) == Set("x", "x>y"))
   }
 
+  test("union(sub, ...) merges branches with bag semantics") {
+    val viaText = Gremlin.run(g,
+      "g.V().has('oid', 'u0').union(__.out(), __.out().out()).groupCount().by('oid')")
+    val viaDsl = G.V(g, col("oid") === "u0")
+      .union(_.out(), _.out().out()).auxilia().groupCount("oid")
+    assert(rows(viaText) == rows(viaDsl))
+    // out(): a0, a1; out().out(): t0 (via a0), a1 (via a0), t0 (via a1)
+    assert(rows(viaText) == Set("a0|1", "a1|2", "t0|2"))
+    // a tag common to every branch survives; branch-local tags are dropped
+    val tagged = G.V(g, col("oid") === "u0").as_("root")
+      .union(_.out(), _.in())
+    assert(tagged.df.columns.toSet == Set("__v", "root"))
+    intercept[IllegalArgumentException](
+      Gremlin.run(g, "g.V().union(__.out().count()).values('oid')"))
+  }
+
   test("parse errors are rejected with position info") {
     val e1 = intercept[IllegalArgumentException](Gremlin.run(g, "g.V().has('oid'"))
     assert(e1.getMessage.contains("parse error"))
