@@ -663,6 +663,31 @@ object SparkEntry {
           Seq("pred"))
         .select(col("oid"), col("pred_oid"))
     }),
+    // bfs_generic successors mode: every BFS-DAG edge as (oid, succ_oid)
+    "tg_bfs_succs" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      graft.algos.BFSGeneric.successors(g, "assistant")
+        .join(g.vertices.toDF, Seq("id"))
+        .join(g.vertices.toDF.select(col("id").as("succ"), col("oid").as("succ_oid")),
+          Seq("succ"))
+        .select(col("oid"), col("succ_oid"))
+    }),
+    // versioned snapshot sink (groot analog): two atomic commits of the
+    // out-degree table, read-back at the _latest pointer, manifest row
+    // count checked against the table's own cardinality
+    "q_snapshot_sink" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      val store = new graft.ingest.SnapshotStore(
+        java.nio.file.Files.createTempDirectory("graft-snap").toString)
+      val deg = g.edges.toDF.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        .join(g.vertices.toDF.select(col("id").as("src"), col("oid")), "src")
+        .select(col("oid"), col("outdeg"))
+      store.write("degrees", deg.where(col("oid").like("agent:%")), Map("commit" -> 0.0))
+      store.write("degrees", deg, Map("commit" -> 1.0))
+      val (v, back) = store.readLatest(s, "degrees").get
+      val m = store.readManifest("degrees", v)
+      back.withColumn("version", lit(v)).withColumn("manifest_rows", lit(m.rows))
+    }),
     // sssp_has_path (apps/sssp/sssp_has_path.h): per-pair reachability —
     // the reference app answers one (src, dst) query per run; the probe
     // set mixes reachable and unreachable pairs
@@ -721,6 +746,7 @@ object SparkEntry {
       "tg_bfs" -> (SynthSql2.bfsSql(OracleSf, 15), SynthSql2.bfsSql(OracleSf, 16)),
       "tg_bfs_tree" -> (SynthSql3.bfsTreeSql(OracleSf, 15), SynthSql3.bfsTreeSql(OracleSf, 16)),
       "tg_bfs_preds" -> (SynthSql3.bfsPredsSql(OracleSf, 15), SynthSql3.bfsPredsSql(OracleSf, 16)),
+      "tg_bfs_succs" -> (SynthSql3.bfsSuccsSql(OracleSf, 15), SynthSql3.bfsSuccsSql(OracleSf, 16)),
       "tg_has_path" -> (SynthSql3.hasPathSql(OracleSf, HasPathPairs, 18),
         SynthSql3.hasPathSql(OracleSf, HasPathPairs, 19)),
       "tg_kcore" -> (SynthSql2.kcoreSql(OracleSf, KcoreK, 8), SynthSql2.kcoreSql(OracleSf, KcoreK, 9)),
@@ -887,6 +913,8 @@ object SparkEntry {
     "s_lsh_topk" -> graft.synth.LshSql.lshTopKSql((0L until 10L).toSeq, 5),
     "s_cosine_pairs" -> graft.synth.LshSql.cosinePairsSql(0.35),
     "tg_bfs_preds" -> SynthSql3.bfsPredsSql(OracleSf),
+    "tg_bfs_succs" -> SynthSql3.bfsSuccsSql(OracleSf),
+    "q_snapshot_sink" -> SynthSql3.snapshotSinkSql(OracleSf),
     "tg_has_path" -> SynthSql3.hasPathSql(OracleSf, HasPathPairs),
     "tg_is_simple_path" -> SynthSql3.isSimplePathSql(OracleSf, SimplePathCases),
     "tg_gremlin_tags" -> SynthSql3.gieTagsSql(OracleSf),

@@ -560,6 +560,32 @@ object SynthSql3 {
        |JOIN vertices vd ON vd.id = e.dst JOIN vertices vs ON vs.id = e.src
        |WHERE ls.lvl = ld.lvl - 1""".stripMargin
 
+  /** bfs_generic successors mode: every BFS-DAG edge projected as
+    * (source oid, successor oid). Twin of `BFSGeneric.successors`.
+    */
+  def bfsSuccsSql(sf: Double, rounds: Int = 15): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |${bfsLevelCtes("assistant", rounds)}
+       |SELECT vs.oid AS oid, vd.oid AS succ_oid
+       |FROM dedges e JOIN lv ls ON e.src = ls.id JOIN lv ld ON e.dst = ld.id
+       |JOIN vertices vd ON vd.id = e.dst JOIN vertices vs ON vs.id = e.src
+       |WHERE ls.lvl = ld.lvl - 1""".stripMargin
+
+  /** Snapshot-sink round-trip twin: the out-degree table the Spark side
+    * commits twice to a versioned [[graft.ingest.SnapshotStore]] and
+    * reads back at `_latest` — version is the second commit (1), and the
+    * manifest row count must equal the table's own cardinality (the
+    * manifest is built from parquet footers, so a mismatch means a
+    * broken commit).
+    */
+  def snapshotSinkSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |d AS (SELECT vs.oid AS oid, count(*) AS outdeg
+       |      FROM dedges e JOIN vertices vs ON vs.id = e.src GROUP BY vs.oid)
+       |SELECT oid, outdeg, CAST(1 AS INTEGER) AS version,
+       |       (SELECT count(*) FROM d) AS manifest_rows
+       |FROM d""".stripMargin
+
   /** sssp_has_path (reference `apps/sssp/sssp_has_path.h`): batched
     * reachability for the given (src, dst) oid pairs — one multi-source
     * frontier chain keyed by source tag, converged at `rounds` (probed

@@ -36,7 +36,7 @@ object PlanAudit {
 
     Seq("q_scan_filter", "q_group_agg", "q_topk", "q_join_agg", "q_window",
       "tg_edges", "d_textstats", "s_cosine_topk", "tg_gie_2hop", "tg_gie_segment",
-      "tg_gremlin_topk").foreach(audit)
+      "tg_gremlin_topk", "tg_gremlin_union").foreach(audit)
 
     // MinHash candidate shuffle: the dedup exchange must carry BARE id
     // pairs — the shingle arrays re-join by id afterwards. The bucket
