@@ -504,6 +504,11 @@ object SparkEntry {
       graft.gie.Gremlin.run(graphFor(s, dir),
         "g.V().has('oid', 'system').out('1..2').simplePath().path()" +
           ".values('path_str').order().by('path_str', asc).limit(50)")),
+    // both('1..2'): PathExpand with base EdgeExpand direction BOTH —
+    // undirected min-hop ring around a tool vertex
+    "tg_gremlin_both" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().has('oid', 'tool:t0').both('1..2').hops()")),
     // Union (algebra.proto:74): three branch sub-traversals merged with
     // bag semantics, then groupCount + ordered top-k
     "tg_gremlin_union" -> ((s, dir) =>
@@ -877,6 +882,7 @@ object SparkEntry {
     "tg_gremlin_exists" -> SynthSql3.gieExistsSql(OracleSf),
     "tg_gremlin_topk" -> SynthSql3.gieTopkSql(OracleSf, 10),
     "tg_gremlin_union" -> SynthSql3.gieUnionSql(OracleSf, "system", 20),
+    "tg_gremlin_both" -> SynthSql3.giePathExpandSql(OracleSf, "tool:t0", 1, 2, dir = "both"),
     "tg_gie_paths" -> graft.synth.SynthSql4.giePathsSql(OracleSf, "system"),
     "tg_gremlin_paths" -> graft.synth.SynthSql4.giePathsTopSql(OracleSf, "system", 50),
     "tg_pagerank_tol" -> SynthSql3.pageRankTolSql(OracleSf),

@@ -17,7 +17,8 @@ import graft.graph.LinkGraph
   *
   * Supported steps: `V()`, `has('oid', <lit>)`,
   * `has('oid', TextP.startingWith(p) | eq(x) | neq(x) | within(a,b))`,
-  * `out() | in() | both()`, `out('l..u')` (PathExpand + endV),
+  * `out() | in() | both()`, `out('l..u') | in('l..u') | both('l..u')`
+  * (PathExpand + endV, base-expand direction from the step name),
   * `out('l..u').path()` / `out('l..u').simplePath().path()` (PathExpand
   * result_opt ALL_V: materialized walks with a `path_str` column),
   * `outE()`, `values('oid')`, `dedup()`, `as('t')`, `select('t')`,
@@ -185,21 +186,22 @@ object Gremlin {
         case ("in", Nil) => st = Left(t.in())
         case ("both", Nil) => st = Left(t.both())
         case ("outE", Nil) => st = Left(t.outE())
-        case ("out", List(Lit(RangeLit(lo, hi)))) =>
+        case (dir @ ("out" | "in" | "both"), List(Lit(RangeLit(lo, hi)))) =>
           // GIE path_opt: an immediately following simplePath() selects
           // SIMPLE walks; a following path() selects result_opt ALL_V
           // (materialized walks via pathExpandPaths + sink-side oid
-          // decode) instead of the dedup-fused endV form.
+          // decode) instead of the dedup-fused endV form. The step name
+          // is the base EdgeExpand direction.
           val simple = rest.headOption.exists(s => s.name == "simplePath" && s.args.isEmpty)
           if (simple) rest = rest.tail
           rest match {
             case Step("path", Nil) :: tl =>
-              st = Left(t.pathExpandPaths(lo.toInt, hi.toInt, simple).pathOids())
+              st = Left(t.pathExpandPaths(lo.toInt, hi.toInt, simple, dir).pathOids())
               rest = tl
             case _ if simple =>
               throw new IllegalArgumentException("simplePath() requires a following path()")
             case _ =>
-              st = Left(t.pathExpand(lo.toInt, hi.toInt))
+              st = Left(t.pathExpand(lo.toInt, hi.toInt, dir))
           }
         case ("endV", Nil) => st = Left(t) // GetV after range expand — already vertex-positioned
         case ("dedup", Nil) => st = Left(t.dedup())

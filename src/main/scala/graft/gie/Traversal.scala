@@ -149,15 +149,29 @@ final class Traversal private[gie] (g: LinkGraph, val df: DataFrame) {
     next(branches.map(_.select(cols: _*)).reduce(_ unionAll _))
   }
 
+  /** Hop relation (__v → dst) for a PathExpand direction — the GIE
+    * PathExpand `base` EdgeExpand direction (`algebra.proto:254`
+    * Direction OUT/IN/BOTH).
+    */
+  private def expandRel(dir: String): DataFrame = dir match {
+    case "out" => edges.select(col("src").as("__v"), col("dst"))
+    case "in" => edges.select(col("dst").as("__v"), col("src").as("dst"))
+    case "both" => edges.select(col("src").as("__v"), col("dst"))
+      .unionAll(edges.select(col("dst").as("__v"), col("src").as("dst")))
+    case other => throw new IllegalArgumentException(s"unknown expand direction: $other")
+  }
+
   /** PathExpand lower..upper hops (`algebra.proto:287`) fused with
     * Dedup: the set of vertices whose shortest hop distance from the
     * current traverser *set* falls in [lower, upper], with that
     * distance as `__hops`. Level-synchronous first-visit expansion —
     * each hop is one frontier join + anti-join, materialized
-    * ([[Engine.materialize]]) to keep lineage flat.
+    * ([[Engine.materialize]]) to keep lineage flat. `dir` is the base
+    * EdgeExpand direction (out/in/both).
     */
-  def pathExpand(lower: Int, upper: Int): Traversal = {
+  def pathExpand(lower: Int, upper: Int, dir: String = "out"): Traversal = {
     require(lower >= 0 && upper >= lower, "need 0 <= lower <= upper")
+    val rel = expandRel(dir)
     var reached = Engine.materialize(
       df.select(col("__v")).distinct().withColumn("__hops", lit(0L)))
     var frontier = reached.select(col("__v"))
@@ -167,7 +181,7 @@ final class Traversal private[gie] (g: LinkGraph, val df: DataFrame) {
       h += 1
       val hopsDf = broadcast(Engine.scalarLong(g.vertices.sparkSession, "__h", h.toLong))
       val nxt = Engine.materialize(
-        frontier.join(edges.select(col("src").as("__v"), col("dst")), Seq("__v"))
+        frontier.join(rel, Seq("__v"))
           .select(col("dst").as("__v")).distinct()
           .join(reached.select(col("__v")), Seq("__v"), "left_anti")
           .crossJoin(hopsDf)
@@ -198,8 +212,10 @@ final class Traversal private[gie] (g: LinkGraph, val df: DataFrame) {
     * the shuffle as a long array (ids only — oid materialization is a
     * sink-side concern, [[pathOids]]).
     */
-  def pathExpandPaths(lower: Int, upper: Int, simple: Boolean = true): Traversal = {
+  def pathExpandPaths(
+      lower: Int, upper: Int, simple: Boolean = true, dir: String = "out"): Traversal = {
     require(lower >= 0 && upper >= lower, "need 0 <= lower <= upper")
+    val rel = expandRel(dir)
     var cur = Engine.materialize(
       df.select(col("__v")).withColumn("__path", array(col("__v"))))
     var acc = if (lower == 0) cur else cur.limit(0)
@@ -208,7 +224,7 @@ final class Traversal private[gie] (g: LinkGraph, val df: DataFrame) {
     while (h < upper && live > 0) {
       h += 1
       var nxt = cur
-        .join(edges.select(col("src").as("__v"), col("dst")), Seq("__v"))
+        .join(rel, Seq("__v"))
       if (simple) nxt = nxt.where(!array_contains(col("__path"), col("dst")))
       cur = Engine.materialize(
         nxt.select(col("dst").as("__v"), concat(col("__path"), array(col("dst"))).as("__path")))

@@ -424,13 +424,14 @@ object SynthSql3 {
        |GROUP BY vd.oid""".stripMargin
 
   /** First-visit level chain shared by the PathExpand /
-    * ShortestPathExpand twins.
+    * ShortestPathExpand twins. `rel` is the hop relation (src, dst) —
+    * `dedges` for OUT, `bedges` (the symmetrized CTE) for BOTH.
     */
-  private def frontierCtes(sourceOid: String, upper: Int): String = {
+  private def frontierCtes(sourceOid: String, upper: Int, rel: String = "dedges"): String = {
     val body = (1 to upper).map { k =>
       val f = s"f${k - 1}"; val vis = s"vis${k - 1}"
       s"""f$k AS MATERIALIZED (
-         |  SELECT DISTINCT e.dst AS id FROM dedges e JOIN $f f ON e.src = f.id
+         |  SELECT DISTINCT e.dst AS id FROM $rel e JOIN $f f ON e.src = f.id
          |  WHERE e.dst NOT IN (SELECT id FROM $vis)),
          |vis$k AS MATERIALIZED (SELECT id, h FROM $vis UNION ALL SELECT id, $k AS h FROM f$k)""".stripMargin
     }.mkString(",\n")
@@ -440,14 +441,23 @@ object SynthSql3 {
   }
 
   /** PathExpand lower..upper (Dedup-fused min-hop semantics of
-    * `Traversal.pathExpand`).
+    * `Traversal.pathExpand`); `dir` = base EdgeExpand direction.
     */
-  def giePathExpandSql(sf: Double, sourceOid: String, lower: Int, upper: Int): String =
+  def giePathExpandSql(
+      sf: Double, sourceOid: String, lower: Int, upper: Int, dir: String = "out"): String = {
+    val (prefix, rel) = dir match {
+      case "out" => ("", "dedges")
+      case "both" =>
+        ("bedges AS (SELECT src, dst FROM dedges UNION ALL SELECT dst AS src, src AS dst FROM dedges),\n",
+          "bedges")
+      case other => throw new IllegalArgumentException(s"unsupported twin direction: $other")
+    }
     s"""WITH ${SynthSql.graphCtes(sf)},
-       |${frontierCtes(sourceOid, upper)}
+       |$prefix${frontierCtes(sourceOid, upper, rel)}
        |SELECT v.oid AS oid, CAST(z.h AS BIGINT) AS hops
        |FROM vis$upper z JOIN vertices v ON z.id = v.id
        |WHERE z.h BETWEEN $lower AND $upper""".stripMargin
+  }
 
   /** ShortestPathExpand + endpoint filter (`Traversal.shortestPathExpand`
     * then Auxilia + Select).

@@ -119,6 +119,18 @@ class GremlinSpec extends SparkSpec {
     assert(paths(simple = false, 0, 1) == Set("x", "x>y"))
   }
 
+  test("both('1..2') expands undirected; in('1..1') expands reverse") {
+    // fixture: u0→a0, u0→a1, u1→a0, a0→t0, a1→t0, a0→a1, t0→u1
+    val both = Gremlin.run(g, "g.V().has('oid', 't0').both('1..2').hops()")
+    val viaDsl = G.V(g, col("oid") === "t0").pathExpand(1, 2, "both")
+      .auxilia().df.select(col("oid"), col("__hops").as("hops"))
+    assert(rows(both) == rows(viaDsl))
+    // t0 ring: 1 hop = {a0, a1 (in), u1 (out)}; 2 hops = {u0}
+    assert(rows(both) == Set("a0|1", "a1|1", "u1|1", "u0|2"))
+    val rev = Gremlin.run(g, "g.V().has('oid', 't0').in('1..1').hops()")
+    assert(rows(rev) == Set("a0|1", "a1|1"))
+  }
+
   test("union(sub, ...) merges branches with bag semantics") {
     val viaText = Gremlin.run(g,
       "g.V().has('oid', 'u0').union(__.out(), __.out().out()).groupCount().by('oid')")
