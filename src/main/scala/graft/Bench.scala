@@ -77,24 +77,27 @@ object Bench {
     val highCpus = sys.env.getOrElse("SPARK_GRAFT_SCALE_HIGH", (lowCpus * 4).toString).toInt
     val tmp = Files.createTempDirectory("graft-bench").toString
     val q = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Process-CPU + load sampling, shared by the headline phase and the
+    // scaling runs (all executor threads live in this JVM, so
+    // getProcessCpuTime covers exactly the work we scheduled).
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def loadAvg(): Double =
+      scala.util.Try(Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble)
+        .getOrElse(-1.0)
     // Per-headline-query utilization + machine load: the headline phase is
     // single-run (re-running a 70-iteration convergence sweep ×5 would blow
     // the bench budget), so instead make co-tenant steal SELF-EVIDENT — a
     // query whose util is far below 1.0 while the load average is high lost
     // its wall-clock to steal, not to a plan regression.
     val aux = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
-    val osBean0 = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-    def loadAvg0(): Double =
-      scala.util.Try(Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble)
-        .getOrElse(-1.0)
     def headline[A](name: String, p: Int)(f: => A): A = {
-      val l0 = loadAvg0()
-      val cpu0 = osBean0.getProcessCpuTime
+      val l0 = loadAvg()
+      val cpu0 = osBean.getProcessCpuTime
       val (a, sec) = timed(f)
-      val cpuSec = (osBean0.getProcessCpuTime - cpu0) / 1e9
+      val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
       q(name) = sec
-      aux(name) = (if (sec > 0) cpuSec / (sec * p) else 0.0, math.max(l0, loadAvg0()))
+      aux(name) = (if (sec > 0) cpuSec / (sec * p) else 0.0, math.max(l0, loadAvg()))
       a
     }
 
@@ -141,11 +144,6 @@ object Bench {
       def thrCpu: Double = if (cpuSec > 0) thr * (sec / (cpuSec / p)) else 0.0
       def util: Double = if (sec > 0) cpuSec / (sec * p) else 0.0
     }
-    def loadAvg(): Double =
-      scala.util.Try(Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble)
-        .getOrElse(-1.0)
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     def scalingRun(p: Int): Run = {
       val s = session(p)
       val gl = loadGraph(s, tmp)

@@ -682,8 +682,8 @@ object SparkEntry {
     // count checked against the table's own cardinality
     "q_snapshot_sink" -> ((s, dir) => {
       val g = graphFor(s, dir)
-      val store = new graft.ingest.SnapshotStore(
-        java.nio.file.Files.createTempDirectory("graft-snap").toString)
+      val root = java.nio.file.Files.createTempDirectory("graft-snap")
+      val store = new graft.ingest.SnapshotStore(root.toString)
       val deg = g.edges.toDF.groupBy("src").agg(count(lit(1)).as("outdeg"))
         .join(g.vertices.toDF.select(col("id").as("src"), col("oid")), "src")
         .select(col("oid"), col("outdeg"))
@@ -691,7 +691,13 @@ object SparkEntry {
       store.write("degrees", deg, Map("commit" -> 1.0))
       val (v, back) = store.readLatest(s, "degrees").get
       val m = store.readManifest("degrees", v)
-      back.withColumn("version", lit(v)).withColumn("manifest_rows", lit(m.rows))
+      // eager checkpoint so the scratch snapshot dir can be deleted right
+      // away — repeated driver runs would otherwise accumulate /tmp parquet
+      val out = back.withColumn("version", lit(v))
+        .withColumn("manifest_rows", lit(m.rows))
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+      out
     }),
     // sssp_has_path (apps/sssp/sssp_has_path.h): per-pair reachability —
     // the reference app answers one (src, dst) query per run; the probe

@@ -558,28 +558,30 @@ object SynthSql3 {
        |LEFT JOIN par p ON p.id = l.id
        |LEFT JOIN vertices pv ON p.par = pv.id""".stripMargin
 
-  /** bfs_generic AUX mode (reference `apps/bfs/bfs_generic.h`): ALL
-    * shortest-path predecessor pairs of the BFS DAG — every edge u→v
-    * with level(u) = level(v) − 1. Twin of `BFSGeneric.predecessors`.
+  /** BFS-DAG edges (every edge u→v with level(u) = level(v) − 1),
+    * projected per caller — the shared body of the predecessors /
+    * successors twins so their DAG predicate cannot diverge.
     */
-  def bfsPredsSql(sf: Double, rounds: Int = 15): String =
+  private def bfsDagEdgesSql(sf: Double, rounds: Int, projection: String): String =
     s"""WITH ${SynthSql.graphCtes(sf)},
        |${bfsLevelCtes("assistant", rounds)}
-       |SELECT vd.oid AS oid, vs.oid AS pred_oid
+       |SELECT $projection
        |FROM dedges e JOIN lv ls ON e.src = ls.id JOIN lv ld ON e.dst = ld.id
        |JOIN vertices vd ON vd.id = e.dst JOIN vertices vs ON vs.id = e.src
        |WHERE ls.lvl = ld.lvl - 1""".stripMargin
+
+  /** bfs_generic AUX mode (reference `apps/bfs/bfs_generic.h`): ALL
+    * shortest-path predecessor pairs of the BFS DAG. Twin of
+    * `BFSGeneric.predecessors`.
+    */
+  def bfsPredsSql(sf: Double, rounds: Int = 15): String =
+    bfsDagEdgesSql(sf, rounds, "vd.oid AS oid, vs.oid AS pred_oid")
 
   /** bfs_generic successors mode: every BFS-DAG edge projected as
     * (source oid, successor oid). Twin of `BFSGeneric.successors`.
     */
   def bfsSuccsSql(sf: Double, rounds: Int = 15): String =
-    s"""WITH ${SynthSql.graphCtes(sf)},
-       |${bfsLevelCtes("assistant", rounds)}
-       |SELECT vs.oid AS oid, vd.oid AS succ_oid
-       |FROM dedges e JOIN lv ls ON e.src = ls.id JOIN lv ld ON e.dst = ld.id
-       |JOIN vertices vd ON vd.id = e.dst JOIN vertices vs ON vs.id = e.src
-       |WHERE ls.lvl = ld.lvl - 1""".stripMargin
+    bfsDagEdgesSql(sf, rounds, "vs.oid AS oid, vd.oid AS succ_oid")
 
   /** Snapshot-sink round-trip twin: the out-degree table the Spark side
     * commits twice to a versioned [[graft.ingest.SnapshotStore]] and
