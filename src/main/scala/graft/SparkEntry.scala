@@ -152,10 +152,14 @@ object SparkEntry {
     // any loader-option mishandling breaks the hash
     "q_csv_load" -> ((s, dir) => {
       val src = t(s, dir, "customer")
-      val csvDir = "/tmp/graft_csv_customer_" + new java.io.File(dir).getName
+      // per-invocation scratch dir (a fixed path raced concurrent drivers
+      // on overwrite-vs-read and leaked into /tmp); eager checkpoint so
+      // the dir can be deleted before returning — same hygiene as
+      // q_snapshot_sink
+      val csvDir = java.nio.file.Files.createTempDirectory("graft-csv").toString
       src.write.mode("overwrite")
         .option("header", "true").option("delimiter", "|").csv(csvDir)
-      s.read
+      val out = s.read
         .option("header", "true").option("delimiter", "|")
         .schema(src.schema)
         .csv(csvDir)
@@ -163,6 +167,9 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
           dec(sum(dec(col("c_acctbal")))).cast("double").as("acctbal_sum"))
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(csvDir))
+      out
     }),
     // GroupBy aggregates: sum/min/max/count/countDistinct/avg
     "q_group_agg" -> ((s, dir) =>
@@ -699,15 +706,11 @@ object SparkEntry {
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
       out
     }),
-    // sssp_has_path (apps/sssp/sssp_has_path.h): per-pair reachability —
-    // the reference app answers one (src, dst) query per run; the probe
-    // set mixes reachable and unreachable pairs
-    "tg_has_path" -> ((s, dir) => {
-      val g = graphFor(s, dir)
-      val sess = s; import sess.implicits._
-      HasPathPairs.map { case (a, b) => (a, b, graft.algos.Paths2.hasPath(g, a, b)) }
-        .toDF("src_oid", "dst_oid", "has_path")
-    }),
+    // sssp_has_path (apps/sssp/sssp_has_path.h): reachability for the
+    // probe set (mixes reachable and unreachable pairs) — ONE batched
+    // multi-source fixpoint for all pairs, not a fixpoint per pair
+    "tg_has_path" -> ((s, dir) =>
+      graft.algos.Paths2.hasPaths(graphFor(s, dir), HasPathPairs)),
     // is_simple_path (gs::IsSimplePath): literal oid walks — edge
     // existence is the data-dependent part the oracle exercises
     "tg_is_simple_path" -> ((s, dir) => {

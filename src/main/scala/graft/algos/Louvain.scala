@@ -95,13 +95,19 @@ object Louvain {
           (col("wvc") - lit(resolution) * col("kdeg") *
             (col("tot") - when(col("c") === col("community"), col("kdeg")).otherwise(0.0)) / m2)
             .as("gain"))
+      // round parity rides a broadcast 1-row frame, not a lit(): an
+      // iteration-varying literal would recompile codegen every round
+      // (project invariant; see Engine.scalar)
+      val parity = broadcast(
+        Engine.scalarLong(ids.sparkSession, "__par", (round % 2).toLong))
       val best = cand
         .groupBy(col("id"))
         .agg(max(struct(col("gain"), (-col("c")).as("negc"), col("c").as("cc"))).as("m"),
           max(when(col("c") === col("community"), col("gain"))).as("stay"),
           first(col("community")).as("cur"))
+        .crossJoin(parity)
         .select(col("id"),
-          when(pmod(col("id"), lit(2L)) === lit((round % 2).toLong) &&
+          when(pmod(col("id"), lit(2L)) === col("__par") &&
             col("m.gain") > coalesce(col("stay"), lit(0.0)) + lit(1e-12), col("m.cc"))
             .otherwise(col("cur")).as("newc"),
           col("cur"))

@@ -91,6 +91,27 @@ object Paths2 {
       .join(g.vertices.toDF.where(col("oid") === targetOid), Seq("id"))
       .where(col("dist").isNotNull).count() > 0
 
+  /** Batched reachability for a set of (src, dst) oid pairs — ONE
+    * multi-source SSSP over the distinct sources ((source, vertex)-keyed
+    * sparse state, [[SSSP.multiSource]]) plus a membership check, instead
+    * of a full fixpoint per pair (the reference `gs::SSSPHasPath` answers
+    * one pair per app run; at |pairs| probes the per-pair loop costs
+    * |pairs| fixpoints). Returns (src_oid, dst_oid, has_path); a vertex
+    * reaches itself (dist 0), matching the single-pair [[hasPath]].
+    */
+  def hasPaths(g: LinkGraph, pairs: Seq[(String, String)]): DataFrame = {
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val reached = SSSP.multiSource(g, pairs.map(_._1).distinct)
+      .join(g.vertices.toDF.select(col("id").as("s"), col("oid").as("src_oid")), "s")
+      .join(g.vertices.toDF.select(col("id"), col("oid").as("dst_oid")), "id")
+      .select(col("src_oid"), col("dst_oid"), lit(true).as("__hit"))
+    pairs.toDF("src_oid", "dst_oid")
+      .join(reached, Seq("src_oid", "dst_oid"), "left")
+      .select(col("src_oid"), col("dst_oid"),
+        coalesce(col("__hit"), lit(false)).as("has_path"))
+  }
+
   /** Mean shortest-path length over reachable pairs from `numSources`
     * deterministically-sampled sources (ids 0, s, 2s, …) — one batched
     * multi-source SSSP ([[SSSP.multiSource]]), not a per-source loop.

@@ -152,19 +152,26 @@ object Paths3 {
     var walk = startOids.toDF("start")
       .select(col("start"), array(col("start")).as("path"), col("start").as("tip"))
     (0 until steps).foreach { step =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("start")).orderBy(col("__pick"), col("b"))
+      // deterministic argmin via min_by, NOT a window: a hub tip's whole
+      // out-adjacency would route through one task per start vertex under
+      // partitionBy(start) (windows cannot partial-aggregate); min_by is
+      // map-side combined, so the hub fan-out reduces before the shuffle.
+      // The ordering struct is never null (fields may be — a dead-end tip
+      // contributes its single left-join row), so no candidate is dropped.
       walk = Engine.materialize(
         walk.join(oidEdges.withColumnRenamed("a", "tip"), Seq("tip"), "left")
           .withColumn("__pick",
             (graft.text.TextOps.portableHash(col("tip")) * 31L +
               graft.text.TextOps.portableHash(col("b")) * 17L +
               lit(seed * 1000003L + step * 7919L)) % p)
-          .withColumn("__rn", row_number().over(w))
-          .where(col("__rn") === 1)
+          .groupBy(col("start"))
+          .agg(min_by(
+            struct(col("b"), col("path"), col("tip")),
+            struct(col("__pick"), col("b"))).as("m"))
           .select(col("start"),
-            when(col("b").isNotNull, concat(col("path"), array(col("b")))).otherwise(col("path")).as("path"),
-            coalesce(col("b"), col("tip")).as("tip")))
+            when(col("m.b").isNotNull, concat(col("m.path"), array(col("m.b"))))
+              .otherwise(col("m.path")).as("path"),
+            coalesce(col("m.b"), col("m.tip")).as("tip")))
     }
     oidEdges.unpersist()
     walk.select(col("start").as("start_oid"), col("path"))

@@ -45,7 +45,7 @@ object Gremlin {
     private var i = 0
     private def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
     def eof: Boolean = { ws(); i >= s.length }
-    def peek: Char = { ws(); s(i) }
+    def peek: Char = { ws(); if (i >= s.length) fail("unexpected end of input"); s(i) }
     def eat(c: Char): Unit = {
       ws()
       if (i >= s.length || s(i) != c) fail(s"expected '$c'")
@@ -64,6 +64,7 @@ object Gremlin {
     }
     def stringLit(): String = {
       ws()
+      if (i >= s.length) fail("expected string literal")
       val q = s(i)
       if (q != '\'' && q != '"') fail("expected string literal")
       i += 1

@@ -231,7 +231,11 @@ final class Traversal private[gie] (g: LinkGraph, val df: DataFrame) {
       live = cur.count()
       if (h >= lower && live > 0) acc = acc.unionByName(cur)
     }
-    next(acc)
+    // acc is a chain of unions over the per-hop checkpointed frames —
+    // materialize it so downstream operators (pathOids joins the frame
+    // against a mapping derived from itself) see one flat leaf instead
+    // of a plan that grows with `upper`
+    next(Engine.materialize(acc))
   }
 
   /** Materialize `__path` (vertex ids) as an oid string `path_str` —

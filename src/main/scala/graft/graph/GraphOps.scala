@@ -69,8 +69,12 @@ object GraphOps {
     * `grape_instance.cc:1143`): apply a vertex batch and commit both
     * planes as new snapshot versions. Deleting a vertex prunes its
     * incident edges (induced-subgraph delete semantics); re-adding an
-    * existing id is idempotent (latest oid wins via max — ids are the
-    * identity, oid the property).
+    * existing id REPLACES its oid with the add-batch's (the batch is the
+    * newer write — ids are the identity, oid the property); duplicate
+    * ids within one add batch resolve to the max oid (deterministic).
+    * The merge asserts the oid↔id bijection other components (dense
+    * relabeling, oid joins) assume — an oid rename that collides with a
+    * surviving vertex fails the commit instead of silently corrupting it.
     */
   def modifyVertices(
       g: LinkGraph,
@@ -83,9 +87,14 @@ object GraphOps {
     val spark = g.vertices.sparkSession
     import spark.implicits._
     val delIds = delete.toDF.select(col("id"))
+    val addVs = add.toDF.groupBy(col("id")).agg(max(col("oid")).as("oid"))
     val mergedVs = g.vertices.toDF.join(delIds, Seq("id"), "left_anti")
-      .unionAll(add.toDF)
-      .groupBy(col("id")).agg(max(col("oid")).as("oid"))
+      .join(addVs.select(col("id")), Seq("id"), "left_anti") // add-batch oid wins
+      .unionAll(addVs)
+    val dupOids = mergedVs.groupBy(col("oid")).agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).count()
+    require(dupOids == 0,
+      s"modifyVertices would break the oid<->id bijection: $dupOids duplicate oid(s)")
     val prunedEs = g.edges.toDF
       .join(delIds.select(col("id").as("src")), Seq("src"), "left_anti")
       .join(delIds.select(col("id").as("dst")), Seq("dst"), "left_anti")

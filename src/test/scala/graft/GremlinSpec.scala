@@ -153,5 +153,12 @@ class GremlinSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](Gremlin.run(g, "V().out()"))
     assert(e2.getMessage.contains("must start with g"))
     intercept[IllegalArgumentException](Gremlin.run(g, "g.V().frobnicate()"))
+    // truncated input must surface as a positioned parse error, never a
+    // StringIndexOutOfBoundsException from an unguarded peek/stringLit
+    for (bad <- Seq("g.V().has(", "g.V().has('", "g.V().has('oid',", "g.")) {
+      val e = intercept[IllegalArgumentException](Gremlin.run(g, bad))
+      assert(e.getMessage.contains("parse error") || e.getMessage.contains("must start with"),
+        s"input: $bad → ${e.getMessage}")
+    }
   }
 }
