@@ -524,6 +524,52 @@ object SparkEntry {
           ".union(__.out(), __.in(), __.out().out())" +
           ".groupCount().by('oid')" +
           ".order().by('n', desc).by('oid', asc).limit(20)")),
+    // condition-bounded repeat (pegasus iterate_emit_until,
+    // iteration/mod.rs:31-44; compiler RepeatTreeNode): each round
+    // expands + dedups, emits the frontier, and retires traversers that
+    // reached tool:t0 — until() prunes the frontier before times() ends
+    // the loop
+    "tg_gremlin_repeat" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().has('oid', 'system').repeat(__.out().dedup())" +
+          ".emit().until(__.has('oid', 'tool:t0')).times(4)" +
+          ".groupCount().by('oid')")),
+    // value aggregation (aggregate.rs accumulators / GroupTreeNode):
+    // group().by(end-vertex oid).by(values('weight').sum()) over the
+    // out-edges of user vertices
+    "tg_gremlin_group" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().has('oid', TextP.startingWith('u')).outE()" +
+          ".group().by('oid').by(__.values('weight').sum())")),
+    // numeric predicate (expr.proto GE/LT) on the edge weight property,
+    // then GetV(END) + groupCount
+    "tg_gremlin_numeric" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().outE().has('weight', P.between(2, 5)).inV().groupCount().by('oid')")),
+    // boolean combinator tree (AndTreeNode/OrTreeNode): or(and(...), has)
+    "tg_gremlin_bool" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().or(__.and(__.out().has('oid', TextP.startingWith('tool:'))," +
+          " __.in().has('oid', TextP.startingWith('u'))), __.has('oid', 'system'))" +
+          ".values('oid')")),
+    // declarative match() (patmat.rs NaiveStrategy): two as-tagged
+    // sentences joined left-deep — same result as the hand-lowered
+    // tg_pattern self-join
+    "tg_gremlin_match" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().match(__.as('a').has('oid', TextP.startingWith('u')).out().as('b')," +
+          " __.as('b').has('oid', TextP.startingWith('assistant')).out().as('c'))" +
+          ".select('c').has('oid', TextP.startingWith('tool:'))" +
+          ".groupCount().by('oid')")),
+    // weighted ShortestPathExpand (algebra.proto:302 over the weight
+    // property vs the hop-count tg_gie_shortest): min total edge weight
+    // from the assistant hub to every tool vertex
+    "tg_gie_weighted_shortest" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      graft.gie.G.V(g, col("oid") === "assistant").weightedShortestPathExpand()
+        .auxilia().where(col("oid").like("tool:%"))
+        .df.select(col("oid"), round(col("__dist"), 6).as("dist"))
+    }),
 
     // ---- training-data pipeline plane: dedup / text / similarity ----
     "d_dedup_norm" -> ((s, dir) =>
@@ -778,7 +824,10 @@ object SparkEntry {
         graft.synth.SynthSql4.avgPathLenSql(OracleSf, srcs, 31)),
       "d_minhash_groups" -> (
         graft.synth.LshSql.minhashGroupsSql(16, 8, 3, 0.5, 1000, wccRounds = 10),
-        graft.synth.LshSql.minhashGroupsSql(16, 8, 3, 0.5, 1000, wccRounds = 11))
+        graft.synth.LshSql.minhashGroupsSql(16, 8, 3, 0.5, 1000, wccRounds = 11)),
+      "tg_gie_weighted_shortest" -> (
+        graft.synth.SynthSql5.gieWeightedShortestSql(OracleSf, "assistant", "tool:%", 25),
+        graft.synth.SynthSql5.gieWeightedShortestSql(OracleSf, "assistant", "tool:%", 26))
     )
   }
 
@@ -894,6 +943,13 @@ object SparkEntry {
     "tg_gremlin_both" -> SynthSql3.giePathExpandSql(OracleSf, "tool:t0", 1, 2, dir = "both"),
     "tg_gie_paths" -> graft.synth.SynthSql4.giePathsSql(OracleSf, "system"),
     "tg_gremlin_paths" -> graft.synth.SynthSql4.giePathsTopSql(OracleSf, "system", 50),
+    "tg_gremlin_repeat" -> graft.synth.SynthSql5.gieRepeatSql(OracleSf, "system", "tool:t0", 4),
+    "tg_gremlin_group" -> graft.synth.SynthSql5.gieGroupSumSql(OracleSf, "u%"),
+    "tg_gremlin_numeric" -> graft.synth.SynthSql5.gieNumericSql(OracleSf, 2, 5),
+    "tg_gremlin_bool" -> graft.synth.SynthSql5.gieBoolSql(OracleSf),
+    "tg_gremlin_match" -> graft.synth.SynthSql5.gieMatchSql(OracleSf),
+    "tg_gie_weighted_shortest" ->
+      graft.synth.SynthSql5.gieWeightedShortestSql(OracleSf, "assistant", "tool:%"),
     "tg_pagerank_tol" -> SynthSql3.pageRankTolSql(OracleSf),
     "tg_betweenness" -> SynthSql3.betweennessSql(OracleSf, Seq("assistant", "tool:t0", "system")),
     "tg_louvain" -> graft.synth.SynthSql4.louvainMultiSql(OracleSf, rounds = 5, levels = 2),

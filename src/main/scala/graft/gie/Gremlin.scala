@@ -17,14 +17,21 @@ import graft.graph.LinkGraph
   *
   * Supported steps: `V()`, `has('oid', <lit>)`,
   * `has('oid', TextP.startingWith(p) | eq(x) | neq(x) | within(a,b))`,
-  * `out() | in() | both()`, `out('l..u') | in('l..u') | both('l..u')`
+  * `has('weight', P.gt|gte|lt|lte(n) | between(a,b) | inside(a,b))`
+  * (numeric predicates; `weight` is the edge property an `outE()`
+  * traverser carries), `out() | in() | both()`, `outE()`, `inV()`,
+  * `outV()`, `out('l..u') | in('l..u') | both('l..u')`
   * (PathExpand + endV, base-expand direction from the step name),
   * `out('l..u').path()` / `out('l..u').simplePath().path()` (PathExpand
   * result_opt ALL_V: materialized walks with a `path_str` column),
-  * `outE()`, `values('oid')`, `dedup()`, `as('t')`, `select('t')`,
-  * `where(<sub>)`, `not(<sub>)`, `union(<sub>, …)`,
-  * `repeat(<sub>).times(n)`,
-  * `groupCount().by('oid')`, `order().by(col, asc|desc)…`,
+  * `values('oid'|'weight')`, `dedup()`, `as('t')`, `select('t')`,
+  * `where(<sub>)`, `not(<sub>)`, `and(<sub>, …)`, `or(<sub>, …)`,
+  * `union(<sub>, …)`, `match(<as-tagged sentences>)`,
+  * `repeat(<sub>)` with `until(<sub>)` / `emit()` / `times(n)`
+  * modulators in any order (whichever bound fires first ends the loop),
+  * `group().by(key).by([values(f).]sum|max|min|mean|count|fold())`,
+  * `groupCount().by('oid')`, `fold()`, `unfold()`,
+  * `order().by(col, asc|desc)…`,
   * `limit(n)`, `count()`, `endV()`, `hops()` (GIE Auxilia on the
   * PathExpand hop column). String literals take single or double
   * quotes; anonymous sub-traversals may start with `__.`.
@@ -82,6 +89,14 @@ object Gremlin {
       if (i == j) fail("expected number")
       s.substring(j, i).toLong
     }
+    /** Numeric literal with an optional fraction (P.gt(0.5)), raw text. */
+    def numberLit(): String = {
+      ws()
+      val j = i
+      while (i < s.length && (s(i).isDigit || s(i) == '.')) i += 1
+      if (i == j) fail("expected number")
+      s.substring(j, i)
+    }
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"gremlin parse error at ${i}: $msg in: $s")
 
@@ -125,11 +140,12 @@ object Gremlin {
         ws()
         if (id == "TextP" || id == "P") { eat('.'); id = ident(); ws() }
         if (i < s.length && s(i) == '(') {
-          if (id == "eq" || id == "neq" || id == "within" || id == "startingWith") {
+          if (PredFns.contains(id)) {
             eat('(')
             val vs = List.newBuilder[String]
-            vs += stringLit()
-            while (tryEat(',')) vs += stringLit()
+            def one(): String = { val c = peek; if (c == '\'' || c == '"') stringLit() else numberLit() }
+            vs += one()
+            while (tryEat(',')) vs += one()
             eat(')')
             Pred(id, vs.result())
           } else { i = save; Sub(chain(anonymous = true)) }
@@ -140,6 +156,19 @@ object Gremlin {
   }
 
   private val RangeLit = """(\d+)\.\.(\d+)""".r
+
+  /** Recognized predicate constructors (TextP.* / P.*). */
+  private val PredFns = Set(
+    "eq", "neq", "within", "startingWith",
+    "gt", "gte", "lt", "lte", "between", "inside")
+
+  /** Safety bound for `repeat().until()` without an explicit `times()`
+    * — the loop ends when every traverser has exited or died, but a
+    * cyclic graph with an unsatisfiable predicate would otherwise spin
+    * forever (the reference's pegasus runtime has the same
+    * `max_iters` guard on `iterate_until`).
+    */
+  private val MaxRepeatRounds = 50
 
   /** Parse + lower a Gremlin traversal string over graph `g`. Returns
     * the result frame (terminal `values`/`groupCount`/`count`/… or the
@@ -153,14 +182,31 @@ object Gremlin {
     }
   }
 
-  private def predCol(field: String, p: Arg): Column = p match {
-    case Lit(v) => col(field) === v
-    case Pred("eq", Seq(v)) => col(field) === v
-    case Pred("neq", Seq(v)) => col(field) =!= v
-    case Pred("within", vs) => col(field).isin(vs: _*)
-    case Pred("startingWith", Seq(v)) => col(field).startsWith(v)
+  /** Lower a has()/where() predicate over a concrete column. String
+    * predicates compare raw; the numeric family (`expr.proto:61-98` LT/
+    * LE/GT/GE + TinkerPop between/inside) parses its literals as
+    * doubles. `between(a,b)` is TinkerPop's [a, b); `inside(a,b)` is
+    * (a, b).
+    */
+  private def predOn(c: Column, p: Arg): Column = p match {
+    case Lit(v) => c === v
+    case Pred("eq", Seq(v)) => c === v
+    case Pred("neq", Seq(v)) => c =!= v
+    case Pred("within", vs) => c.isin(vs: _*)
+    case Pred("startingWith", Seq(v)) => c.startsWith(v)
+    case Pred("gt", Seq(v)) => c > v.toDouble
+    case Pred("gte", Seq(v)) => c >= v.toDouble
+    case Pred("lt", Seq(v)) => c < v.toDouble
+    case Pred("lte", Seq(v)) => c <= v.toDouble
+    case Pred("between", Seq(a, b)) => c >= a.toDouble && c < b.toDouble
+    case Pred("inside", Seq(a, b)) => c > a.toDouble && c < b.toDouble
     case other => throw new IllegalArgumentException(s"unsupported has predicate: $other")
   }
+
+  /** Frame column for a Gremlin property name: `weight` is the edge
+    * weight an [[Traversal.outE]] traverser carries as `__w`.
+    */
+  private def fieldCol(f: String): Column = if (f == "weight") col("__w") else col(f)
 
   /** Evaluate a step list. State is Left(traversal) while vertex-typed,
     * Right(frame) after a terminal aggregate (order/limit still apply).
@@ -177,16 +223,31 @@ object Gremlin {
       case Step("V", Nil) :: tl => tl
       case _ => throw new IllegalArgumentException("traversal must start with g.V()")
     }
+    // a sub-traversal as a vertex-typed function (where/not/union/and/or/
+    // repeat/until/match bodies)
+    def vertexFn(sub: List[Step], what: String): Traversal => Traversal =
+      (o: Traversal) => eval(o, sub, sourceDone = true) match {
+        case Left(res) => res
+        case Right(_) => throw new IllegalArgumentException(
+          s"$what sub-traversal must stay vertex-typed")
+      }
     while (rest.nonEmpty) {
       val Step(name, args) = rest.head
       rest = rest.tail
       (name, args) match {
-        case ("has", List(Lit(f), p)) => st = Left(t.has(predCol(f, p)))
+        case ("has", List(Lit(f), p)) =>
+          // edge-property predicates filter the traverser frame (the
+          // value rides the traverser after outE); vertex-property
+          // predicates push down into the vertex scan semi-join
+          if (f == "weight") st = Left(t.where(predOn(fieldCol(f), p)))
+          else st = Left(t.has(predOn(col(f), p)))
         case ("has", List(Lit(f))) => st = Left(t.has(col(f).isNotNull))
         case ("out", Nil) => st = Left(t.out())
         case ("in", Nil) => st = Left(t.in())
         case ("both", Nil) => st = Left(t.both())
         case ("outE", Nil) => st = Left(t.outE())
+        case ("inV", Nil) => st = Left(t.inV())
+        case ("outV", Nil) => st = Left(t.outV())
         case (dir @ ("out" | "in" | "both"), List(Lit(RangeLit(lo, hi)))) =>
           // GIE path_opt: an immediately following simplePath() selects
           // SIMPLE walks; a following path() selects result_opt ALL_V
@@ -209,38 +270,104 @@ object Gremlin {
         case ("as", List(Lit(tag))) => st = Left(t.as_(tag))
         case ("select", List(Lit(tag))) => st = Left(t.back(tag))
         case ("where", List(Sub(sub))) =>
-          st = Left(t.whereExists(o => eval(o, sub, sourceDone = true) match {
-            case Left(res) => res
-            case Right(_) => throw new IllegalArgumentException("where() sub-traversal must stay vertex-typed")
-          }))
+          st = Left(t.whereExists(vertexFn(sub, "where()")))
         case ("not", List(Sub(sub))) =>
-          st = Left(t.whereNotExists(o => eval(o, sub, sourceDone = true) match {
-            case Left(res) => res
-            case Right(_) => throw new IllegalArgumentException("not() sub-traversal must stay vertex-typed")
-          }))
+          st = Left(t.whereNotExists(vertexFn(sub, "not()")))
+        case ("and", subs) if subs.nonEmpty && subs.forall(_.isInstanceOf[Sub]) =>
+          st = Left(t.whereAnd(subs.map { case Sub(sub) => vertexFn(sub, "and()") }: _*))
+        case ("or", subs) if subs.nonEmpty && subs.forall(_.isInstanceOf[Sub]) =>
+          st = Left(t.whereOr(subs.map { case Sub(sub) => vertexFn(sub, "or()") }: _*))
         case ("union", subs) if subs.nonEmpty && subs.forall(_.isInstanceOf[Sub]) =>
-          val branches = subs.map { case Sub(sub) =>
-            (o: Traversal) => eval(o, sub, sourceDone = true) match {
-              case Left(res) => res
-              case Right(_) => throw new IllegalArgumentException(
-                "union() branches must stay vertex-typed")
+          st = Left(t.union(subs.map { case Sub(sub) => vertexFn(sub, "union()") }: _*))
+        // match (algebra.proto:350, patmat.rs NaiveStrategy): sentences
+        // are as(a)…as(b) chains, joined left-deep on shared tags
+        case ("match", subs) if subs.nonEmpty && subs.forall(_.isInstanceOf[Sub]) =>
+          val sentences = subs.map { case Sub(sub) =>
+            sub match {
+              case Step("as", List(Lit(a))) :: tl if tl.nonEmpty =>
+                tl.last match {
+                  case Step("as", List(Lit(b))) => (a, vertexFn(tl.init, "match()"), b)
+                  case _ => throw new IllegalArgumentException(
+                    "match sentence must end with as(tag)")
+                }
+              case _ => throw new IllegalArgumentException(
+                "match sentence must start with as(tag)")
             }
           }
-          st = Left(t.union(branches: _*))
-        case ("repeat", List(Sub(sub))) => rest match {
-          case Step("times", List(Num(n))) :: tl =>
-            var cur = t
-            (1L to n).foreach { _ =>
-              cur = eval(cur, sub, sourceDone = true) match {
-                case Left(res) => res
-                case Right(_) => throw new IllegalArgumentException("repeat() body must stay vertex-typed")
-              }
+          st = Left(t.matchPattern(sentences))
+        case ("repeat", List(Sub(sub))) =>
+          // collect the modulators (TinkerPop: until/emit/times follow
+          // repeat in any order; times is itself an until-condition —
+          // the loop ends on whichever fires first)
+          var untilF: Option[Traversal => Traversal] = None
+          var emit = false
+          var timesN: Option[Int] = None
+          var more = true
+          while (more) rest match {
+            case Step("until", List(Sub(us))) :: tl =>
+              untilF = Some(vertexFn(us, "until()")); rest = tl
+            case Step("emit", Nil) :: tl => emit = true; rest = tl
+            case Step("times", List(Num(n))) :: tl => timesN = Some(n.toInt); rest = tl
+            case _ => more = false
+          }
+          require(untilF.isDefined || timesN.isDefined,
+            "repeat() must be bounded by until() and/or times(n)")
+          val bodyF = vertexFn(sub, "repeat()")
+          (untilF, emit, timesN) match {
+            case (None, false, Some(n)) =>
+              // pure times(): unrolled body application — one declarative
+              // plan, no per-round driver actions
+              var cur = t
+              (1 to n).foreach(_ => cur = bodyF(cur))
+              st = Left(cur)
+            case (u, e, tn) =>
+              st = Left(t.repeatUntil(bodyF, u, e, tn.getOrElse(MaxRepeatRounds)))
+          }
+        // group().by(key).by(valueAgg) (reference accumulators ToList/
+        // ToMin/ToMax/ToDistinctCount, aggregate.rs:29-815 +
+        // GroupTreeNode.java): value sub-traversal = optional values(f)
+        // then one of sum/max/min/mean/count/fold. fold() collects the
+        // group's values SORTED (arrival order is nondeterministic on a
+        // distributed bag). Output columns: (key, val).
+        case ("group", Nil) => rest match {
+          case Step("by", List(Lit(key))) :: Step("by", List(Sub(valSteps))) :: tl =>
+            val (vf, aggName) = valSteps match {
+              case Step("values", List(Lit(f))) :: Step(a, Nil) :: Nil => (Some(f), a)
+              case Step(a, Nil) :: Nil => (None, a)
+              case _ => throw new IllegalArgumentException(
+                "group value must be [values(f).]sum|max|min|mean|count|fold()")
             }
-            st = Left(cur); rest = tl
-          case _ => throw new IllegalArgumentException("repeat() must be followed by times(n)")
+            val needsOid = key == "oid" || vf.contains("oid")
+            val base = (if (needsOid) t.auxilia() else t).df
+            val vcol = vf.map(fieldCol).getOrElse(col("__v"))
+            val agg = aggName match {
+              case "sum" => sum(vcol)
+              case "max" => max(vcol)
+              case "min" => min(vcol)
+              case "mean" => avg(vcol)
+              case "count" => count(lit(1))
+              case "fold" => sort_array(collect_list(vcol))
+              case other => throw new IllegalArgumentException(
+                s"unsupported group aggregator: $other")
+            }
+            st = Right(base.groupBy(fieldCol(key).as(key)).agg(agg.as("val")))
+            rest = tl
+          case _ => throw new IllegalArgumentException(
+            "group() must be followed by by(key).by(valueAgg)")
         }
+        // fold(): the whole traverser stream (or terminal value column)
+        // as one sorted list row; unfold() explodes it back
+        case ("fold", Nil) =>
+          st = st match {
+            case Left(tr) => Right(tr.df.agg(sort_array(collect_list(col("__v"))).as("folded")))
+            case Right(d2) =>
+              Right(d2.agg(sort_array(collect_list(col(d2.columns.head))).as("folded")))
+          }
+        case ("unfold", Nil) =>
+          st = Right(d.select(explode(col(d.columns.head)).as("value")))
         case ("values", List(Lit(f))) =>
-          st = Right((if (f == "oid") t.auxilia() else t).values(f))
+          if (f == "weight") st = Right(t.df.select(fieldCol(f).as("weight")))
+          else st = Right((if (f == "oid") t.auxilia() else t).values(f))
         case ("hops", Nil) =>
           st = Right(t.auxilia().df.select(col("oid"), col("__hops").as("hops")))
         case ("groupCount", Nil) => rest match {
@@ -252,12 +379,20 @@ object Gremlin {
           val base = st match { case Left(tr) => tr.df; case Right(df) => df }
           st = Right(base.agg(count(lit(1)).as("n")))
         case ("order", Nil) =>
+          // resolve by-fields against the actual frame: a literal match
+          // wins (e.g. "weight" after values('weight')), else the
+          // property mapping (weight → __w on an edge-positioned frame)
+          val frameCols = (st match {
+            case Left(tr) => tr.df
+            case Right(d2) => d2
+          }).columns.toSet
+          def oc(f: String): Column = if (frameCols.contains(f)) col(f) else fieldCol(f)
           val cols = List.newBuilder[Column]
           var more = true
           while (more) rest match {
-            case Step("by", List(Lit(f))) :: tl => cols += col(f).asc; rest = tl
-            case Step("by", List(Lit(f), Sym("asc"))) :: tl => cols += col(f).asc; rest = tl
-            case Step("by", List(Lit(f), Sym("desc"))) :: tl => cols += col(f).desc; rest = tl
+            case Step("by", List(Lit(f))) :: tl => cols += oc(f).asc; rest = tl
+            case Step("by", List(Lit(f), Sym("asc"))) :: tl => cols += oc(f).asc; rest = tl
+            case Step("by", List(Lit(f), Sym("desc"))) :: tl => cols += oc(f).desc; rest = tl
             case _ => more = false
           }
           st = st match {

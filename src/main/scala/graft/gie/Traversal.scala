@@ -83,6 +83,15 @@ final class Traversal private[gie] (g: LinkGraph, val df: DataFrame) {
       .withColumn("__v", col("dst")).drop("dst")
       .withColumnRenamed("weight", "__w"))
 
+  /** GetV(END) from an edge-positioned traverser (Gremlin `inV()`): the
+    * traverser already sits at the edge's end — drop the edge columns.
+    */
+  def inV(): Traversal = next(df.drop("__src", "__w"))
+
+  /** GetV(START) from an edge-positioned traverser (Gremlin `outV()`). */
+  def outV(): Traversal =
+    next(df.withColumn("__v", col("__src")).drop("__src", "__w"))
+
   /** SegmentApply (`algebra.proto:341`): apply a ranking/limit
     * sub-operation *per segment* of traversers sharing `segCol` —
     * lowered to a Window (one hash exchange on the segment key), keeping
@@ -131,6 +140,135 @@ final class Traversal private[gie] (g: LinkGraph, val df: DataFrame) {
     val origin = next(df.select(col("__v")).distinct().withColumn("__origin", col("__v")))
     val hits = f(origin).df.select(col("__origin").as("__v")).distinct()
     next(df.join(hits, Seq("__v"), how))
+  }
+
+  /** Boolean combinator AND (reference `AndTreeNode.java` / expr AND,
+    * `expr.proto:61-98`): keep traversers satisfying EVERY branch filter
+    * — a chain of Apply-SEMI joins.
+    */
+  def whereAnd(fs: (Traversal => Traversal)*): Traversal = {
+    require(fs.nonEmpty, "and() needs at least one branch")
+    fs.foldLeft(this)((t, f) => t.whereExists(f))
+  }
+
+  /** Boolean combinator OR (`OrTreeNode.java`): keep traversers
+    * satisfying ANY branch filter. Each branch runs once over the
+    * distinct origin set; the hit sets union before one semi-join.
+    */
+  def whereOr(fs: (Traversal => Traversal)*): Traversal = {
+    require(fs.nonEmpty, "or() needs at least one branch")
+    val origin = next(df.select(col("__v")).distinct().withColumn("__origin", col("__v")))
+    val hits = fs.map(f => f(origin).df.select(col("__origin").as("__v")))
+      .reduce(_ unionAll _).distinct()
+    next(df.join(hits, Seq("__v"), "left_semi"))
+  }
+
+  /** Condition-bounded repeat (pegasus `iterate_until(IterCondition)` /
+    * `iterate_emit_until`, `research/engine/pegasus/pegasus/src/operator/
+    * iteration/mod.rs:31-44`; compiler `RepeatTreeNode` with until/emit):
+    * apply `body` up to `times` rounds; after each round, traversers
+    * whose current vertex satisfies the `until` sub-traversal EXIT the
+    * loop (and are output). With `emit`, every post-body traverser is
+    * output once per round it is alive (the exit rounds included — no
+    * double emission at exit, matching TinkerPop). Without `emit`,
+    * output = the until-exits of each round plus the survivors when the
+    * `times` bound is reached. The loop also ends when no traverser
+    * survives. Each round's frame is materialized (flat lineage); the
+    * per-round liveness count is the loop's only driver-side action.
+    */
+  def repeatUntil(
+      body: Traversal => Traversal,
+      until: Option[Traversal => Traversal],
+      emit: Boolean,
+      times: Int): Traversal = {
+    require(times > 0, "repeat() needs a positive loop bound")
+    var cur: Traversal = this
+    val outFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var round = 0
+    var live = 1L
+    while (round < times && live > 0) {
+      round += 1
+      cur = next(Engine.materialize(body(cur).df))
+      if (cur.df.isEmpty) { live = 0 }
+      else {
+        if (emit) outFrames += cur.df
+        else if (round == times) outFrames += cur.df // times reached: all exit
+        else until.foreach(u => outFrames += cur.whereExists(u).df)
+        cur = until match {
+          case Some(u) => next(Engine.materialize(cur.whereNotExists(u).df))
+          case None => cur
+        }
+        live = cur.df.count()
+      }
+    }
+    if (outFrames.isEmpty) return next(df.limit(0).select(col("__v")))
+    val common = outFrames.map(_.columns.toSet).reduce(_ intersect _)
+    require(common.contains("__v"), "repeat() body must stay vertex-typed")
+    val cols = outFrames.head.columns.filter(common.contains).toSeq.map(col)
+    next(Engine.materialize(outFrames.map(_.select(cols: _*)).reduce(_ unionAll _)))
+  }
+
+  /** Weighted ShortestPathExpand (`algebra.proto:302` with the weight
+    * property as the distance metric, vs [[shortestPathExpand]]'s
+    * hop-count form): SSSP relaxation from the current traverser SET —
+    * every reachable vertex at its minimum total edge weight over all
+    * starts, `__dist` (the start set itself at 0.0). Sparse
+    * frontier-driven state, one message exchange per round, same shape
+    * as `SSSP.run`.
+    */
+  def weightedShortestPathExpand(maxRounds: Int = 64): Traversal = {
+    val rel = edges.select(col("src").as("__v"), col("dst"), col("weight"))
+    var state = Engine.materialize(
+      df.select(col("__v")).distinct().withColumn("__dist", lit(0.0)))
+    var frontier = state
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      round += 1
+      val msgs = frontier.join(rel, Seq("__v"))
+        .groupBy(col("dst").as("__v"))
+        .agg(min(col("__dist") + col("weight")).as("nd"))
+      val upd = Engine.materialize(
+        msgs.join(state.withColumnRenamed("__dist", "old").hint("shuffle_hash"),
+          Seq("__v"), "left")
+          .where(col("old").isNull || col("nd") < col("old"))
+          .select(col("__v"), col("nd").as("__dist")))
+      changed = upd.count()
+      if (changed > 0) {
+        state = Engine.materialize(
+          state.join(upd.select(col("__v")), Seq("__v"), "left_anti").unionByName(upd))
+        state.count()
+        frontier = upd
+      }
+    }
+    next(state)
+  }
+
+  /** Declarative Pattern/match (`algebra.proto:350`; reference planner
+    * `research/query_service/ir/core/src/plan/patmat.rs:76-889` —
+    * `BaseSentence` per match sentence, `NaiveStrategy` composes them as
+    * a left-deep join). Each sentence is (startTag, body, endTag): its
+    * relation is evaluated ONCE over the full vertex scan (body must
+    * stay vertex-typed), projected to the two tag columns, and the
+    * sentence relations are joined left-deep on their shared tags. The
+    * incoming traverser binds to the FIRST sentence's start tag (bag
+    * join — traverser multiplicity preserved). The result carries every
+    * tag as a column; [[back]] (Gremlin `select`) jumps to any of them.
+    */
+  def matchPattern(sentences: Seq[(String, Traversal => Traversal, String)]): Traversal = {
+    require(sentences.nonEmpty, "match() needs at least one sentence")
+    val rels = sentences.map { case (a, body, b) =>
+      require(a != b, s"match sentence must bind two distinct tags ($a, $b)")
+      val r = body(G.V(g).as_(a)).as_(b)
+      r.df.select(col(a), col(b))
+    }
+    val joined = rels.reduceLeft { (acc, r) =>
+      val shared = acc.columns.toSet.intersect(r.columns.toSet).toSeq
+      require(shared.nonEmpty, "match sentences must share a tag with the prefix join")
+      acc.join(r, shared)
+    }
+    val first = sentences.head._1
+    next(carried.withColumn(first, col("__v")).join(joined, Seq(first)))
   }
 
   /** Union (`algebra.proto:74,394`, Gremlin union()): run each branch

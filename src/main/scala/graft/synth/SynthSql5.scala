@@ -1,0 +1,107 @@
+package graft.synth
+
+/** DuckDB oracle SQL, wave 5: twins for the round-4 interactive-plane
+  * surface — condition-bounded repeat (until/emit), Gremlin value
+  * aggregation and numeric/boolean predicates, declarative match(), the
+  * weighted ShortestPathExpand, and the capped all-sources closeness.
+  */
+object SynthSql5 {
+
+  /** Condition-bounded repeat with emit (pegasus `iterate_emit_until`;
+    * twin of `repeat(__.out().dedup()).emit().until(__.has('oid',
+    * '<exitOid>')).times(times)` from `source`): round k expands the
+    * surviving frontier c_{k-1} to the distinct out-neighbor set a_k,
+    * emits ALL of a_k, and removes the until-satisfying vertices from
+    * the next frontier. Output = per-oid count over the emitted bag.
+    */
+  def gieRepeatSql(sf: Double, source: String, exitOid: String, times: Int): String = {
+    val body = (1 to times).map { k =>
+      s"""a$k AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS id FROM dedges e JOIN c${k - 1} f ON e.src = f.id),
+         |c$k AS MATERIALIZED (
+         |  SELECT a.id FROM a$k a JOIN vertices v ON v.id = a.id WHERE v.oid <> '$exitOid')""".stripMargin
+    }.mkString(",\n")
+    val emitted = (1 to times).map(k => s"SELECT id FROM a$k").mkString(" UNION ALL ")
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |c0 AS (SELECT id FROM vertices WHERE oid = '$source'),
+       |$body
+       |SELECT v.oid AS oid, count(*) AS n
+       |FROM ($emitted) z JOIN vertices v ON v.id = z.id
+       |GROUP BY v.oid""".stripMargin
+  }
+
+  /** group().by(end-vertex oid).by(values('weight').sum()) over the
+    * out-edges of `srcLike` sources (reference accumulators
+    * `aggregate.rs:29-815`). Weights are integer-valued counts, so the
+    * double sums are exact cross-engine.
+    */
+  def gieGroupSumSql(sf: Double, srcLike: String): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT vd.oid AS oid, sum(e.weight) AS val
+       |FROM dedges e
+       |JOIN vertices vs ON vs.id = e.src
+       |JOIN vertices vd ON vd.id = e.dst
+       |WHERE vs.oid LIKE '$srcLike'
+       |GROUP BY vd.oid""".stripMargin
+
+  /** Numeric edge predicate (expr.proto GE/LT as TinkerPop
+    * `between(lo, hi)` = [lo, hi)) + GetV(END) + groupCount.
+    */
+  def gieNumericSql(sf: Double, lo: Double, hi: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT vd.oid AS oid, count(*) AS n
+       |FROM dedges e JOIN vertices vd ON vd.id = e.dst
+       |WHERE e.weight >= $lo AND e.weight < $hi
+       |GROUP BY vd.oid""".stripMargin
+
+  /** Boolean combinator tree (`AndTreeNode`/`OrTreeNode`): vertices with
+    * BOTH a tool out-neighbor and a user in-neighbor, OR the system
+    * vertex — twin of `or(and(out().has(tool:), in().has(u)), has(system))`.
+    */
+  def gieBoolSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT v.oid AS oid FROM vertices v
+       |WHERE (EXISTS (SELECT 1 FROM dedges e JOIN vertices vd ON vd.id = e.dst
+       |               WHERE e.src = v.id AND vd.oid LIKE 'tool:%')
+       |   AND EXISTS (SELECT 1 FROM dedges e JOIN vertices vs ON vs.id = e.src
+       |               WHERE e.dst = v.id AND vs.oid LIKE 'u%'))
+       |   OR v.oid = 'system'""".stripMargin
+
+  /** Declarative match() (patmat.rs NaiveStrategy left-deep join), twin
+    * of the two-sentence user→assistant→tool pattern — identical math to
+    * `SynthSql2.patternSql`, aliased to the Gremlin groupCount columns.
+    */
+  def gieMatchSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT e2.dst_oid AS oid, count(*) AS n
+       |FROM edges_oid e1 JOIN edges_oid e2 ON e1.dst_oid = e2.src_oid
+       |WHERE e1.src_oid LIKE 'u%' AND e1.dst_oid LIKE 'assistant%'
+       |  AND e2.dst_oid LIKE 'tool:%'
+       |GROUP BY e2.dst_oid""".stripMargin
+
+  /** Weighted ShortestPathExpand (`algebra.proto:302` over the weight
+    * property): unrolled min-union relaxation from `source`, endpoints
+    * filtered to `oidLike` — twin of
+    * `G.V(source).weightedShortestPathExpand()`. Integer-valued weights
+    * ⇒ exact doubles; `rounds` vs `rounds+1` probed converged.
+    */
+  def gieWeightedShortestSql(sf: Double, source: String, oidLike: String,
+      rounds: Int = 25): String = {
+    val body = (1 to rounds).map { k =>
+      val p = s"ws${k - 1}"
+      s"""ws$k AS MATERIALIZED (
+         |  SELECT id, min(dist) AS dist FROM (
+         |    SELECT id, dist FROM $p
+         |    UNION ALL
+         |    SELECT e.dst AS id, p.dist + e.weight AS dist
+         |    FROM dedges e JOIN $p p ON e.src = p.id
+         |  ) z GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |ws0 AS (SELECT id, 0.0 AS dist FROM vertices WHERE oid = '$source'),
+       |$body
+       |SELECT v.oid AS oid, round(w.dist, 6) AS dist
+       |FROM ws$rounds w JOIN vertices v ON v.id = w.id
+       |WHERE v.oid LIKE '$oidLike'""".stripMargin
+  }
+}

@@ -147,6 +147,124 @@ class GremlinSpec extends SparkSpec {
       Gremlin.run(g, "g.V().union(__.out().count()).values('oid')"))
   }
 
+  /** Weighted fixture for edge-property steps:
+    * u0→a0 (3), u0→a1 (1), a0→t0 (2), a1→t0 (5).
+    */
+  private lazy val gw = {
+    val s = spark
+    import s.implicits._
+    val names = Seq("u0", "a0", "a1", "t0")
+    val vs = names.zipWithIndex.map { case (n, i) => graft.schema.Vertex(i.toLong, n) }.toDS()
+    def id(n: String) = names.indexOf(n).toLong
+    val es = Seq(("u0", "a0", 3.0), ("u0", "a1", 1.0), ("a0", "t0", 2.0), ("a1", "t0", 5.0))
+      .map { case (a, b, w) => graft.schema.Edge(id(a), id(b), w) }.toDS()
+    graft.graph.LinkGraph(vs, es)
+  }
+
+  test("repeat().until() exits traversers early; emit() outputs each round") {
+    // from a0, body out().dedup(): r1 {t0, a1} (t0 exits), r2 {t0} (exits,
+    // frontier dies at round 2 < times 5)
+    val untilOnly = Gremlin.run(g,
+      "g.V().has('oid', 'a0').repeat(__.out().dedup())" +
+        ".until(__.has('oid', 't0')).times(5).groupCount().by('oid')")
+    assert(rows(untilOnly) == Set("t0|2"))
+    // emit: r1 emits {t0, a1}, r2 emits {t0}
+    val emitted = Gremlin.run(g,
+      "g.V().has('oid', 'a0').repeat(__.out().dedup())" +
+        ".emit().until(__.has('oid', 't0')).times(2).groupCount().by('oid')")
+    assert(rows(emitted) == Set("t0|2", "a1|1"))
+    // emit + times without until = per-round bag union (same bag as
+    // union(out, out.out))
+    val emitTimes = Gremlin.run(g,
+      "g.V().has('oid', 'u0').repeat(__.out()).emit().times(2).groupCount().by('oid')")
+    val viaUnion = G.V(g, col("oid") === "u0")
+      .union(_.out(), _.out().out()).auxilia().groupCount("oid")
+    assert(rows(emitTimes) == rows(viaUnion))
+    // without a bound the parser rejects the loop... unless until() bounds it
+    intercept[IllegalArgumentException](
+      Gremlin.run(g, "g.V().repeat(__.out()).groupCount().by('oid')"))
+    // until() alone is a valid bound (engine safety cap backs it)
+    val untilAlone = Gremlin.run(g,
+      "g.V().has('oid', 'a0').repeat(__.out().dedup())" +
+        ".until(__.has('oid', 't0')).groupCount().by('oid')")
+    assert(rows(untilAlone) == Set("t0|2"))
+  }
+
+  test("numeric edge predicates with inV/outV") {
+    assert(rows(Gremlin.run(gw,
+      "g.V().outE().has('weight', P.gt(2)).inV().values('oid')")) == Set("a0", "t0"))
+    assert(rows(Gremlin.run(gw,
+      "g.V().outE().has('weight', P.gt(2)).outV().values('oid')")) == Set("u0", "a1"))
+    // between = [a, b); inside = (a, b)
+    assert(rows(Gremlin.run(gw,
+      "g.V().outE().has('weight', P.between(1, 3)).inV().values('oid')")) == Set("a1", "t0"))
+    assert(rows(Gremlin.run(gw,
+      "g.V().outE().has('weight', P.inside(1, 3)).inV().values('oid')")) == Set("t0"))
+    assert(rows(Gremlin.run(gw,
+      "g.V().outE().has('weight', P.lte(1)).inV().values('oid')")) == Set("a1"))
+  }
+
+  test("group().by(key).by(value agg) and values('weight') ordering") {
+    val sums = Gremlin.run(gw,
+      "g.V().outE().group().by('oid').by(__.values('weight').sum())")
+    assert(rows(sums) == Set("a0|3.0", "a1|1.0", "t0|7.0"))
+    val maxes = Gremlin.run(gw,
+      "g.V().outE().group().by('oid').by(__.values('weight').max())")
+    assert(rows(maxes) == Set("a0|3.0", "a1|1.0", "t0|5.0"))
+    val counts = Gremlin.run(gw,
+      "g.V().outE().group().by('oid').by(__.count())")
+    assert(rows(counts) == Set("a0|1", "a1|1", "t0|2"))
+    val top = Gremlin.run(gw,
+      "g.V().outE().values('weight').order().by('weight', desc).limit(1)")
+    assert(rows(top) == Set("5.0"))
+  }
+
+  test("and()/or() boolean filter trees") {
+    // t0 out-neighbor AND a u in-neighbor: a0 (u0,u1→a0→t0), a1 (u0→a1→t0)
+    val both = Gremlin.run(g,
+      "g.V().and(__.out().has('oid', 't0'), __.in().has('oid', TextP.startingWith('u')))" +
+        ".values('oid')")
+    assert(rows(both) == Set("a0", "a1"))
+    val either = Gremlin.run(g,
+      "g.V().or(__.has('oid', 'u0'), __.has('oid', 't0')).values('oid')")
+    assert(rows(either) == Set("u0", "t0"))
+    // or() keeps traverser multiplicity (semi-join, not a union of copies)
+    val viaOr = Gremlin.run(g,
+      "g.V().out().or(__.has('oid', 'a1'), __.has('oid', 't0')).groupCount().by('oid')")
+    assert(rows(viaOr) == Set("a1|2", "t0|2"))
+  }
+
+  test("match() joins as-tagged sentences left-deep and binds the scan") {
+    val viaMatch = Gremlin.run(g,
+      "g.V().match(__.as('a').has('oid', TextP.startingWith('u')).out().as('b'), " +
+        "__.as('b').out().as('c')).select('c').groupCount().by('oid')")
+    // sentence1 (u→b): (u0,a0),(u0,a1),(u1,a0); sentence2 (b→c):
+    // a0→{t0,a1}, a1→{t0} ⇒ c bag: t0×3, a1×2
+    assert(rows(viaMatch) == Set("t0|3", "a1|2"))
+    // equivalent hand-lowered join (the tg_pattern shape)
+    val viaDsl = G.V(g, col("oid").like("u%")).as_("a").out().as_("b")
+      .out().auxilia().groupCount("oid")
+    assert(rows(viaMatch) == rows(viaDsl))
+    // malformed sentences are rejected
+    intercept[IllegalArgumentException](
+      Gremlin.run(g, "g.V().match(__.out().as('b')).select('b').count()"))
+  }
+
+  test("fold() collects sorted; unfold() explodes back") {
+    val folded = Gremlin.run(g,
+      "g.V().has('oid', TextP.startingWith('u')).values('oid').fold()")
+    assert(folded.collect().map(_.getSeq[String](0)).toSeq == Seq(Seq("u0", "u1")))
+    val roundTrip = Gremlin.run(g,
+      "g.V().has('oid', TextP.startingWith('u')).values('oid').fold().unfold()")
+    assert(rows(roundTrip) == Set("u0", "u1"))
+  }
+
+  test("weightedShortestPathExpand relaxes edge weights from the start set") {
+    val got = G.V(gw, col("oid") === "u0").weightedShortestPathExpand()
+      .auxilia().df.select(col("oid"), col("__dist"))
+    assert(rows(got) == Set("u0|0.0", "a0|3.0", "a1|1.0", "t0|5.0"))
+  }
+
   test("parse errors are rejected with position info") {
     val e1 = intercept[IllegalArgumentException](Gremlin.run(g, "g.V().has('oid'"))
     assert(e1.getMessage.contains("parse error"))
