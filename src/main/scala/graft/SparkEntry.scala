@@ -665,6 +665,16 @@ object SparkEntry {
       graft.algos.Paths2.closeness(g, Seq("assistant", "tool:t0", "system"))
         .select(col("oid"), round(col("closeness"), 6).as("closeness"))
     }),
+    // all-sources closeness capped to the top-128-degree vertices (the
+    // reference's AllPairsShortestPathLength runs every vertex; the cap
+    // keeps the |S|·|V| pair state sandbox-sized — 128×16.6K ≈ 2.1M pairs
+    // at sf0.01 — while stressing the batched-state design in the source
+    // dimension)
+    "tg_closeness_all" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      graft.algos.Paths2.closenessTop(g, 128)
+        .select(col("oid"), round(col("closeness"), 6).as("closeness"))
+    }),
     // heavy deterministic algorithms — full-value oracles via unrolled
     // CTE chains (SynthSql3)
     "tg_betweenness" -> ((s, dir) => {
@@ -827,7 +837,10 @@ object SparkEntry {
         graft.synth.LshSql.minhashGroupsSql(16, 8, 3, 0.5, 1000, wccRounds = 11)),
       "tg_gie_weighted_shortest" -> (
         graft.synth.SynthSql5.gieWeightedShortestSql(OracleSf, "assistant", "tool:%", 25),
-        graft.synth.SynthSql5.gieWeightedShortestSql(OracleSf, "assistant", "tool:%", 26))
+        graft.synth.SynthSql5.gieWeightedShortestSql(OracleSf, "assistant", "tool:%", 26)),
+      "tg_closeness_all" -> (
+        graft.synth.SynthSql5.closenessTopSql(OracleSf, 128, 30),
+        graft.synth.SynthSql5.closenessTopSql(OracleSf, 128, 31))
     )
   }
 
@@ -954,6 +967,7 @@ object SparkEntry {
     "tg_betweenness" -> SynthSql3.betweennessSql(OracleSf, Seq("assistant", "tool:t0", "system")),
     "tg_louvain" -> graft.synth.SynthSql4.louvainMultiSql(OracleSf, rounds = 5, levels = 2),
     "tg_closeness" -> SynthSql3.closenessSql(OracleSf, Seq("assistant", "tool:t0", "system")),
+    "tg_closeness_all" -> graft.synth.SynthSql5.closenessTopSql(OracleSf, 128),
     "tg_eigen" -> SynthSql3.eigenvectorSql(OracleSf, rounds = 15),
     "tg_katz" -> SynthSql3.katzSql(OracleSf, rounds = 10, alpha = 0.005, beta = 1.0),
     "tg_boundary" -> SynthSql3.nodeBoundarySql(OracleSf),

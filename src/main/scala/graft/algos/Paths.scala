@@ -74,7 +74,19 @@ object SSSP {
     * message exchange per superstep. Returns (s, id, dist) for reached
     * pairs; `reversed=true` relaxes over flipped edges (closeness).
     */
-  def multiSource(g: LinkGraph, sourceOids: Seq[String], reversed: Boolean = false): DataFrame = {
+  def multiSource(g: LinkGraph, sourceOids: Seq[String], reversed: Boolean = false): DataFrame =
+    multiSource(g,
+      g.vertices.toDF.where(col("oid").isin(sourceOids: _*)).select(col("id").as("s")),
+      reversed, new MetricsLog)
+
+  /** Source-frame form (one `s` column of vertex ids) — the entry point
+    * for large source sets (all-sources closeness caps by degree rather
+    * than naming oids). `log` records per-superstep wall/frontier/edge
+    * metrics for the bench report.
+    */
+  def multiSource(
+      g: LinkGraph, sources: DataFrame, reversed: Boolean, log: MetricsLog
+  ): DataFrame = {
     val spark = g.vertices.sparkSession
     Engine.withoutAQE(spark) {
       val e0 = g.edges.toDF
@@ -83,14 +95,14 @@ object SSSP {
       else e0.select(col("src"), col("dst"), col("weight")))
         .repartition(col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      e.count()
-      val srcs = g.vertices.toDF.where(col("oid").isin(sourceOids: _*))
-        .select(col("id").as("s"))
+      val eCount = e.count()
       var state = Engine.materialize(
-        srcs.select(col("s"), col("s").as("id"), lit(0.0).as("dist")))
+        sources.select(col("s"), col("s").as("id"), lit(0.0).as("dist")))
       var frontier = state
       var changed = 1L
+      var iter = 0
       while (changed > 0) {
+        val t0 = System.nanoTime()
         val msgs = e
           .join(frontier.select(col("s"), col("id").as("src"), col("dist").as("sd"))
             .hint("shuffle_hash"), "src")
@@ -109,6 +121,8 @@ object SSSP {
           state.count()
           frontier = upd
         }
+        log.record(IterationMetrics(iter, (System.nanoTime() - t0) / 1e9, changed.toDouble, eCount))
+        iter += 1
       }
       e.unpersist()
       state

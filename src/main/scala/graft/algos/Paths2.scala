@@ -141,21 +141,47 @@ object Paths2 {
     * reverse multi-source SSSP for all sources ((s, vertex)-keyed state,
     * the [[Betweenness]] pattern) instead of a driver loop.
     */
-  def closeness(g: LinkGraph, oids: Seq[String]): DataFrame = {
-    val spark = g.vertices.sparkSession
-    import spark.implicits._
+  def closeness(g: LinkGraph, oids: Seq[String]): DataFrame =
+    closenessOf(g,
+      g.vertices.toDF.where(col("oid").isin(oids: _*)).select(col("id").as("s")),
+      new graft.engine.Engine.MetricsLog)
+
+  /** All-sources closeness capped to the `k` highest-degree vertices
+    * (degree = dedge endpoint count, ties to the smaller id — fully
+    * deterministic so the SQL twin picks the identical set). The
+    * reference's `AllPairsShortestPathLength`
+    * (`apps/apsp/all_pairs_shortest_path_length.h`) runs every vertex as
+    * a source; the full |V|² pair state exceeds this sandbox at bench
+    * scale, so the top-degree cap is the documented stand-in — the
+    * (source × vertex)-keyed batching is identical, only |S| differs.
+    */
+  def closenessTop(
+      g: LinkGraph, k: Int,
+      log: graft.engine.Engine.MetricsLog = new graft.engine.Engine.MetricsLog
+  ): DataFrame = {
+    val e = g.edges.toDF
+    val srcs = e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("id").asc).limit(k)
+      .select(col("id").as("s"))
+    closenessOf(g, srcs, log)
+  }
+
+  private def closenessOf(
+      g: LinkGraph, srcIds: DataFrame, log: graft.engine.Engine.MetricsLog
+  ): DataFrame = {
     val n = g.numVertices
-    val per = SSSP.multiSource(g, oids, reversed = true)
+    val per = SSSP.multiSource(g, srcIds, reversed = true, log)
       .where(col("dist") > 0)
       .groupBy(col("s"))
       .agg(sum(col("dist")).as("tot"), count(lit(1)).as("reach"))
-    val scored = g.vertices.toDF.where(col("oid").isin(oids: _*))
+    g.vertices.toDF
+      .join(srcIds.withColumnRenamed("s", "id"), Seq("id"), "left_semi")
       .join(per.withColumnRenamed("s", "id"), Seq("id"), "left")
       .select(col("oid"),
         when(col("tot") > 0,
           (col("reach").cast("double") / lit((n - 1).toDouble)) *
             (col("reach").cast("double") / col("tot")))
           .otherwise(0.0).as("closeness"))
-    scored
   }
 }

@@ -79,6 +79,50 @@ object SynthSql5 {
        |  AND e2.dst_oid LIKE 'tool:%'
        |GROUP BY e2.dst_oid""".stripMargin
 
+  /** Closeness (wf_improved) for the top-`k`-degree source set — twin of
+    * `Paths2.closenessTop`. Unlike [[SynthSql3.closenessSql]]'s
+    * full-state min-union (state × edges per round — fine for 3 sources,
+    * ruinous for 128), this chain is FRONTIER-based like the Spark loop:
+    * each round relaxes only the pairs improved last round, so total
+    * work tracks the improvement volume, not rounds × state. Source set
+    * = top `k` by dedge endpoint count, ties to the smaller id —
+    * byte-identical to the Spark pick. `rounds` vs `rounds+1` probed.
+    */
+  def closenessTopSql(sf: Double, k: Int, rounds: Int = 30): String = {
+    val body = (1 to rounds).map { r =>
+      val f = s"f${r - 1}"; val vis = s"vis${r - 1}"
+      s"""rx$r AS (
+         |  SELECT p.s, e.src AS id, min(p.dist + e.weight) AS nd
+         |  FROM dedges e JOIN $f p ON e.dst = p.id GROUP BY p.s, e.src),
+         |f$r AS MATERIALIZED (
+         |  SELECT r.s, r.id, r.nd AS dist FROM rx$r r
+         |  LEFT JOIN $vis v ON v.s = r.s AND v.id = r.id
+         |  WHERE v.dist IS NULL OR r.nd < v.dist),
+         |vis$r AS MATERIALIZED (
+         |  SELECT s, id, min(dist) AS dist FROM (
+         |    SELECT s, id, dist FROM $vis UNION ALL SELECT s, id, dist FROM f$r) z
+         |  GROUP BY s, id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vertices),
+       |dg AS (SELECT id, count(*) AS deg FROM (
+       |  SELECT src AS id FROM dedges UNION ALL SELECT dst AS id FROM dedges) z
+       |  GROUP BY id),
+       |srcs AS MATERIALIZED (SELECT id AS s FROM dg ORDER BY deg DESC, id ASC LIMIT $k),
+       |f0 AS MATERIALIZED (SELECT s, s AS id, 0.0 AS dist FROM srcs),
+       |vis0 AS MATERIALIZED (SELECT s, id, dist FROM f0),
+       |$body,
+       |agg AS (SELECT s, sum(dist) AS tot, count(*) AS reach
+       |        FROM vis$rounds WHERE dist > 0 GROUP BY s)
+       |SELECT v.oid AS oid,
+       |       round(CASE WHEN a.tot > 0
+       |             THEN (CAST(a.reach AS DOUBLE) / ((SELECT n FROM nv) - 1))
+       |                  * (CAST(a.reach AS DOUBLE) / a.tot)
+       |             ELSE 0.0 END, 6) AS closeness
+       |FROM srcs st JOIN vertices v ON v.id = st.s
+       |LEFT JOIN agg a ON a.s = st.s""".stripMargin
+  }
+
   /** Weighted ShortestPathExpand (`algebra.proto:302` over the weight
     * property): unrolled min-union relaxation from `source`, endpoints
     * filtered to `oidLike` — twin of
