@@ -71,10 +71,14 @@ object EventStream {
   /** The same sessionization through the CUSTOM-STATE surface —
     * `flatMapGroupsWithState` with an event-time timeout (the
     * KeyValueGroupedDataset analog of the reference's stateful-UDF
-    * plane). Arrived events buffer in per-user state; every gap-split
-    * session that is already CLOSED by later arrivals is emitted
-    * eagerly, the trailing open session stays in state and is emitted
-    * when the watermark passes its end + gap (timeout). Use
+    * plane). Arrived events buffer in per-user state; a gap-split run is
+    * emitted only once it is WATERMARK-SAFE — watermark ≥ run end + gap
+    * — because until then an out-of-order event still inside the
+    * watermark could land within the closing gap and extend or re-split
+    * the run (emitting "closed-by-later-arrival" runs eagerly produced
+    * overlapping duplicate sessions exactly in that case). Unsafe runs
+    * stay in state; the event-time timeout re-fires at the earliest
+    * end + gap so they drain as the watermark advances. Use
     * [[sessionWindows]] unless per-event custom logic is needed — the
     * aggregate form is codegen'd and cheaper.
     */
@@ -112,21 +116,21 @@ object EventStream {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, it: Iterator[SessionEvent], state: GroupState[SessionBuf]) =>
           val buffered = state.getOption.map(_.events).getOrElse(Nil)
-          if (state.hasTimedOut) {
-            // watermark passed the open tail's end + gap: close it out
-            state.remove()
-            val (closed, open) = split(buffered)
-            (closed ::: (if (open.nonEmpty) List(open) else Nil))
-              .map(emit(uid, _)).iterator
-          } else {
-            val all = buffered ::: it.map(e => (e.ts.getTime, e.value)).toList
-            val (closed, open) = split(all)
-            if (open.nonEmpty) {
-              state.update(SessionBuf(open))
-              state.setTimeoutTimestamp(open.last._1 + gapMs)
-            } else state.remove()
-            closed.map(emit(uid, _)).iterator
-          }
+          val all =
+            if (state.hasTimedOut) buffered
+            else buffered ::: it.map(e => (e.ts.getTime, e.value)).toList
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open) = split(all)
+          val runs = closed ::: (if (open.nonEmpty) List(open) else Nil)
+          // safe ⇔ no admissible event (ts ≥ watermark) can land inside
+          // the run's closing gap: watermark ≥ run end + gap
+          val (safe, unsafe) = runs.partition(r => r.last._1 + gapMs <= wm)
+          if (unsafe.nonEmpty) {
+            state.update(SessionBuf(unsafe.flatten))
+            // earliest future safe point; > watermark by construction
+            state.setTimeoutTimestamp(unsafe.map(_.last._1).min + gapMs)
+          } else state.remove()
+          safe.map(emit(uid, _)).iterator
       }
   }
 

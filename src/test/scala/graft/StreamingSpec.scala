@@ -95,6 +95,50 @@ class StreamingSpec extends SparkSpec {
     assert(got.size >= expected.size - nUsers.toInt && got.nonEmpty)
   }
 
+  test("stateful sessionization holds unsafe runs for late in-watermark arrivals") {
+    // Scenario that made the eager-emit version produce OVERLAPPING
+    // sessions: batch 1 has 10:00 and 11:00 (gap-closed run [10:00]);
+    // batch 2 delivers a LATE 10:20 that is still inside the 45-minute
+    // watermark and lands inside that closed gap; batch 3's 13:00 pushes
+    // the watermark past both true sessions. Correct output: the merged
+    // [10:00, 10:20] session and [11:00] — never a [10:00]-only or
+    // [10:20]-only fragment.
+    val s = spark
+    import s.implicits._
+    val stage = Files.createTempDirectory("graft-late")
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    def stageBatch(n: Int, rows: Seq[(Long, java.sql.Timestamp, Double)]): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-late-w$n")
+      rows.toDF("user_id", "ts", "value").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      val dst = stage.resolve(f"f$n%02d.parquet")
+      Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + n * 60000L)
+    }
+    stageBatch(1, Seq((1L, ts(10, 0), 1.0), (1L, ts(11, 0), 2.0)))
+    stageBatch(2, Seq((1L, ts(10, 20), 4.0))) // late, above the watermark
+    stageBatch(3, Seq((1L, ts(13, 0), 8.0))) // advances the watermark past both sessions
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, ts TIMESTAMP, value DOUBLE"))
+      .option("maxFilesPerTrigger", 1)
+      .format("parquet").load(stage.toString)
+    val q = EventStream.sessionizeStateful(stream, gapMinutes = 30, watermark = "45 minutes")
+      .toDF.writeStream.outputMode("append")
+      .format("memory").queryName("evt_sessions_late")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("evt_sessions_late").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      (1L, ts(10, 0), 2L, 5.0), // late 10:20 merged into the 10:00 run
+      (1L, ts(11, 0), 1L, 2.0)),
+      s"got $got")
+  }
+
   test("incremental conversation append maintains edge counts across snapshots") {
     val store = new SnapshotStore(Files.createTempDirectory("graft-stream").toString)
     val all = Synth.transcripts(spark, 0.0001).toDF.persist()
