@@ -126,10 +126,43 @@ object Bench {
     }
     val prIters = prConvLog.iterations
 
-    val wccLog = new MetricsLog
-    headline("wcc", cpus) { WCC.run(g0, Int.MaxValue, wccLog).count() }
-    headline("cdlp_10r", cpus) { CDLP.run(g0, 10).count() }
-    headline("triangles", cpus) { Triangles.run(g0).count() }
+    // Sub-minute queries run best-of-3, INTERLEAVED across queries so
+    // co-tenant steal hits all arms alike (a single sample per round
+    // could not distinguish steal from regression — round-3 cdlp read
+    // 64.8s vs a 40.6s canonical run purely from steal). The two
+    // multi-minute PageRank sweeps above stay single-run (their ×3 cost
+    // would blow the bench budget); their util/load make steal
+    // self-evident instead.
+    case class HRun(sec: Double, util: Double, load: Double)
+    val multi = scala.collection.mutable.LinkedHashMap.empty[String, Vector[HRun]]
+    def interleavedRun[A](name: String, p: Int)(f: => A): Unit = {
+      val l0 = loadAvg()
+      val cpu0 = osBean.getProcessCpuTime
+      val (_, sec) = timed(f)
+      val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
+      val u = if (sec > 0) cpuSec / (sec * p) else 0.0
+      multi(name) = multi.getOrElse(name, Vector.empty) :+
+        HRun(sec, u, math.max(l0, loadAvg()))
+    }
+    (1 to 3).foreach { _ =>
+      interleavedRun("wcc", cpus) { WCC.run(g0, Int.MaxValue, new MetricsLog).count() }
+      interleavedRun("cdlp_10r", cpus) { CDLP.run(g0, 10).count() }
+      interleavedRun("triangles", cpus) { Triangles.run(g0).count() }
+    }
+    multi.foreach { case (name, runs) =>
+      val best = runs.minBy(_.sec)
+      q(name) = best.sec
+      aux(name) = (best.util, runs.map(_.load).max)
+    }
+
+    // Batched multi-source closeness (the |S|·|V|-pair state family):
+    // 16 top-degree sources on the bench graph — the superstep metrics
+    // prove the (source × vertex)-keyed batching at 16× the per-source
+    // message volume of a plain SSSP.
+    val closeLog = new MetricsLog
+    headline("closeness_multi16", cpus) {
+      graft.algos.Paths2.closenessTop(g0, 16, closeLog).count()
+    }
     spark.stop()
 
     // ---- phase 2: scaling — identical parquet input at both levels ----
@@ -187,12 +220,20 @@ object Bench {
     val qJson = q.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val auxJson = aux.map { case (k, (u, l)) =>
       f""""$k":{"util":$u%.2f,"load":$l%.1f}""" }.mkString("{", ",", "}")
+    val multiJson = multi.map { case (k, runs) =>
+      s""""$k":""" + runs.map(r =>
+        f"""{"sec":${r.sec}%.1f,"util":${r.util}%.2f,"load":${r.load}%.1f}""")
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     def runsJson(rs: Seq[Run]): String = rs.map(r =>
       f"""{"thr":${r.thr}%.0f,"thr_cpu":${r.thrCpu}%.0f,"sec":${r.sec}%.1f,""" +
         f""""util":${r.util}%.2f,"load":${r.load}%.1f}""").mkString("[", ",", "]")
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir",""" +
         f""""headline_runs":$auxJson,""" +
+        f""""headline_multi":$multiJson,""" +
+        f""""multisource_closeness":{"sources":16,"supersteps":${closeLog.iterations},""" +
+        f""""edges_per_sec_per_superstep":${throughput(closeLog)}%.0f},""" +
         f""""graph":{"vertices":$nV,"edges":$nE},""" +
         f""""pagerank":{"iterations_to_convergence":$prIters,"tol":1e-6,""" +
         f""""edges_per_sec_per_superstep":$thrHeadline%.0f},""" +
@@ -231,9 +272,10 @@ object Bench {
          || PageRank iterations to convergence (absolute L1 < 1e-6) | $prIters |
          || derive graph | ${q("derive_graph")}%.1f s (util ${aux("derive_graph")._1}%.2f) |
          || PageRank to convergence | ${q("pagerank_conv")}%.1f s (util ${aux("pagerank_conv")._1}%.2f) |
-         || WCC (to fixpoint) | ${q("wcc")}%.1f s |
-         || CDLP 10 rounds | ${q("cdlp_10r")}%.1f s |
-         || Triangles | ${q("triangles")}%.1f s |
+         || WCC (to fixpoint, best of 3: ${multi("wcc").map(r => f"${r.sec}%.1f").mkString("/")}) | ${q("wcc")}%.1f s |
+         || CDLP 10 rounds (best of 3: ${multi("cdlp_10r").map(r => f"${r.sec}%.1f").mkString("/")}) | ${q("cdlp_10r")}%.1f s |
+         || Triangles (best of 3: ${multi("triangles").map(r => f"${r.sec}%.1f").mkString("/")}) | ${q("triangles")}%.1f s |
+         || multi-source closeness (16 top-degree sources, ${closeLog.iterations} supersteps) | ${q("closeness_multi16")}%.1f s (${throughput(closeLog)}%.0f e/s/superstep) |
          |""".stripMargin
     Files.writeString(Paths.get("BENCH.md"), md)
     // the JSON line must be the LAST stdout output (after a unique

@@ -142,7 +142,6 @@ object Paths3 {
     */
   def samplingPaths(g: LinkGraph, startOids: Seq[String], steps: Int, seed: Long = 42L): DataFrame = {
     val spark = g.vertices.sparkSession
-    val p = graft.text.TextOps.HashP
     val oidEdges = g.edges.toDF
       .join(g.vertices.toDF.select(col("id").as("src"), col("oid").as("a")), "src")
       .join(g.vertices.toDF.select(col("id").as("dst"), col("oid").as("b")), "dst")
@@ -152,29 +151,36 @@ object Paths3 {
     var walk = startOids.toDF("start")
       .select(col("start"), array(col("start")).as("path"), col("start").as("tip"))
     (0 until steps).foreach { step =>
-      // deterministic argmin via min_by, NOT a window: a hub tip's whole
-      // out-adjacency would route through one task per start vertex under
-      // partitionBy(start) (windows cannot partial-aggregate); min_by is
-      // map-side combined, so the hub fan-out reduces before the shuffle.
-      // The ordering struct is never null (fields may be — a dead-end tip
-      // contributes its single left-join row), so no candidate is dropped.
-      walk = Engine.materialize(
-        walk.join(oidEdges.withColumnRenamed("a", "tip"), Seq("tip"), "left")
-          .withColumn("__pick",
-            (graft.text.TextOps.portableHash(col("tip")) * 31L +
-              graft.text.TextOps.portableHash(col("b")) * 17L +
-              lit(seed * 1000003L + step * 7919L)) % p)
-          .groupBy(col("start"))
-          .agg(min_by(
-            struct(col("b"), col("path"), col("tip")),
-            struct(col("__pick"), col("b"))).as("m"))
-          .select(col("start"),
-            when(col("m.b").isNotNull, concat(col("m.path"), array(col("m.b"))))
-              .otherwise(col("m.path")).as("path"),
-            coalesce(col("m.b"), col("m.tip")).as("tip")))
+      walk = Engine.materialize(samplingStep(walk, oidEdges, step, seed))
     }
     oidEdges.unpersist()
     walk.select(col("start").as("start_oid"), col("path"))
+  }
+
+  /** One sampling-walk step: deterministic argmin via `min_by`, NOT a
+    * window — a hub tip's whole out-adjacency would route through one
+    * task per start vertex under `partitionBy(start)` (windows cannot
+    * partial-aggregate); min_by is map-side combined, so the hub fan-out
+    * reduces before the shuffle. The ordering struct is never null
+    * (fields may be — a dead-end tip contributes its single left-join
+    * row), so no candidate is dropped. Package-visible for PlanAudit.
+    */
+  private[graft] def samplingStep(
+      walk: DataFrame, oidEdges: DataFrame, step: Int, seed: Long): DataFrame = {
+    val p = graft.text.TextOps.HashP
+    walk.join(oidEdges.withColumnRenamed("a", "tip"), Seq("tip"), "left")
+      .withColumn("__pick",
+        (graft.text.TextOps.portableHash(col("tip")) * 31L +
+          graft.text.TextOps.portableHash(col("b")) * 17L +
+          lit(seed * 1000003L + step * 7919L)) % p)
+      .groupBy(col("start"))
+      .agg(min_by(
+        struct(col("b"), col("path"), col("tip")),
+        struct(col("__pick"), col("b"))).as("m"))
+      .select(col("start"),
+        when(col("m.b").isNotNull, concat(col("m.path"), array(col("m.b"))))
+          .otherwise(col("m.path")).as("path"),
+        coalesce(col("m.b"), col("m.tip")).as("tip"))
   }
 
   /** Sanity accessor used by specs. */

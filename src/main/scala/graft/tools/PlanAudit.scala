@@ -36,7 +36,35 @@ object PlanAudit {
 
     Seq("q_scan_filter", "q_group_agg", "q_topk", "q_join_agg", "q_window",
       "tg_edges", "d_textstats", "s_cosine_topk", "tg_gie_2hop", "tg_gie_segment",
-      "tg_gremlin_topk", "tg_gremlin_union").foreach(audit)
+      "tg_gremlin_topk", "tg_gremlin_union", "tg_gremlin_match", "tg_gremlin_group",
+      "tg_gremlin_numeric", "tg_gremlin_bool").foreach(audit)
+
+    // Sampling-walk step: the per-step argmin must be a partial-aggregated
+    // min_by (HashAggregate), NEVER a Window partitioned by start — a hub
+    // tip would route its whole out-adjacency through one task per start.
+    {
+      val g0 = SparkEntry.graphFor(spark, sfDir)
+      // checkpoint the edge input so the audited plan is the STEP alone
+      // (the derivation subtree legitimately contains the reply-lag
+      // Window and would false-positive the assertion)
+      val oidEdges = g0.edges.toDF
+        .join(g0.vertices.toDF.select(col("id").as("src"), col("oid").as("a")), "src")
+        .join(g0.vertices.toDF.select(col("id").as("dst"), col("oid").as("b")), "dst")
+        .select("a", "b")
+        .localCheckpoint(true)
+      import spark.implicits._
+      val walk0 = Seq("system").toDF("start")
+        .select(col("start"), array(col("start")).as("path"), col("start").as("tip"))
+      val plan = graft.algos.Paths3.samplingStep(walk0, oidEdges, 0, 42L)
+        .queryExecution.executedPlan.toString
+      println("==== sampling_step ====")
+      // min_by over an array-carrying struct lowers to SortAggregate
+      // (HashAggregate cannot key/accumulate array buffers) — what
+      // matters is the map-side partial_min_by before the exchange
+      println(s"---- sampling_step summary: windowInStep=${plan.contains("Window")} " +
+        s"partialAgg=${plan.contains("partial_min_by")} " +
+        s"exchanges=${countOf(plan, "Exchange")}")
+    }
 
     // MinHash candidate shuffle: the dedup exchange must carry BARE id
     // pairs — the shingle arrays re-join by id afterwards. The bucket
