@@ -596,6 +596,12 @@ object SparkEntry {
     "s_lsh_topk" -> ((s, dir) =>
       graft.ml.Similarity.lshTopK(
         t(s, dir, "embeddings"), "vec_id", "embedding", (0L until 10L).toSeq, 5)),
+    // IVF coarse-quantizer ANN (the second scale path beside sign-LSH):
+    // strided centroids, one argmax assignment pass, probe-partition
+    // candidates as bare ids
+    "s_ivf_topk" -> ((s, dir) =>
+      graft.ml.Similarity.ivfTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding", (0L until 10L).toSeq, 5)),
     // bipartite weighted label diffusion (gs::LPAU2I): users seed a
     // 2-dim label vector by oid parity; 2 u2i+i2u rounds; long-format
     // (oid, pos, v) output
@@ -996,6 +1002,7 @@ object SparkEntry {
     "d_simhash_pairs" -> graft.synth.LshSql.simhashPairsSql(maxDist = 3),
     "s_cosine_topk" -> SynthSql2.cosineTopKSql((0L until 10L).toSeq, 5),
     "s_lsh_topk" -> graft.synth.LshSql.lshTopKSql((0L until 10L).toSeq, 5),
+    "s_ivf_topk" -> graft.synth.SynthSql5.ivfTopKSql((0L until 10L).toSeq, 5),
     "s_cosine_pairs" -> graft.synth.LshSql.cosinePairsSql(0.35),
     "tg_bfs_preds" -> SynthSql3.bfsPredsSql(OracleSf),
     "tg_bfs_succs" -> SynthSql3.bfsSuccsSql(OracleSf),

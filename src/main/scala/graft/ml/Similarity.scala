@@ -144,6 +144,63 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** IVF-partitioned approximate top-k — the coarse-quantizer scale path
+    * beside sign-LSH: the corpus is assigned once to `nCentroids`
+    * deterministic centroids (a strided sample of the corpus itself —
+    * IVF-flat with sampled centroids; Lloyd refinement is deliberately
+    * omitted so the assignment is exact integer+rounded-double
+    * arithmetic both engines reproduce), each query probes its `nProbe`
+    * nearest centroids and scores ONLY vectors assigned there. Shapes
+    * for scale: centroids broadcast (tiny), assignment is one
+    * partial-aggregated argmax pass over the corpus, candidates ride the
+    * probe join as bare (query_id, id) — vectors re-join by id for the
+    * final cosine, the same payload-free discipline as [[lshTopK]].
+    * Ties in assignment/probing break to the smaller centroid id on the
+    * 5-dp-rounded similarity (the cross-engine float discipline every
+    * cosine query here uses). `nProbe = nCentroids` degrades to exact
+    * brute force (spec-checked equivalence).
+    */
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4
+  ): DataFrame = {
+    val n = corpus.count()
+    val step = math.max(1L, n / nCentroids)
+    val cents = corpus.where(pmod(col(idCol), lit(step)) === 0)
+      .orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // one argmax pass: nearest centroid per corpus vector (map-side
+    // combined max_by; tie → smaller cid via the negated id in the key)
+    val assigned = vecs
+      .crossJoin(broadcast(cents))
+      .select(col("id"),
+        col("cid"), round(cosine(col("v"), col("cv")), 5).as("sim"))
+      .groupBy(col("id"))
+      .agg(max_by(col("cid"), struct(col("sim"), (-col("cid")).as("nc"))).as("cid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("cid").asc)
+    val probes = corpus.where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cid"), round(cosine(col("qv"), col("cv")), 5).as("sim"))
+      .withColumn("pr", row_number().over(pw))
+      .where(col("pr") <= nProbe)
+      .select(col("query_id"), col("cid"))
+    probes.join(assigned, Seq("cid"))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"))
+      .join(vecs.select(col("id").as("query_id"), col("v").as("qv")), "query_id")
+      .join(vecs.select(col("id").as("neighbor_id"), col("v").as("nv")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("nv")), 5).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * LSH-bucketed (id_a < id_b). Same payload-free candidate shape as
     * [[lshTopK]]: bare ids through the bucket self-join + distinct,

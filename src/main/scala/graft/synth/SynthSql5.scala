@@ -79,6 +79,49 @@ object SynthSql5 {
        |  AND e2.dst_oid LIKE 'tool:%'
        |GROUP BY e2.dst_oid""".stripMargin
 
+  /** IVF-partitioned ANN top-k, twin of `Similarity.ivfTopK`: strided
+    * centroid sample, rounded-cosine argmax assignment (ties to the
+    * smaller centroid id), nProbe nearest centroids per query, exact
+    * cosine over the probed partitions only. Shares the 5-dp rounding
+    * discipline of `cosineTopKSql`.
+    */
+  def ivfTopKSql(queryIds: Seq[Long], k: Int, nCentroids: Int = 16, nProbe: Int = 4): String = {
+    val ids = queryIds.mkString(", ")
+    def cos(a: String, b: String) =
+      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 5)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |stp AS (SELECT greatest(1, count(*) // $nCentroids) AS st FROM e),
+       |cents AS MATERIALIZED (
+       |  SELECT vec_id AS cid, v AS cv FROM e
+       |  WHERE vec_id % (SELECT st FROM stp) = 0 ORDER BY vec_id LIMIT $nCentroids),
+       |asg AS MATERIALIZED (
+       |  SELECT id, cid FROM (
+       |    SELECT e.vec_id AS id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN cents c) z WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.vec_id AS query_id, c.cid,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${cos("q.v", "c.cv")} DESC, c.cid ASC) AS pr
+       |    FROM e q CROSS JOIN cents c WHERE q.vec_id IN ($ids)) z
+       |  WHERE pr <= $nProbe),
+       |cand AS (
+       |  SELECT p.query_id, a.id AS neighbor_id
+       |  FROM probes p JOIN asg a ON a.cid = p.cid
+       |  WHERE a.id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id, ${cos("q.v", "nb.v")} AS cos_sim
+       |  FROM cand c JOIN e q ON q.vec_id = c.query_id
+       |  JOIN e nb ON nb.vec_id = c.neighbor_id)
+       |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored) z
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** Closeness (wf_improved) for the top-`k`-degree source set — twin of
     * `Paths2.closenessTop`. Unlike [[SynthSql3.closenessSql]]'s
     * full-state min-union (state × edges per round — fine for 3 sources,

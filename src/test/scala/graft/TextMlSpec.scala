@@ -108,6 +108,25 @@ class TextMlSpec extends SparkSpec {
     assert(recall > 0.4, s"recall $recall too low")
   }
 
+  test("ivf top-k degrades to exact brute force when probing all centroids") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qids = Seq(0L, 1L, 2L)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, 5)
+      .collect().map(key).toSet
+    // nProbe = nCentroids probes every partition ⇒ candidate set = corpus
+    val full = Similarity.ivfTopK(emb, "vec_id", "embedding", qids, 5,
+      nCentroids = 8, nProbe = 8).collect().map(key).toSet
+    assert(full == brute)
+    // the real approximate setting keeps decent recall on this corpus
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", qids, 5,
+      nCentroids = 8, nProbe = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteIds = brute.map(t => (t._1, t._2))
+    val recall = (bruteIds intersect ivf).size.toDouble / bruteIds.size
+    assert(recall > 0.3, s"recall $recall too low")
+  }
+
   test("cosine near-dup pairs are symmetric-free and above threshold") {
     val s = spark
     import s.implicits._
