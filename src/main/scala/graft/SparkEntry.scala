@@ -665,6 +665,60 @@ object SparkEntry {
     // session plane: REPORT_GRAPH (fragment_reporter.h:56-116)
     "tg_report" -> ((s, dir) =>
       graft.graph.GraphOps.report(graphFor(s, dir))),
+    // ADD_COLUMN (dag_utils.py:912): join an algorithm result (here the
+    // out-degree table) back onto the vertex plane as a property
+    "q_add_column" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      val outDeg = g.edges.toDF.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("od"))
+      graft.graph.GraphOps.addColumn(g, outDeg)
+        .select(col("oid"), coalesce(col("od"), lit(0L)).cast("long").as("out_deg"))
+    }),
+    // TO_UNDIRECTED (types.proto TO_UNDIRECTED): symmetrize + weight
+    // merge, then per-vertex undirected degree/mass
+    "tg_to_undirected" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      graft.graph.GraphBuilder.toUndirected(g.edges).toDF
+        .groupBy(col("src"))
+        .agg(count(lit(1)).cast("long").as("deg"), sum(col("weight")).as("w_sum"))
+        .join(g.vertices.toDF.select(col("id").as("src"), col("oid")), "src")
+        .select(col("oid"), col("deg"), col("w_sum"))
+    }),
+    // INDUCE_SUBGRAPH (dag_utils.py:698): tools + assistants + system,
+    // edges with both endpoints inside
+    "tg_induce" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      val keep = g.vertices.toDF.where(
+        col("oid").like("tool:%") || col("oid").like("assistant%") || col("oid") === "system")
+      val g2 = graft.graph.GraphBuilder.induceSubgraph(g, keep.select(col("id")))
+      g2.edges.toDF
+        .join(g2.vertices.toDF.select(col("id").as("src"), col("oid").as("src_oid")), "src")
+        .join(g2.vertices.toDF.select(col("id").as("dst"), col("oid").as("dst_oid")), "dst")
+        .select(col("src_oid"), col("dst_oid"), col("weight"))
+    }),
+    // MODIFY_VERTICES (dag_utils.py:289): delete tool:t0 (incident edges
+    // prune — induced-delete semantics), add a fresh isolated vertex,
+    // commit both planes to a scratch SnapshotStore, report the
+    // post-commit out-degrees
+    "q_modify_vertices" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      val sess = s; import sess.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-mod")
+      val store = new graft.ingest.SnapshotStore(root.toString)
+      val delId = g.vertices.toDF.where(col("oid") === "tool:t0")
+        .select(col("id")).head().getLong(0)
+      val (g2, _, _) = graft.graph.GraphOps.modifyVertices(g,
+        add = Seq(graft.schema.Vertex(10000000L, "added:x")).toDS(),
+        delete = Seq(graft.schema.Vertex(delId, "tool:t0")).toDS(),
+        store, "mod_vs", "mod_es")
+      val out = g2.vertices.toDF
+        .join(g2.edges.toDF.groupBy(col("src").as("id")).agg(count(lit(1)).as("od")),
+          Seq("id"), "left")
+        .select(col("oid"), coalesce(col("od"), lit(0L)).cast("long").as("out_deg"))
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+      out
+    }),
     // closeness for the hub set — ONE batched reverse multi-source SSSP
     "tg_closeness" -> ((s, dir) => {
       val g = graphFor(s, dir)
@@ -974,6 +1028,10 @@ object SparkEntry {
     "tg_louvain" -> graft.synth.SynthSql4.louvainMultiSql(OracleSf, rounds = 5, levels = 2),
     "tg_closeness" -> SynthSql3.closenessSql(OracleSf, Seq("assistant", "tool:t0", "system")),
     "tg_closeness_all" -> graft.synth.SynthSql5.closenessTopSql(OracleSf, 128),
+    "q_add_column" -> graft.synth.SynthSql5.addColumnSql(OracleSf),
+    "tg_to_undirected" -> graft.synth.SynthSql5.toUndirectedSql(OracleSf),
+    "tg_induce" -> graft.synth.SynthSql5.induceSql(OracleSf),
+    "q_modify_vertices" -> graft.synth.SynthSql5.modifyVerticesSql(OracleSf, "tool:t0", "added:x"),
     "tg_eigen" -> SynthSql3.eigenvectorSql(OracleSf, rounds = 15),
     "tg_katz" -> SynthSql3.katzSql(OracleSf, rounds = 10, alpha = 0.005, beta = 1.0),
     "tg_boundary" -> SynthSql3.nodeBoundarySql(OracleSf),

@@ -79,6 +79,60 @@ object SynthSql5 {
        |  AND e2.dst_oid LIKE 'tool:%'
        |GROUP BY e2.dst_oid""".stripMargin
 
+  /** ADD_COLUMN twin (`dag_utils.py:912`): the out-degree result joined
+    * back onto the vertex table as a property (LEFT join — vertices with
+    * no result row coalesce to 0 for the cross-engine dtype discipline).
+    */
+  def addColumnSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT v.oid AS oid, CAST(coalesce(o.od, 0) AS BIGINT) AS out_deg
+       |FROM vertices v
+       |LEFT JOIN (SELECT src, count(*) AS od FROM dedges GROUP BY src) o ON v.id = o.src""".stripMargin
+
+  /** TO_UNDIRECTED twin (`GraphBuilder.toUndirected`): symmetrize +
+    * merge weights, then per-vertex undirected degree and weight mass.
+    */
+  def toUndirectedSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |und AS (
+       |  SELECT src, dst, sum(weight) AS w FROM (
+       |    SELECT src, dst, weight FROM dedges
+       |    UNION ALL SELECT dst AS src, src AS dst, weight FROM dedges) z
+       |  GROUP BY src, dst)
+       |SELECT v.oid AS oid, CAST(count(*) AS BIGINT) AS deg, sum(u.w) AS w_sum
+       |FROM und u JOIN vertices v ON v.id = u.src
+       |GROUP BY v.oid""".stripMargin
+
+  /** INDUCE_SUBGRAPH twin (`dag_utils.py:698`): edges with BOTH
+    * endpoints inside the tool ∪ assistant ∪ system vertex set.
+    */
+  def induceSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |keep AS (SELECT id FROM vertices
+       |         WHERE oid LIKE 'tool:%' OR oid LIKE 'assistant%' OR oid = 'system')
+       |SELECT vs.oid AS src_oid, vd.oid AS dst_oid, e.weight AS weight
+       |FROM dedges e
+       |JOIN keep ks ON e.src = ks.id JOIN keep kd ON e.dst = kd.id
+       |JOIN vertices vs ON vs.id = e.src JOIN vertices vd ON vd.id = e.dst""".stripMargin
+
+  /** MODIFY_VERTICES twin (`dag_utils.py:289`): delete the tool:t0
+    * vertex (pruning its incident edges — induced-delete semantics) and
+    * add a fresh isolated vertex; output the post-commit per-oid
+    * out-degrees.
+    */
+  def modifyVerticesSql(sf: Double, deleteOid: String, addOid: String): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |delid AS (SELECT id FROM vertices WHERE oid = '$deleteOid'),
+       |vs2 AS (
+       |  SELECT oid, id FROM vertices WHERE oid <> '$deleteOid'
+       |  UNION ALL SELECT '$addOid' AS oid, 10000000 AS id),
+       |es2 AS (SELECT src, dst FROM dedges
+       |        WHERE src NOT IN (SELECT id FROM delid)
+       |          AND dst NOT IN (SELECT id FROM delid))
+       |SELECT v.oid AS oid, CAST(coalesce(o.od, 0) AS BIGINT) AS out_deg
+       |FROM vs2 v
+       |LEFT JOIN (SELECT src, count(*) AS od FROM es2 GROUP BY src) o ON v.id = o.src""".stripMargin
+
   /** IVF-partitioned ANN top-k, twin of `Similarity.ivfTopK`: strided
     * centroid sample, rounded-cosine argmax assignment (ties to the
     * smaller centroid id), nProbe nearest centroids per query, exact
