@@ -561,6 +561,14 @@ object SparkEntry {
           " __.as('b').has('oid', TextP.startingWith('assistant')).out().as('c'))" +
           ".select('c').has('oid', TextP.startingWith('tool:'))" +
           ".groupCount().by('oid')")),
+    // coalesce (first non-empty branch per traverser): tools with user
+    // out-neighbors take those; the rest fall through to in-neighbors
+    "tg_gremlin_coalesce" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().has('oid', TextP.startingWith('tool:'))" +
+          ".coalesce(__.out().has('oid', TextP.startingWith('u')), __.in())" +
+          ".groupCount().by('oid')" +
+          ".order().by('n', desc).by('oid', asc).limit(20)")),
     // weighted ShortestPathExpand (algebra.proto:302 over the weight
     // property vs the hop-count tg_gie_shortest): min total edge weight
     // from the assistant hub to every tool vertex
@@ -718,6 +726,55 @@ object SparkEntry {
         .localCheckpoint(true)
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
       out
+    }),
+    // MODIFY_EDGES (dag_utils.py:317): delete every out-edge of the
+    // system vertex, add one assistant→system edge (the merge's
+    // groupBy(src,dst).sum folds it into any surviving parallel weight),
+    // commit to a scratch SnapshotStore, report post-commit per-src-oid
+    // degree + weight mass
+    "q_modify_edges" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      val sess = s; import sess.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-mode")
+      val store = new graft.ingest.SnapshotStore(root.toString)
+      val sysId = g.vertices.toDF.where(col("oid") === "system")
+        .select(col("id")).head().getLong(0)
+      val asstId = g.vertices.toDF.where(col("oid") === "assistant")
+        .select(col("id")).head().getLong(0)
+      val (g2, _) = graft.graph.GraphOps.modifyEdges(g,
+        add = Seq(graft.schema.Edge(asstId, sysId, 99.0)).toDS(),
+        delete = g.edges.toDF.where(col("src") === sysId).as[graft.schema.Edge],
+        store, "mod_es2")
+      val out = g2.edges.toDF.groupBy(col("src"))
+        .agg(count(lit(1)).cast("long").as("out_deg"), sum(col("weight")).as("w_sum"))
+        .join(g.vertices.toDF.select(col("id").as("src"), col("oid")), "src")
+        .select(col("oid"), col("out_deg"), col("w_sum"))
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+      out
+    }),
+    // CLEAR_EDGES (dag_utils.py:676): commit an empty edge snapshot,
+    // REPORT_GRAPH the cleared graph (vertices survive, zero edges)
+    "q_clear_edges" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-clear")
+      val store = new graft.ingest.SnapshotStore(root.toString)
+      val (g2, _) = graft.graph.GraphOps.clearEdges(g, store, "clear_es")
+      val out = graft.graph.GraphOps.report(g2).localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+      out
+    }),
+    // VIEW/COPY via projection (dag_utils.py:417): weight-filtered edge
+    // view over the shared immutable base (frames are immutable — the
+    // view IS a zero-copy graph; the base is provably untouched because
+    // every other query reuses the cached graph after this one runs)
+    "q_project_view" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      val g2 = graft.graph.GraphOps.projectEdges(g, col("weight") >= 3.0)
+      g2.edges.toDF.groupBy(col("src"))
+        .agg(count(lit(1)).cast("long").as("out_deg"), sum(col("weight")).as("w_sum"))
+        .join(g.vertices.toDF.select(col("id").as("src"), col("oid")), "src")
+        .select(col("oid"), col("out_deg"), col("w_sum"))
     }),
     // closeness for the hub set — ONE batched reverse multi-source SSSP
     "tg_closeness" -> ((s, dir) => {
@@ -1019,6 +1076,7 @@ object SparkEntry {
     "tg_gremlin_repeat" -> graft.synth.SynthSql5.gieRepeatSql(OracleSf, "system", "tool:t0", 4),
     "tg_gremlin_group" -> graft.synth.SynthSql5.gieGroupSumSql(OracleSf, "u%"),
     "tg_gremlin_numeric" -> graft.synth.SynthSql5.gieNumericSql(OracleSf, 2, 5),
+    "tg_gremlin_coalesce" -> graft.synth.SynthSql5.gieCoalesceSql(OracleSf, 20),
     "tg_gremlin_bool" -> graft.synth.SynthSql5.gieBoolSql(OracleSf),
     "tg_gremlin_match" -> graft.synth.SynthSql5.gieMatchSql(OracleSf),
     "tg_gie_weighted_shortest" ->
@@ -1032,6 +1090,9 @@ object SparkEntry {
     "tg_to_undirected" -> graft.synth.SynthSql5.toUndirectedSql(OracleSf),
     "tg_induce" -> graft.synth.SynthSql5.induceSql(OracleSf),
     "q_modify_vertices" -> graft.synth.SynthSql5.modifyVerticesSql(OracleSf, "tool:t0", "added:x"),
+    "q_modify_edges" -> graft.synth.SynthSql5.modifyEdgesSql(OracleSf),
+    "q_clear_edges" -> graft.synth.SynthSql5.clearEdgesSql(OracleSf),
+    "q_project_view" -> graft.synth.SynthSql5.projectViewSql(OracleSf, 3.0),
     "tg_eigen" -> SynthSql3.eigenvectorSql(OracleSf, rounds = 15),
     "tg_katz" -> SynthSql3.katzSql(OracleSf, rounds = 10, alpha = 0.005, beta = 1.0),
     "tg_boundary" -> SynthSql3.nodeBoundarySql(OracleSf),

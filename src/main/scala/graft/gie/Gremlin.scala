@@ -26,13 +26,15 @@ import graft.graph.LinkGraph
   * result_opt ALL_V: materialized walks with a `path_str` column),
   * `values('oid'|'weight')`, `dedup()`, `as('t')`, `select('t')`,
   * `where(<sub>)`, `not(<sub>)`, `and(<sub>, …)`, `or(<sub>, …)`,
-  * `union(<sub>, …)`, `match(<as-tagged sentences>)`,
+  * `union(<sub>, …)`, `coalesce(<sub>, …)` (first non-empty branch per
+  * traverser), `optional(<sub>)`, `match(<as-tagged sentences>)`,
   * `repeat(<sub>)` with `until(<sub>)` / `emit()` / `times(n)`
   * modulators in any order (whichever bound fires first ends the loop),
   * `group().by(key).by([values(f).]sum|max|min|mean|count|fold())`,
   * `groupCount().by('oid')`, `fold()`, `unfold()`,
   * `order().by(col, asc|desc)…`,
-  * `limit(n)`, `count()`, `endV()`, `hops()` (GIE Auxilia on the
+  * `limit(n)`, `count()`, `sum|min|max|mean()` (global terminals over a
+  * preceding `values(f)` frame), `endV()`, `hops()` (GIE Auxilia on the
   * PathExpand hop column). String literals take single or double
   * quotes; anonymous sub-traversals may start with `__.`.
   */
@@ -279,6 +281,10 @@ object Gremlin {
           st = Left(t.whereOr(subs.map { case Sub(sub) => vertexFn(sub, "or()") }: _*))
         case ("union", subs) if subs.nonEmpty && subs.forall(_.isInstanceOf[Sub]) =>
           st = Left(t.union(subs.map { case Sub(sub) => vertexFn(sub, "union()") }: _*))
+        case ("coalesce", subs) if subs.nonEmpty && subs.forall(_.isInstanceOf[Sub]) =>
+          st = Left(t.coalesce(subs.map { case Sub(sub) => vertexFn(sub, "coalesce()") }: _*))
+        case ("optional", List(Sub(sub))) =>
+          st = Left(t.optional(vertexFn(sub, "optional()")))
         // match (algebra.proto:350, patmat.rs NaiveStrategy): sentences
         // are as(a)…as(b) chains, joined left-deep on shared tags
         case ("match", subs) if subs.nonEmpty && subs.forall(_.isInstanceOf[Sub]) =>
@@ -378,6 +384,18 @@ object Gremlin {
         case ("count", Nil) =>
           val base = st match { case Left(tr) => tr.df; case Right(df) => df }
           st = Right(base.agg(count(lit(1)).as("n")))
+        // global numeric terminals over a value frame (reference
+        // accumulators ToMin/ToMax/ToSum, accum.rs:34-41): follow a
+        // values(f) projection — `g.V().outE().values('weight').sum()`
+        case (a @ ("sum" | "min" | "max" | "mean"), Nil) =>
+          val c = col(d.columns.head)
+          val agg = a match {
+            case "sum" => sum(c)
+            case "min" => min(c)
+            case "max" => max(c)
+            case "mean" => avg(c)
+          }
+          st = Right(d.agg(agg.as(a)))
         case ("order", Nil) =>
           // resolve by-fields against the actual frame: a literal match
           // wins (e.g. "weight" after values('weight')), else the

@@ -250,26 +250,84 @@ final class Traversal private[gie] (g: LinkGraph, val df: DataFrame) {
     * a left-deep join). Each sentence is (startTag, body, endTag): its
     * relation is evaluated ONCE over the full vertex scan (body must
     * stay vertex-typed), projected to the two tag columns, and the
-    * sentence relations are joined left-deep on their shared tags. The
-    * incoming traverser binds to the FIRST sentence's start tag (bag
-    * join — traverser multiplicity preserved). The result carries every
-    * tag as a column; [[back]] (Gremlin `select`) jumps to any of them.
+    * sentence relations are joined left-deep on their shared tags,
+    * COST-ORDERED: smallest relation first, then greedily the smallest
+    * relation sharing a tag with the prefix (patmat.rs's cost idea over
+    * NaiveStrategy's left-deep shape — its `get_score`/sentence-pick
+    * loop; inner joins commute, so any connected order yields the same
+    * bag while smallest-first keeps the intermediate frames minimal).
+    * Each relation is materialized once — the cardinality probe and the
+    * join reuse the same frame. The incoming traverser binds to the
+    * FIRST sentence's start tag (bag join — traverser multiplicity
+    * preserved), and that binding is PUSHED INTO sentence evaluation:
+    * sentences starting at the bind tag expand from the traverser's
+    * distinct vertex set instead of the full scan, and sentences ending
+    * at it are semi-filtered by it — a no-op on the result (the final
+    * inner join on the bind tag drops everything else anyway) that
+    * prunes the expansion work and tightens the cost probes. The result
+    * carries every tag as a column; [[back]] (Gremlin `select`) jumps
+    * to any of them.
     */
   def matchPattern(sentences: Seq[(String, Traversal => Traversal, String)]): Traversal = {
     require(sentences.nonEmpty, "match() needs at least one sentence")
+    val first = sentences.head._1
+    val seed = Engine.materialize(df.select(col("__v")).distinct())
     val rels = sentences.map { case (a, body, b) =>
       require(a != b, s"match sentence must bind two distinct tags ($a, $b)")
-      val r = body(G.V(g).as_(a)).as_(b)
-      r.df.select(col(a), col(b))
+      val start = if (a == first) new Traversal(g, seed) else G.V(g)
+      val r = body(start.as_(a)).as_(b)
+      val rel = r.df.select(col(a), col(b))
+      Engine.materialize(
+        if (b == first) rel.join(seed.select(col("__v").as(b)), Seq(b), "left_semi")
+        else rel)
     }
-    val joined = rels.reduceLeft { (acc, r) =>
+    val order = G.planMatchOrder(rels.map(r => (r.columns.toSet, r.count())))
+    val joined = order.map(rels).reduceLeft { (acc, r) =>
       val shared = acc.columns.toSet.intersect(r.columns.toSet).toSeq
       require(shared.nonEmpty, "match sentences must share a tag with the prefix join")
       acc.join(r, shared)
     }
-    val first = sentences.head._1
     next(carried.withColumn(first, col("__v")).join(joined, Seq(first)))
   }
+
+  /** Coalesce (TinkerPop `coalesce()`; the GIE compiler's branch plan
+    * with early-out — per traverser, the FIRST branch producing any
+    * result wins and contributes ALL its rows, later branches are never
+    * consulted for that traverser). Lowered origin-correlated like
+    * [[whereExists]]: branch k runs ONCE over the distinct origin
+    * vertices still unresolved after branches 1..k-1 (no per-row
+    * subquery); resolved origins leave the pool via one anti-join per
+    * branch. The winning branch's rows bag-join back on the origin, so
+    * incoming traverser multiplicity and tags are preserved.
+    * `optional(f)` is `coalesce(f, identity)`.
+    */
+  def coalesce(fs: (Traversal => Traversal)*): Traversal = {
+    require(fs.nonEmpty, "coalesce() needs at least one branch")
+    var remaining = Engine.materialize(df.select(col("__v")).distinct())
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    fs.foreach { f =>
+      if (!remaining.isEmpty) {
+        val origin = new Traversal(g, remaining.withColumn("__origin", col("__v")))
+        val res = Engine.materialize(f(origin).df)
+        pieces += res
+        remaining = Engine.materialize(remaining.join(
+          res.select(col("__origin").as("__v")).distinct(), Seq("__v"), "left_anti"))
+      }
+    }
+    if (pieces.isEmpty) return next(df.limit(0)) // empty incoming frame
+    val common = pieces.map(_.columns.toSet).reduce(_ intersect _)
+    require(common.contains("__v") && common.contains("__origin"),
+      "coalesce branches must stay vertex-typed")
+    val cols = pieces.head.columns.filter(common.contains).toSeq.map(col)
+    val branchRows = pieces.map(_.select(cols: _*)).reduce(_ unionAll _)
+    next(carried.withColumnRenamed("__v", "__origin")
+      .join(branchRows, Seq("__origin")).drop("__origin"))
+  }
+
+  /** Optional (TinkerPop `optional()`): traversers with a branch result
+    * take it; the rest pass through unchanged.
+    */
+  def optional(f: Traversal => Traversal): Traversal = coalesce(f, identity)
 
   /** Union (`algebra.proto:74,394`, Gremlin union()): run each branch
     * sub-traversal from the current traverser frame and merge the
@@ -426,4 +484,28 @@ object G {
     */
   def V(g: LinkGraph, pred: Column): Traversal =
     new Traversal(g, g.vertices.toDF.where(pred).select(col("id").as("__v")))
+
+  /** Greedy cost-based match-sentence order (patmat.rs:76-889's
+    * cost-scored sentence pick over the left-deep join shape): start
+    * from the smallest relation, then repeatedly take the smallest
+    * remaining relation sharing a tag with the already-joined prefix.
+    * Ties break to the earlier sentence (deterministic). Throws if the
+    * sentences don't form one connected tag graph — same contract the
+    * join loop enforces.
+    */
+  private[graft] def planMatchOrder(rels: Seq[(Set[String], Long)]): Seq[Int] = {
+    val remaining = scala.collection.mutable.SortedSet(rels.indices: _*)
+    val order = Seq.newBuilder[Int]
+    var tags = Set.empty[String]
+    var n = 0
+    while (remaining.nonEmpty) {
+      val cands =
+        if (n == 0) remaining.toSeq
+        else remaining.toSeq.filter(i => rels(i)._1.intersect(tags).nonEmpty)
+      require(cands.nonEmpty, "match sentences must share a tag with the prefix join")
+      val pick = cands.minBy(i => (rels(i)._2, i))
+      order += pick; remaining -= pick; tags ++= rels(pick)._1; n += 1
+    }
+    order.result()
+  }
 }

@@ -133,6 +133,66 @@ object SynthSql5 {
        |FROM vs2 v
        |LEFT JOIN (SELECT src, count(*) AS od FROM es2 GROUP BY src) o ON v.id = o.src""".stripMargin
 
+  /** MODIFY_EDGES twin (`dag_utils.py:317`): delete every out-edge of
+    * the system vertex, add one assistant→system edge of weight 99 (the
+    * merge's groupBy(src,dst).sum folds it into any surviving parallel
+    * weight), report post-commit per-src-oid degree and weight mass.
+    */
+  def modifyEdgesSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |sysid AS (SELECT id FROM vertices WHERE oid = 'system'),
+       |aid AS (SELECT id FROM vertices WHERE oid = 'assistant'),
+       |es2 AS (
+       |  SELECT src, dst, sum(weight) AS weight FROM (
+       |    SELECT e.src, e.dst, e.weight FROM dedges e
+       |    WHERE e.src NOT IN (SELECT id FROM sysid)
+       |    UNION ALL
+       |    SELECT (SELECT id FROM aid), (SELECT id FROM sysid), CAST(99 AS DOUBLE)
+       |  ) z GROUP BY src, dst)
+       |SELECT v.oid AS oid, CAST(count(*) AS BIGINT) AS out_deg, sum(e.weight) AS w_sum
+       |FROM es2 e JOIN vertices v ON v.id = e.src
+       |GROUP BY v.oid""".stripMargin
+
+  /** CLEAR_EDGES twin (`dag_utils.py:676`): the post-clear REPORT_GRAPH
+    * row — all vertices survive, zero edges, zero self-loops.
+    */
+  def clearEdgesSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT CAST(count(*) AS BIGINT) AS nodes, CAST(0 AS BIGINT) AS edges,
+       |       CAST(0 AS BIGINT) AS self_loops FROM vertices""".stripMargin
+
+  /** VIEW/COPY twin (PROJECT_GRAPH, `dag_utils.py:417`): weight-filtered
+    * edge view, per-src-oid degree and mass over the view.
+    */
+  def projectViewSql(sf: Double, minW: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT v.oid AS oid, CAST(count(*) AS BIGINT) AS out_deg, sum(e.weight) AS w_sum
+       |FROM dedges e JOIN vertices v ON v.id = e.src
+       |WHERE e.weight >= $minW
+       |GROUP BY v.oid""".stripMargin
+
+  /** Gremlin coalesce() twin: per tool vertex, branch 1 = out-neighbors
+    * that are users; vertices with no branch-1 result fall through to
+    * branch 2 = all in-neighbors. groupCount by neighbor oid, ordered
+    * top-k (ties to oid asc — deterministic).
+    */
+  def gieCoalesceSql(sf: Double, limit: Int): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |starts AS (SELECT id FROM vertices WHERE oid LIKE 'tool:%'),
+       |b1 AS (
+       |  SELECT e.src AS origin, e.dst AS nb FROM dedges e
+       |  JOIN starts s ON s.id = e.src
+       |  JOIN vertices v ON v.id = e.dst AND v.oid LIKE 'u%'),
+       |b2 AS (
+       |  SELECT e.dst AS origin, e.src AS nb FROM dedges e
+       |  JOIN starts s ON s.id = e.dst
+       |  WHERE e.dst NOT IN (SELECT origin FROM b1)),
+       |nbs AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+       |SELECT v.oid AS oid, CAST(count(*) AS BIGINT) AS n
+       |FROM nbs JOIN vertices v ON v.id = nbs.nb
+       |GROUP BY v.oid
+       |ORDER BY n DESC, oid ASC LIMIT $limit""".stripMargin
+
   /** IVF-partitioned ANN top-k, twin of `Similarity.ivfTopK`: strided
     * centroid sample, rounded-cosine argmax assignment (ties to the
     * smaller centroid id), nProbe nearest centroids per query, exact

@@ -250,6 +250,72 @@ class GremlinSpec extends SparkSpec {
       Gremlin.run(g, "g.V().match(__.out().as('b')).select('b').count()"))
   }
 
+  test("match() cost-orders sentences; any connected order is equivalent") {
+    // planMatchOrder: smallest relation leads, then smallest connected
+    val order = G.planMatchOrder(Seq(
+      (Set("a", "b"), 100L), (Set("b", "c"), 5L), (Set("c", "d"), 50L)))
+    assert(order == Seq(1, 2, 0)) // b-c (5) first; c-d (50) beats a-b (100)
+    // a disconnected remainder is rejected
+    intercept[IllegalArgumentException](
+      G.planMatchOrder(Seq((Set("a", "b"), 1L), (Set("x", "y"), 2L))))
+    // a 3-sentence match written selective-last must equal the
+    // hand-lowered chain — the planner reorders, the bag is unchanged
+    val viaMatch = Gremlin.run(g,
+      "g.V().match(__.as('b').out().as('c'), " +
+        "__.as('a').has('oid', TextP.startingWith('u')).out().as('b'), " +
+        "__.as('c').has('oid', 't0').as('d'))" +
+        ".select('c').groupCount().by('oid')")
+    val viaDsl = G.V(g, col("oid").like("u%")).as_("a").out().as_("b")
+      .out().has(col("oid") === "t0").auxilia().groupCount("oid")
+    assert(rows(viaMatch) == rows(viaDsl))
+  }
+
+  test("coalesce() takes the first non-empty branch per traverser") {
+    // a0/a1/u1 resolve in branch 1 (an out-neighbor t0 exists); t0 falls
+    // through to in() = {a0, a1}; u0 has neither → drops out
+    val viaText = Gremlin.run(g,
+      "g.V().coalesce(__.out().has('oid', 't0'), __.in()).groupCount().by('oid')")
+    assert(rows(viaText) == Set("t0|3", "a0|1", "a1|1"))
+    // incoming multiplicity preserved through the origin bag-join
+    val bag = Gremlin.run(g,
+      "g.V().has('oid', TextP.startingWith('u')).out()" +
+        ".coalesce(__.out().has('oid', 't0'), __.in()).groupCount().by('oid')")
+    assert(rows(bag) == Set("t0|3")) // a0×2 → t0×2, a1 → t0
+  }
+
+  test("optional() keeps traversers whose branch is empty") {
+    val viaText = Gremlin.run(g,
+      "g.V().has('oid', TextP.startingWith('u'))" +
+        ".optional(__.out().has('oid', 'a1')).values('oid')")
+    assert(rows(viaText) == Set("a1", "u1")) // u0 takes the branch; u1 passes through
+  }
+
+  test("global numeric terminals over values()") {
+    assert(rows(Gremlin.run(g,
+      "g.V().has('oid', 'a0').outE().values('weight').sum()")) == Set("2.0"))
+    assert(rows(Gremlin.run(g,
+      "g.V().outE().values('weight').max()")) == Set("1.0"))
+    assert(rows(Gremlin.run(g,
+      "g.V().outE().values('weight').mean()")) == Set("1.0"))
+  }
+
+  test("match() pushes the incoming traverser binding into sentence evaluation") {
+    // pre-filtered traverser: bind-tag sentences seed from {u0,u1}, not
+    // the full scan — result must equal the unfiltered-scan semantics
+    val filtered = Gremlin.run(g,
+      "g.V().has('oid', TextP.startingWith('u'))" +
+        ".match(__.as('a').out().as('b'), __.as('b').out().as('c'))" +
+        ".select('c').groupCount().by('oid')")
+    assert(rows(filtered) == Set("t0|3", "a1|2"))
+    // incoming multiplicity survives the pushdown (bag join on the bind tag)
+    val bag = Gremlin.run(g,
+      "g.V().has('oid', TextP.startingWith('u')).out()" +
+        ".match(__.as('a').out().as('c')).select('c').groupCount().by('oid')")
+    val viaDsl = G.V(g, col("oid").like("u%")).out().as_("a")
+      .out().auxilia().groupCount("oid")
+    assert(rows(bag) == rows(viaDsl))
+  }
+
   test("fold() collects sorted; unfold() explodes back") {
     val folded = Gremlin.run(g,
       "g.V().has('oid', TextP.startingWith('u')).values('oid').fold()")
