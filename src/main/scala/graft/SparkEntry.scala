@@ -561,6 +561,24 @@ object SparkEntry {
           " __.as('b').has('oid', TextP.startingWith('assistant')).out().as('c'))" +
           ".select('c').has('oid', TextP.startingWith('tool:'))" +
           ".groupCount().by('oid')")),
+    // multi-tag Sink projection + tag-comparison predicate: the match()
+    // result consumed as (a, c) oid pairs with structural distinctness
+    "tg_gremlin_select" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().match(__.as('a').has('oid', TextP.startingWith('u')).out().as('b')," +
+          " __.as('b').has('oid', TextP.startingWith('assistant')).out().as('c'))" +
+          ".where('a', P.neq('c')).select('a', 'c')" +
+          ".order().by('a', asc).by('c', asc).limit(50)")),
+    // full TextP.* / P.without predicate family in one traversal:
+    // agents (containing) → neighbors that are not tools
+    // (notStartingWith), not system/assistant (without), oid ending '1'
+    "tg_gremlin_textp" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().has('oid', TextP.containing('gent')).out()" +
+          ".has('oid', TextP.notStartingWith('tool:'))" +
+          ".has('oid', P.without('system', 'assistant'))" +
+          ".has('oid', TextP.endingWith('1'))" +
+          ".groupCount().by('oid')")),
     // coalesce (first non-empty branch per traverser): tools with user
     // out-neighbors take those; the rest fall through to in-neighbors
     "tg_gremlin_coalesce" -> ((s, dir) =>
@@ -1077,6 +1095,8 @@ object SparkEntry {
     "tg_gremlin_group" -> graft.synth.SynthSql5.gieGroupSumSql(OracleSf, "u%"),
     "tg_gremlin_numeric" -> graft.synth.SynthSql5.gieNumericSql(OracleSf, 2, 5),
     "tg_gremlin_coalesce" -> graft.synth.SynthSql5.gieCoalesceSql(OracleSf, 20),
+    "tg_gremlin_select" -> graft.synth.SynthSql5.gieSelectSql(OracleSf, 50),
+    "tg_gremlin_textp" -> graft.synth.SynthSql5.gieTextpSql(OracleSf),
     "tg_gremlin_bool" -> graft.synth.SynthSql5.gieBoolSql(OracleSf),
     "tg_gremlin_match" -> graft.synth.SynthSql5.gieMatchSql(OracleSf),
     "tg_gie_weighted_shortest" ->

@@ -16,7 +16,9 @@ import graft.graph.LinkGraph
   * range expansion `out('1..3')` (PathExpand) is supported.
   *
   * Supported steps: `V()`, `has('oid', <lit>)`,
-  * `has('oid', TextP.startingWith(p) | eq(x) | neq(x) | within(a,b))`,
+  * `has('oid', TextP.startingWith | notStartingWith | containing |
+  * notContaining | endingWith | notEndingWith (p) | eq(x) | neq(x) |
+  * within(a,b) | without(a,b))`,
   * `has('weight', P.gt|gte|lt|lte(n) | between(a,b) | inside(a,b))`
   * (numeric predicates; `weight` is the edge property an `outE()`
   * traverser carries), `out() | in() | both()`, `outE()`, `inV()`,
@@ -25,7 +27,9 @@ import graft.graph.LinkGraph
   * `out('l..u').path()` / `out('l..u').simplePath().path()` (PathExpand
   * result_opt ALL_V: materialized walks with a `path_str` column),
   * `values('oid'|'weight')`, `dedup()`, `as('t')`, `select('t')`,
-  * `where(<sub>)`, `not(<sub>)`, `and(<sub>, …)`, `or(<sub>, …)`,
+  * `where(<sub>)`, `where('a', P.neq|eq('b'))` (tag comparison),
+  * `select('a','b',…)` (multi-tag oid projection),
+  * `not(<sub>)`, `and(<sub>, …)`, `or(<sub>, …)`,
   * `union(<sub>, …)`, `coalesce(<sub>, …)` (first non-empty branch per
   * traverser), `optional(<sub>)`, `match(<as-tagged sentences>)`,
   * `repeat(<sub>)` with `until(<sub>)` / `emit()` / `times(n)`
@@ -161,7 +165,8 @@ object Gremlin {
 
   /** Recognized predicate constructors (TextP.* / P.*). */
   private val PredFns = Set(
-    "eq", "neq", "within", "startingWith",
+    "eq", "neq", "within", "without", "startingWith", "notStartingWith",
+    "containing", "notContaining", "endingWith", "notEndingWith",
     "gt", "gte", "lt", "lte", "between", "inside")
 
   /** Safety bound for `repeat().until()` without an explicit `times()`
@@ -195,7 +200,13 @@ object Gremlin {
     case Pred("eq", Seq(v)) => c === v
     case Pred("neq", Seq(v)) => c =!= v
     case Pred("within", vs) => c.isin(vs: _*)
+    case Pred("without", vs) => !c.isin(vs: _*)
     case Pred("startingWith", Seq(v)) => c.startsWith(v)
+    case Pred("notStartingWith", Seq(v)) => !c.startsWith(v)
+    case Pred("containing", Seq(v)) => c.contains(v)
+    case Pred("notContaining", Seq(v)) => !c.contains(v)
+    case Pred("endingWith", Seq(v)) => c.endsWith(v)
+    case Pred("notEndingWith", Seq(v)) => !c.endsWith(v)
     case Pred("gt", Seq(v)) => c > v.toDouble
     case Pred("gte", Seq(v)) => c >= v.toDouble
     case Pred("lt", Seq(v)) => c < v.toDouble
@@ -271,6 +282,20 @@ object Gremlin {
         case ("dedup", Nil) => st = Left(t.dedup())
         case ("as", List(Lit(tag))) => st = Left(t.as_(tag))
         case ("select", List(Lit(tag))) => st = Left(t.back(tag))
+        // multi-tag Sink projection: one oid-decoded column per tag
+        case ("select", tags) if tags.length > 1 && tags.forall(_.isInstanceOf[Lit]) =>
+          st = Right(t.selectTags(tags.map { case Lit(s) => s }))
+        // tag-comparison predicate (TinkerPop where('a', P.neq('b')) —
+        // patmat's structural-distinctness filter): both operands are
+        // tag columns on the traverser frame
+        case ("where", List(Lit(a), Pred(fn, Seq(b)))) =>
+          val c = fn match {
+            case "neq" => col(a) =!= col(b)
+            case "eq" => col(a) === col(b)
+            case other => throw new IllegalArgumentException(
+              s"unsupported tag predicate: $other")
+          }
+          st = Left(t.where(c))
         case ("where", List(Sub(sub))) =>
           st = Left(t.whereExists(vertexFn(sub, "where()")))
         case ("not", List(Sub(sub))) =>

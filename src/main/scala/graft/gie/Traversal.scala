@@ -451,6 +451,21 @@ final class Traversal private[gie] (g: LinkGraph, val df: DataFrame) {
     next(df.join(mapping, Seq("__path")))
   }
 
+  /** Multi-tag Sink projection (TinkerPop `select('a','b')` over a
+    * match()/as() result; the GIE Sink's tag-column output,
+    * `algebra.proto:369`): one oid column per tag, each decoded with
+    * one join against the vertex table — the sink-side decode, same
+    * policy as [[pathOids]] (ids ride every upstream shuffle; strings
+    * exist only past this point).
+    */
+  def selectTags(tags: Seq[String]): DataFrame = {
+    require(tags.nonEmpty, "select() needs at least one tag")
+    val vs = g.vertices.toDF
+    tags.foldLeft(df)((d, tg) =>
+      d.join(vs.select(col("id").as(tg), col("oid").as(s"__oid_$tg")), Seq(tg)))
+      .select(tags.map(tg => col(s"__oid_$tg").as(tg)): _*)
+  }
+
   /** GroupBy count (`algebra.proto:79`, Gremlin groupCount). */
   def groupCount(key: String): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("n"))

@@ -193,6 +193,41 @@ object SynthSql5 {
        |GROUP BY v.oid
        |ORDER BY n DESC, oid ASC LIMIT $limit""".stripMargin
 
+  /** Gremlin multi-tag select() twin: two-sentence match (u→b, b→c with
+    * b an assistant), structural distinctness a<>c, tag oids projected
+    * and ordered with a deterministic limit.
+    */
+  def gieSelectSql(sf: Double, limit: Int): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |s1 AS (
+       |  SELECT va.id AS a, e.dst AS b FROM dedges e
+       |  JOIN vertices va ON va.id = e.src WHERE va.oid LIKE 'u%'),
+       |s2 AS (
+       |  SELECT vb.id AS b, e.dst AS c FROM dedges e
+       |  JOIN vertices vb ON vb.id = e.src WHERE vb.oid LIKE 'assistant%'),
+       |j AS (SELECT s1.a, s2.c FROM s1 JOIN s2 USING (b) WHERE s1.a <> s2.c)
+       |SELECT va.oid AS a, vc.oid AS c FROM j
+       |JOIN vertices va ON va.id = j.a
+       |JOIN vertices vc ON vc.id = j.c
+       |ORDER BY a, c LIMIT $limit""".stripMargin
+
+  /** TextP/P predicate-family twin: agent sources (`containing 'gent'`
+    * — only `agent:N` oids contain it), destination filtered by
+    * `notStartingWith('tool:')`, `P.without('system','assistant')` and
+    * `endingWith('1')`, counted per oid.
+    */
+  def gieTextpSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT vd.oid AS oid, count(*) AS n
+       |FROM dedges e
+       |JOIN vertices vs ON vs.id = e.src
+       |JOIN vertices vd ON vd.id = e.dst
+       |WHERE vs.oid LIKE '%gent%'
+       |  AND vd.oid NOT LIKE 'tool:%'
+       |  AND vd.oid NOT IN ('system', 'assistant')
+       |  AND vd.oid LIKE '%1'
+       |GROUP BY vd.oid""".stripMargin
+
   /** IVF-partitioned ANN top-k, twin of `Similarity.ivfTopK`: strided
     * centroid sample, rounded-cosine argmax assignment (ties to the
     * smaller centroid id), nProbe nearest centroids per query, exact

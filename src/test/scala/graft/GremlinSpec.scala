@@ -316,6 +316,37 @@ class GremlinSpec extends SparkSpec {
     assert(rows(bag) == rows(viaDsl))
   }
 
+  test("select('a','c') projects tag oids; where('a', P.neq('c')) compares tags") {
+    val viaText = Gremlin.run(g,
+      "g.V().match(__.as('a').has('oid', TextP.startingWith('u')).out().as('b'), " +
+        "__.as('b').out().as('c'))" +
+        ".where('a', P.neq('c')).select('a', 'c')")
+    // (a,c) pairs: u0→a0→{t0,a1}, u0→a1→t0, u1→a0→{t0,a1} — none with a=c
+    assert(viaText.columns.toSeq == Seq("a", "c"))
+    assert(rows(viaText) == Set("u0|t0", "u0|a1", "u1|t0", "u1|a1"))
+    // the eq() form is the complement: empty here
+    assert(Gremlin.run(g,
+      "g.V().match(__.as('a').has('oid', TextP.startingWith('u')).out().as('b'), " +
+        "__.as('b').out().as('c'))" +
+        ".where('a', P.eq('c')).select('a', 'c')").isEmpty)
+  }
+
+  test("TextP containing/endingWith/notStartingWith and P.without predicates") {
+    assert(rows(Gremlin.run(g,
+      "g.V().has('oid', TextP.containing('0')).values('oid')")) == Set("u0", "a0", "t0"))
+    assert(rows(Gremlin.run(g,
+      "g.V().has('oid', TextP.notStartingWith('a')).values('oid')")) == Set("u0", "u1", "t0"))
+    assert(rows(Gremlin.run(g,
+      "g.V().has('oid', TextP.endingWith('1')).values('oid')")) == Set("u1", "a1"))
+    assert(rows(Gremlin.run(g,
+      "g.V().has('oid', TextP.notContaining('0')).values('oid')")) == Set("u1", "a1"))
+    assert(rows(Gremlin.run(g,
+      "g.V().has('oid', TextP.notEndingWith('0')).values('oid')")) == Set("u1", "a1"))
+    // P.without keeps {a0, a1}; their out-neighborhood is {t0, a1}
+    assert(rows(Gremlin.run(g,
+      "g.V().has('oid', P.without('u0', 'u1', 't0')).out().values('oid')")) == Set("t0", "a1"))
+  }
+
   test("fold() collects sorted; unfold() explodes back") {
     val folded = Gremlin.run(g,
       "g.V().has('oid', TextP.startingWith('u')).values('oid').fold()")
