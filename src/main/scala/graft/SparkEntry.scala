@@ -569,6 +569,19 @@ object SparkEntry {
           " __.as('b').has('oid', TextP.startingWith('assistant')).out().as('c'))" +
           ".where('a', P.neq('c')).select('a', 'c')" +
           ".order().by('a', asc).by('c', asc).limit(50)")),
+    // subgraph() sink: the edge-induced subgraph of agent out-edges as
+    // a new graph, emitted as oid-decoded (src_oid, dst_oid, weight)
+    "tg_gremlin_subgraph" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().has('oid', TextP.startingWith('agent:'))" +
+          ".outE().subgraph('sg').cap('sg')")),
+    // ToDistinctCount accumulator: per tool, how many DISTINCT
+    // assistants invoke it (tag values deduped inside the group)
+    "tg_gremlin_distinct" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().has('oid', TextP.startingWith('assistant')).as('a')" +
+          ".out().has('oid', TextP.startingWith('tool:'))" +
+          ".group().by('oid').by(__.values('a').dedup().count())")),
     // full TextP.* / P.without predicate family in one traversal:
     // agents (containing) → neighbors that are not tools
     // (notStartingWith), not system/assistant (without), oid ending '1'
@@ -1097,6 +1110,8 @@ object SparkEntry {
     "tg_gremlin_coalesce" -> graft.synth.SynthSql5.gieCoalesceSql(OracleSf, 20),
     "tg_gremlin_select" -> graft.synth.SynthSql5.gieSelectSql(OracleSf, 50),
     "tg_gremlin_textp" -> graft.synth.SynthSql5.gieTextpSql(OracleSf),
+    "tg_gremlin_subgraph" -> graft.synth.SynthSql5.gieSubgraphSql(OracleSf),
+    "tg_gremlin_distinct" -> graft.synth.SynthSql5.gieDistinctCountSql(OracleSf),
     "tg_gremlin_bool" -> graft.synth.SynthSql5.gieBoolSql(OracleSf),
     "tg_gremlin_match" -> graft.synth.SynthSql5.gieMatchSql(OracleSf),
     "tg_gie_weighted_shortest" ->

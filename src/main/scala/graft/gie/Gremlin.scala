@@ -32,6 +32,7 @@ import graft.graph.LinkGraph
   * `not(<sub>)`, `and(<sub>, …)`, `or(<sub>, …)`,
   * `union(<sub>, …)`, `coalesce(<sub>, …)` (first non-empty branch per
   * traverser), `optional(<sub>)`, `match(<as-tagged sentences>)`,
+  * `subgraph('sg')[.cap('sg')]` (edge-induced subgraph sink), `id()`,
   * `repeat(<sub>)` with `until(<sub>)` / `emit()` / `times(n)`
   * modulators in any order (whichever bound fires first ends the loop),
   * `group().by(key).by([values(f).]sum|max|min|mean|count|fold())`,
@@ -363,10 +364,12 @@ object Gremlin {
         case ("group", Nil) => rest match {
           case Step("by", List(Lit(key))) :: Step("by", List(Sub(valSteps))) :: tl =>
             val (vf, aggName) = valSteps match {
+              case Step("values", List(Lit(f))) :: Step("dedup", Nil) ::
+                  Step(a @ ("count" | "fold"), Nil) :: Nil => (Some(f), "dedup_" + a)
               case Step("values", List(Lit(f))) :: Step(a, Nil) :: Nil => (Some(f), a)
               case Step(a, Nil) :: Nil => (None, a)
               case _ => throw new IllegalArgumentException(
-                "group value must be [values(f).]sum|max|min|mean|count|fold()")
+                "group value must be [values(f).][dedup().]sum|max|min|mean|count|fold()")
             }
             val needsOid = key == "oid" || vf.contains("oid")
             val base = (if (needsOid) t.auxilia() else t).df
@@ -378,6 +381,9 @@ object Gremlin {
               case "mean" => avg(vcol)
               case "count" => count(lit(1))
               case "fold" => sort_array(collect_list(vcol))
+              // ToDistinctCount / ToSet accumulators (accum.rs:34-41)
+              case "dedup_count" => countDistinct(vcol)
+              case "dedup_fold" => sort_array(collect_set(vcol))
               case other => throw new IllegalArgumentException(
                 s"unsupported group aggregator: $other")
             }
@@ -386,6 +392,25 @@ object Gremlin {
           case _ => throw new IllegalArgumentException(
             "group() must be followed by by(key).by(valueAgg)")
         }
+        // subgraph('sg')[.cap('sg')]: edge-induced subgraph sink — the
+        // distinct visited edges + incident vertices as a new graph,
+        // emitted as oid-decoded edge rows (SubGraphOperator,
+        // subgraph.rs:29; gremlin_to_subgraph)
+        case ("subgraph", List(Lit(tag))) =>
+          rest match {
+            case Step("cap", List(Lit(t2))) :: tl if t2 == tag => rest = tl
+            case Nil =>
+            case _ => throw new IllegalArgumentException(
+              s"subgraph('$tag') must be terminal or followed by cap('$tag')")
+          }
+          val sg = t.subgraph()
+          val vs = sg.vertices.toDF
+          st = Right(sg.edges.toDF
+            .join(vs.select(col("id").as("src"), col("oid").as("src_oid")), Seq("src"))
+            .join(vs.select(col("id").as("dst"), col("oid").as("dst_oid")), Seq("dst"))
+            .select(col("src_oid"), col("dst_oid"), col("weight")))
+        // id() intrinsic (`expr.proto:49-57` ID): the dense vertex id
+        case ("id", Nil) => st = Right(t.df.select(col("__v").as("id")))
         // fold(): the whole traverser stream (or terminal value column)
         // as one sorted list row; unfold() explodes it back
         case ("fold", Nil) =>

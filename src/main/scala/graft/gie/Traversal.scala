@@ -466,6 +466,28 @@ final class Traversal private[gie] (g: LinkGraph, val df: DataFrame) {
       .select(tags.map(tg => col(s"__oid_$tg").as(tg)): _*)
   }
 
+  /** Gremlin `subgraph()` sink (MaxGraph `SubGraphOperator`,
+    * `unarystep/subgraph.rs:29`; python `gremlin_to_subgraph`,
+    * `dag_utils.py:1115`): the edge-induced subgraph of the distinct
+    * edges the (edge-positioned, post-[[outE]]) traverser stream has
+    * visited, plus their incident vertices, as a new [[LinkGraph]] —
+    * the traversal-plane counterpart of the session plane's
+    * INDUCE_SUBGRAPH. Both sides stay id-typed; oids decode lazily
+    * from the filtered vertex table.
+    */
+  def subgraph(): LinkGraph = {
+    require(df.columns.contains("__src") && df.columns.contains("__w"),
+      "subgraph() needs an edge-positioned traverser (use outE())")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val es = df.select(col("__src").as("src"), col("__v").as("dst"),
+      col("__w").as("weight")).distinct()
+    val vids = es.select(col("src").as("id"))
+      .unionAll(es.select(col("dst").as("id"))).distinct()
+    val vs = g.vertices.toDF.join(vids, Seq("id"), "left_semi")
+    LinkGraph(vs.as[graft.schema.Vertex], es.as[graft.schema.Edge])
+  }
+
   /** GroupBy count (`algebra.proto:79`, Gremlin groupCount). */
   def groupCount(key: String): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("n"))

@@ -228,6 +228,26 @@ object SynthSql5 {
        |  AND vd.oid LIKE '%1'
        |GROUP BY vd.oid""".stripMargin
 
+  /** Gremlin subgraph() twin: the edge-induced subgraph of agent
+    * out-edges — every distinct (src, dst, weight) whose source is an
+    * agent, oid-decoded.
+    */
+  def gieSubgraphSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT e.src_oid, e.dst_oid, e.weight
+       |FROM edges_oid e WHERE e.src_oid LIKE 'agent:%'""".stripMargin
+
+  /** Gremlin group().by(k).by(values(tag).dedup().count()) twin
+    * (ToDistinctCount accumulator): per tool, the number of DISTINCT
+    * assistants that invoke it.
+    */
+  def gieDistinctCountSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT e.dst_oid AS oid, count(DISTINCT e.src_oid) AS val
+       |FROM edges_oid e
+       |WHERE e.src_oid LIKE 'assistant%' AND e.dst_oid LIKE 'tool:%'
+       |GROUP BY e.dst_oid""".stripMargin
+
   /** IVF-partitioned ANN top-k, twin of `Similarity.ivfTopK`: strided
     * centroid sample, rounded-cosine argmax assignment (ties to the
     * smaller centroid id), nProbe nearest centroids per query, exact

@@ -347,6 +347,34 @@ class GremlinSpec extends SparkSpec {
       "g.V().has('oid', P.without('u0', 'u1', 't0')).out().values('oid')")) == Set("t0", "a1"))
   }
 
+  test("subgraph() extracts the edge-induced subgraph of visited edges") {
+    val edges = Gremlin.run(g,
+      "g.V().has('oid', TextP.startingWith('u')).outE().subgraph('sg').cap('sg')")
+    assert(edges.columns.toSeq == Seq("src_oid", "dst_oid", "weight"))
+    assert(rows(edges) == Set("u0|a0|1.0", "u0|a1|1.0", "u1|a0|1.0"))
+    // DSL form returns a real LinkGraph: 4 incident vertices, 3 edges
+    val sg = graft.gie.G.V(g, col("oid").like("u%")).outE().subgraph()
+    assert(sg.vertices.collect().map(_.oid).toSet == Set("u0", "u1", "a0", "a1"))
+    assert(sg.edges.count() == 3)
+  }
+
+  test("group by(values(tag).dedup().count()) counts distinct tagged vertices") {
+    // a0→{t0,a1}, a1→t0: t0 sees 2 distinct assistants, a1 sees 1
+    val viaText = Gremlin.run(g,
+      "g.V().has('oid', TextP.startingWith('a')).as('a').out()" +
+        ".group().by('oid').by(__.values('a').dedup().count())")
+    assert(rows(viaText) == Set("t0|2", "a1|1"))
+    // dedup().fold() = sorted set accumulator (weights all 1.0 here)
+    val folded = Gremlin.run(g,
+      "g.V().outE().group().by('oid').by(__.values('weight').dedup().fold())")
+    assert(folded.collect().forall(_.getSeq[Double](1) == Seq(1.0)))
+  }
+
+  test("id() projects the dense vertex id") {
+    assert(rows(Gremlin.run(g, "g.V().has('oid', 'u0').id()")) == Set("0"))
+    assert(rows(Gremlin.run(g, "g.V().has('oid', 't0').in().id()")) == Set("2", "3"))
+  }
+
   test("fold() collects sorted; unfold() explodes back") {
     val folded = Gremlin.run(g,
       "g.V().has('oid', TextP.startingWith('u')).values('oid').fold()")
