@@ -569,6 +569,11 @@ object SparkEntry {
           " __.as('b').has('oid', TextP.startingWith('assistant')).out().as('c'))" +
           ".where('a', P.neq('c')).select('a', 'c')" +
           ".order().by('a', asc).by('c', asc).limit(50)")),
+    // deterministic sample(n): the 7 user vertices smallest under the
+    // portable pick hash (MetapathSample analog, resume-safe)
+    "tg_gremlin_sample" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().has('oid', TextP.startingWith('u')).sample(7).values('oid')")),
     // subgraph() sink: the edge-induced subgraph of agent out-edges as
     // a new graph, emitted as oid-decoded (src_oid, dst_oid, weight)
     "tg_gremlin_subgraph" -> ((s, dir) =>
@@ -1111,6 +1116,7 @@ object SparkEntry {
     "tg_gremlin_select" -> graft.synth.SynthSql5.gieSelectSql(OracleSf, 50),
     "tg_gremlin_textp" -> graft.synth.SynthSql5.gieTextpSql(OracleSf),
     "tg_gremlin_subgraph" -> graft.synth.SynthSql5.gieSubgraphSql(OracleSf),
+    "tg_gremlin_sample" -> graft.synth.SynthSql5.gieSampleSql(OracleSf, 7),
     "tg_gremlin_distinct" -> graft.synth.SynthSql5.gieDistinctCountSql(OracleSf),
     "tg_gremlin_bool" -> graft.synth.SynthSql5.gieBoolSql(OracleSf),
     "tg_gremlin_match" -> graft.synth.SynthSql5.gieMatchSql(OracleSf),

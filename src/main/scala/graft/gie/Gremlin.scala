@@ -33,6 +33,7 @@ import graft.graph.LinkGraph
   * `union(<sub>, …)`, `coalesce(<sub>, …)` (first non-empty branch per
   * traverser), `optional(<sub>)`, `match(<as-tagged sentences>)`,
   * `subgraph('sg')[.cap('sg')]` (edge-induced subgraph sink), `id()`,
+  * `sample(n)` (deterministic portable-pick-hash),
   * `repeat(<sub>)` with `until(<sub>)` / `emit()` / `times(n)`
   * modulators in any order (whichever bound fires first ends the loop),
   * `group().by(key).by([values(f).]sum|max|min|mean|count|fold())`,
@@ -411,6 +412,8 @@ object Gremlin {
             .select(col("src_oid"), col("dst_oid"), col("weight")))
         // id() intrinsic (`expr.proto:49-57` ID): the dense vertex id
         case ("id", Nil) => st = Right(t.df.select(col("__v").as("id")))
+        // sample(n): deterministic portable-pick-hash sample (MetapathSample)
+        case ("sample", List(Num(n))) => st = Left(t.sampleN(n.toInt))
         // fold(): the whole traverser stream (or terminal value column)
         // as one sorted list row; unfold() explodes it back
         case ("fold", Nil) =>

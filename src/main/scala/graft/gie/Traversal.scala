@@ -466,6 +466,35 @@ final class Traversal private[gie] (g: LinkGraph, val df: DataFrame) {
       .select(tags.map(tg => col(s"__oid_$tg").as(tg)): _*)
   }
 
+  /** Gremlin `sample(n)` (MaxGraph `MetapathSample`, `unarystep/
+    * sample.rs:30`) — DETERMINISTIC variant: pick the n traversers
+    * smallest under the engine's portable pick hash of the vertex oid
+    * (the same resume-safe policy `Paths3.samplingPaths` uses instead
+    * of a random draw). Lowers to orderBy+limit ⇒ TakeOrderedAndProject
+    * (no full sort, map-side top-n).
+    */
+  def sampleN(n: Int): Traversal = {
+    val aux = auxilia()
+    new Traversal(g, aux.df
+      .orderBy(graft.text.TextOps.portableHash(col("oid")).asc, col("oid").asc)
+      .limit(n))
+  }
+
+  /** Gremlin lambda step (`unarystep/lambda.rs:34`): an arbitrary Scala
+    * closure over the traverser's current vertex id — JVM-native, so no
+    * lambda-service round trip like the reference needs. Lowered as a
+    * semi-join against the closure-filtered DISTINCT vertex set rather
+    * than a row-wise typed filter: the non-declarative part touches
+    * |V'| ids once, and the traverser bag itself stays inside
+    * Catalyst-planned joins (pushdown survives around it).
+    */
+  def lambdaFilter(f: Long => Boolean): Traversal = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keep = df.select(col("__v")).distinct().as[Long].filter(f).toDF("__v")
+    next(df.join(keep, Seq("__v"), "left_semi"))
+  }
+
   /** Gremlin `subgraph()` sink (MaxGraph `SubGraphOperator`,
     * `unarystep/subgraph.rs:29`; python `gremlin_to_subgraph`,
     * `dag_utils.py:1115`): the edge-induced subgraph of the distinct

@@ -248,6 +248,16 @@ object SynthSql5 {
        |WHERE e.src_oid LIKE 'assistant%' AND e.dst_oid LIKE 'tool:%'
        |GROUP BY e.dst_oid""".stripMargin
 
+  /** Gremlin sample(n) twin: the engine's deterministic pick — the n
+    * user vertices smallest under the portable hash of their oid (ties
+    * by oid). Must stay in exact integer lockstep with
+    * `TextOps.portableHash` via `LshSql.phash`.
+    */
+  def gieSampleSql(sf: Double, n: Int): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT v.oid AS oid FROM vertices v WHERE v.oid LIKE 'u%'
+       |ORDER BY ${LshSql.phash("v.oid")}, v.oid LIMIT $n""".stripMargin
+
   /** IVF-partitioned ANN top-k, twin of `Similarity.ivfTopK`: strided
     * centroid sample, rounded-cosine argmax assignment (ties to the
     * smaller centroid id), nProbe nearest centroids per query, exact

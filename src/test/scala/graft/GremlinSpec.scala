@@ -370,6 +370,21 @@ class GremlinSpec extends SparkSpec {
     assert(folded.collect().forall(_.getSeq[Double](1) == Seq(1.0)))
   }
 
+  test("sample(n) is a deterministic pick-hash subset; lambdaFilter is a closure semi-join") {
+    // n >= population: sample returns the whole set
+    assert(rows(Gremlin.run(g,
+      "g.V().has('oid', TextP.startingWith('u')).sample(2).values('oid')")) == Set("u0", "u1"))
+    // n = 1: a stable singleton subset (same pick on every invocation)
+    val pick = rows(Gremlin.run(g,
+      "g.V().has('oid', TextP.startingWith('u')).sample(1).values('oid')"))
+    assert(pick.size == 1 && pick.subsetOf(Set("u0", "u1")))
+    assert(rows(Gremlin.run(g,
+      "g.V().has('oid', TextP.startingWith('u')).sample(1).values('oid')")) == pick)
+    // lambda: arbitrary Scala closure over vertex ids (even ids here)
+    val even = graft.gie.G.V(g).lambdaFilter(_ % 2L == 0L).auxilia().values("oid")
+    assert(rows(even) == Set("u0", "a0", "t0"))
+  }
+
   test("id() projects the dense vertex id") {
     assert(rows(Gremlin.run(g, "g.V().has('oid', 'u0').id()")) == Set("0"))
     assert(rows(Gremlin.run(g, "g.V().has('oid', 't0').in().id()")) == Set("2", "3"))
