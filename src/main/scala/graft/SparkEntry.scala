@@ -627,6 +627,24 @@ object SparkEntry {
     "d_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         graft.text.TextOps.docFingerprint(col("text")).as("fp"))),
+    // end-to-end training-data prep: quality gate (>= 0.7) AND exact
+    // normalized-dedup survivor (canonical doc), then per-language
+    // corpus stats — the composed filter->dedup->langid->stats flow a
+    // real corpus build runs, in one declarative plan
+    "d_prep_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val q = graft.text.TextOps.qualityScore(docs, "text", "doc_id")
+      val l = graft.text.TextOps.langId(docs, "text", "doc_id")
+      val canon = graft.text.Dedup.normalized(docs, "doc_id", "text")
+      val toks = docs.select(col("doc_id"),
+        size(graft.text.TextOps.tokens(col("text"))).as("n_tokens"))
+      q.join(l, "doc_id").join(canon, "doc_id").join(toks, "doc_id")
+        .where(col("quality") >= 0.7 && col("canonical_id") === col("doc_id"))
+        .groupBy(col("lang_guess").as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          round(sum(col("quality")), 2).as("quality_sum"))
+    }),
     // MinHash near-dup groups — full-value oracle via the portable hash
     // family (LshSql twin restates the whole pipeline in DuckDB SQL)
     "d_minhash_groups" -> ((s, dir) =>
@@ -1157,6 +1175,7 @@ object SparkEntry {
     "d_quality" -> SynthSql2.qualitySql,
     "d_langid" -> SynthSql2.langIdSql(graft.text.TextOps.Stopwords),
     "d_fingerprint" -> SynthSql2.fingerprintSql,
+    "d_prep_pipeline" -> SynthSql2.prepPipelineSql(graft.text.TextOps.Stopwords),
     "d_minhash_groups" -> graft.synth.LshSql.minhashGroupsSql(
       numHashes = 16, bands = 8, shingleSize = 3, threshold = 0.5),
     "d_simhash_pairs" -> graft.synth.LshSql.simhashPairsSql(maxDist = 3),

@@ -260,6 +260,49 @@ object SynthSql2 {
        |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id""".stripMargin
   }
 
+  /** End-to-end prep-pipeline twin: per-doc 2-dp quality band score,
+    * exact normalized dedup (min-doc_id canonical per sorted-distinct-
+    * token fingerprint), stopword language ID, then per-language corpus
+    * stats over the kept docs (quality >= 0.7 AND canonical survivor).
+    * Each stage is the same formula its standalone twin uses.
+    */
+  def prepPipelineSql(stopwords: Map[String, Seq[String]]): String = {
+    val values = stopwords.toSeq.sortBy(_._1)
+      .flatMap { case (l, ws) => ws.map(w => s"('$l','$w')") }.mkString(", ")
+    s"""WITH sw(lang, word) AS (VALUES $values),
+       |t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |q AS (
+       |  SELECT doc_id,
+       |    round((CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 0.4 ELSE 0.0 END) +
+       |          (CASE WHEN (CASE WHEN length(text) > 0
+       |               THEN CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+       |               ELSE 0.0 END) < 0.2 THEN 0.3 ELSE 0.0 END) +
+       |          (CASE WHEN len(toks) > 0 AND CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks) > 0.5 THEN 0.3 ELSE 0.0 END), 2)
+       |      AS quality,
+       |    len(toks) AS n_tokens
+       |  FROM t),
+       |canon AS (
+       |  SELECT doc_id, min(doc_id) OVER (
+       |    PARTITION BY array_to_string(list_sort(list_distinct(toks)), ' ')) AS canonical_id
+       |  FROM t),
+       |tok AS (SELECT doc_id, unnest(toks) AS word FROM t),
+       |hits AS (
+       |  SELECT doc_id, lang, count(*) AS hits
+       |  FROM tok JOIN sw ON tok.word = sw.word GROUP BY doc_id, lang),
+       |best AS (
+       |  SELECT doc_id, lang FROM (
+       |    SELECT doc_id, lang,
+       |           row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+       |    FROM hits) z WHERE rn = 1),
+       |kept AS (
+       |  SELECT coalesce(b.lang, 'unk') AS lang, q.quality, q.n_tokens
+       |  FROM q JOIN canon c USING (doc_id) LEFT JOIN best b USING (doc_id)
+       |  WHERE q.quality >= 0.7 AND c.canonical_id = q.doc_id)
+       |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |       round(sum(quality), 2) AS quality_sum
+       |FROM kept GROUP BY lang""".stripMargin
+  }
+
   def fingerprintSql: String =
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
        |SELECT doc_id,
