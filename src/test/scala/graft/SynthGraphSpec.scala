@@ -128,6 +128,25 @@ class SynthGraphSpec extends SparkSpec {
     assert(d(1L) == ((2L, 2L)))
   }
 
+  test("pagerank resumes from a checkpoint to the exact uninterrupted result") {
+    import graft.engine.CheckpointConfig
+    import graft.algos.PageRank
+    val g = GraphBuilder.fromTranscripts(Synth.transcripts(spark, sf).toDF)
+    val straight = PageRank.run(g, PageRank.Config(maxIter = 10))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // phase 1: run 5 iterations, checkpointing every superstep
+    val dir = Files.createTempDirectory("graft-pr-ckpt").toString
+    val ckpt = Some(CheckpointConfig(new SnapshotStore(dir), "pr", every = 1))
+    PageRank.run(g, PageRank.Config(maxIter = 5), ckpt = ckpt)
+    // phase 2: a fresh invocation resumes at iter 5 from the manifest
+    // (iter/base/dsum metrics + contribution state) and finishes 10
+    val resumed = PageRank.run(g, PageRank.Config(maxIter = 10), ckpt = ckpt)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(resumed.keySet == straight.keySet)
+    assert(straight.forall { case (id, r) => math.abs(resumed(id) - r) < 1e-12 })
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("snapshot store resume: latest version readable after partial work") {
     val dir = Files.createTempDirectory("graft-snap2").toString
     val store = new SnapshotStore(dir)
