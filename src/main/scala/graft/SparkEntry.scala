@@ -95,6 +95,22 @@ object SparkEntry {
       GraphBuilder.oidEdges(Synth.transcripts(s, Synth.sfOfDir(dir)).toDF)),
     "tg_degrees" -> ((s, dir) =>
       graphFor(s, dir).degrees.select("oid", "out_deg", "in_deg")),
+    // explicit hub-skew salting over the mega-hub tool vertices: salted
+    // two-phase sum + salted collect (length) must equal the plain
+    // groupBy aggregates — the north rule's "explicit salting/splitting
+    // of hub-vertex skew", driver-checked against an unsalted twin
+    "tg_salted_hub" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      val e = g.edges.toDF
+      val sums = graft.engine.Skew.saltedSum(e, "dst", "weight", saltFrom = "src")
+      val lens = graft.engine.Skew
+        .saltedCollectSorted(e.select(col("dst"), col("src")), "dst", "src", saltFrom = "src")
+        .select(col("dst"), size(col("src")).as("n_in"))
+      sums.join(lens, "dst")
+        .join(g.vertices.toDF.select(col("id").as("dst"), col("oid")), Seq("dst"))
+        .where(col("oid").like("tool:%"))
+        .select(col("oid"), round(col("weight"), 6).as("w_in"), col("n_in"))
+    }),
     "tg_pagerank" -> ((s, dir) => {
       val g = graphFor(s, dir)
       val pr = PageRank.run(g, PageRank.Config(0.85, PrRounds))
@@ -1018,6 +1034,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "tg_edges" -> SynthSql.edgesSql(OracleSf),
     "tg_degrees" -> SynthSql.degreesSql(OracleSf),
+    "tg_salted_hub" -> graft.synth.SynthSql5.saltedHubSql(OracleSf),
     "tg_pagerank" -> SynthSql.pageRankSql(OracleSf, PrRounds),
     "tg_wcc" -> SynthSql.wccSql(OracleSf),
     "tg_pregel_wcc" -> SynthSql.wccSql(OracleSf),

@@ -258,6 +258,17 @@ object SynthSql5 {
        |SELECT v.oid AS oid FROM vertices v WHERE v.oid LIKE 'u%'
        |ORDER BY ${LshSql.phash("v.oid")}, v.oid LIMIT $n""".stripMargin
 
+  /** Unsalted twin of the salted hub aggregation: plain per-tool sum +
+    * count — salting must be result-invariant.
+    */
+  def saltedHubSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT v.oid AS oid, round(sum(e.weight), 6) AS w_in,
+       |       CAST(count(*) AS INTEGER) AS n_in
+       |FROM dedges e JOIN vertices v ON v.id = e.dst
+       |WHERE v.oid LIKE 'tool:%'
+       |GROUP BY v.oid""".stripMargin
+
   /** IVF-partitioned ANN top-k, twin of `Similarity.ivfTopK`: strided
     * centroid sample, rounded-cosine argmax assignment (ties to the
     * smaller centroid id), nProbe nearest centroids per query, exact
