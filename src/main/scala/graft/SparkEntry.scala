@@ -621,6 +621,23 @@ object SparkEntry {
           ".coalesce(__.out().has('oid', TextP.startingWith('u')), __.in())" +
           ".groupCount().by('oid')" +
           ".order().by('n', desc).by('oid', asc).limit(20)")),
+    // label-aware Gremlin over the multi-label property graph (the
+    // reference's QueryParams.tables label pushdown, algebra.proto:196/
+    // :254): hasLabel scan + label-filtered expand + vertex-label
+    // groupCount — labels prune the vertex/edge scans before any join
+    "tg_gremlin_haslabel" -> ((s, dir) =>
+      graft.gie.Gremlin.run(
+        graft.graph.PropertyGraph.fromTranscripts(
+          Synth.transcripts(s, Synth.sfOfDir(dir)).toDF),
+        "g.V().hasLabel('user').out('reply').groupCount().by('label')")),
+    // edge-label plane: outE() carries the edge label (__elabel);
+    // group().by('label').by(values('weight').sum()) = total per-label
+    // occurrence weight (reply vs invoke)
+    "tg_gremlin_edgelabel" -> ((s, dir) =>
+      graft.gie.Gremlin.run(
+        graft.graph.PropertyGraph.fromTranscripts(
+          Synth.transcripts(s, Synth.sfOfDir(dir)).toDF),
+        "g.V().outE().group().by('label').by(__.values('weight').sum())")),
     // weighted ShortestPathExpand (algebra.proto:302 over the weight
     // property vs the hop-count tg_gie_shortest): min total edge weight
     // from the assistant hub to every tool vertex
@@ -660,6 +677,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("long").as("total_tokens"),
           round(sum(col("quality")), 2).as("quality_sum"))
+    }),
+    // deterministic train/valid/test split (portable-hash buckets, no
+    // rand() — resume-safe and cluster-size-stable) + per-(split, lang)
+    // stratified corpus stats: the split step of a training-data build
+    "d_split_stratified" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val split = graft.text.TextOps.hashSplit(
+        docs.select(col("doc_id"), col("text")), "doc_id")
+      val lang = graft.text.TextOps.langId(docs, "text", "doc_id")
+      split.join(lang, "doc_id")
+        .groupBy(col("split"), col("lang_guess"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(graft.text.TextOps.tokens(col("text")))).as("tot_tokens"))
     }),
     // MinHash near-dup groups — full-value oracle via the portable hash
     // family (LshSql twin restates the whole pipeline in DuckDB SQL)
@@ -1148,6 +1178,8 @@ object SparkEntry {
     "tg_gremlin_group" -> graft.synth.SynthSql5.gieGroupSumSql(OracleSf, "u%"),
     "tg_gremlin_numeric" -> graft.synth.SynthSql5.gieNumericSql(OracleSf, 2, 5),
     "tg_gremlin_coalesce" -> graft.synth.SynthSql5.gieCoalesceSql(OracleSf, 20),
+    "tg_gremlin_haslabel" -> graft.synth.SynthSql5.gieHasLabelSql(OracleSf),
+    "tg_gremlin_edgelabel" -> graft.synth.SynthSql5.gieEdgeLabelSumSql(OracleSf),
     "tg_gremlin_select" -> graft.synth.SynthSql5.gieSelectSql(OracleSf, 50),
     "tg_gremlin_textp" -> graft.synth.SynthSql5.gieTextpSql(OracleSf),
     "tg_gremlin_subgraph" -> graft.synth.SynthSql5.gieSubgraphSql(OracleSf),
@@ -1193,6 +1225,7 @@ object SparkEntry {
     "d_langid" -> SynthSql2.langIdSql(graft.text.TextOps.Stopwords),
     "d_fingerprint" -> SynthSql2.fingerprintSql,
     "d_prep_pipeline" -> SynthSql2.prepPipelineSql(graft.text.TextOps.Stopwords),
+    "d_split_stratified" -> SynthSql2.splitStratifiedSql(graft.text.TextOps.Stopwords),
     "d_minhash_groups" -> graft.synth.LshSql.minhashGroupsSql(
       numHashes = 16, bands = 8, shingleSize = 3, threshold = 0.5),
     "d_simhash_pairs" -> graft.synth.LshSql.simhashPairsSql(maxDist = 3),

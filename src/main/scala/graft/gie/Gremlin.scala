@@ -3,7 +3,7 @@ package graft.gie
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.graph.LinkGraph
+import graft.graph.{LinkGraph, PropertyGraph}
 
 /** Gremlin *text* front-end for the GIE plane: parses a traversal
   * string into the [[Traversal]] algebra, so a user can submit
@@ -15,7 +15,12 @@ import graft.graph.LinkGraph
   * over the step subset the algebra implements. The GIE dialect's
   * range expansion `out('1..3')` (PathExpand) is supported.
   *
-  * Supported steps: `V()`, `has('oid', <lit>)`,
+  * Supported steps: `V()`, `hasLabel('l'[, …])` and label-filtered
+  * expands `out('lbl') | in('lbl') | both('lbl') | outE('lbl')` plus
+  * `values('label')` / `has('label', <p>)` (labeled property graphs —
+  * the reference's QueryParams.tables label pushdown; a non-range
+  * string argument to an expand step is an edge label),
+  * `has('oid', <lit>)`,
   * `has('oid', TextP.startingWith | notStartingWith | containing |
   * notContaining | endingWith | notEndingWith (p) | eq(x) | neq(x) |
   * within(a,b) | without(a,b))`,
@@ -183,7 +188,15 @@ object Gremlin {
     * the result frame (terminal `values`/`groupCount`/`count`/… or the
     * traverser frame's columns as-is).
     */
-  def run(g: LinkGraph, text: String): DataFrame = {
+  def run(g: LinkGraph, text: String): DataFrame = run(GGraph(g), text)
+
+  /** Parse + lower over a labeled property graph — enables the
+    * label-aware steps (`hasLabel`, `out('reply')`, `values('label')`,
+    * `has('label', …)`).
+    */
+  def run(pg: PropertyGraph, text: String): DataFrame = run(GGraph(pg), text)
+
+  def run(g: GGraph, text: String): DataFrame = {
     val steps = new P(text).chain(anonymous = false)
     eval(G.V(g), steps, sourceDone = false) match {
       case Left(t) => t.df
@@ -246,21 +259,40 @@ object Gremlin {
         case Right(_) => throw new IllegalArgumentException(
           s"$what sub-traversal must stay vertex-typed")
       }
+    // property fetch for a group/value key: oid and (vertex) label are
+    // Auxilia joins; an edge-positioned traverser already carries its
+    // edge label (__elabel) and weight (__w)
+    def fetch(tr: Traversal, f: String): Traversal = f match {
+      case "oid" => tr.auxilia()
+      case "label" if !tr.df.columns.contains("__elabel") => tr.auxiliaLabel()
+      case _ => tr
+    }
+    def fieldColIn(d: DataFrame, f: String): Column =
+      if (f == "weight") col("__w")
+      else if (f == "label" && d.columns.contains("__elabel")) col("__elabel")
+      else col(f)
     while (rest.nonEmpty) {
       val Step(name, args) = rest.head
       rest = rest.tail
       (name, args) match {
         case ("has", List(Lit(f), p)) =>
           // edge-property predicates filter the traverser frame (the
-          // value rides the traverser after outE); vertex-property
-          // predicates push down into the vertex scan semi-join
-          if (f == "weight") st = Left(t.where(predOn(fieldCol(f), p)))
+          // value rides the traverser after outE — weight as __w, label
+          // as __elabel); vertex-property predicates push down into the
+          // vertex scan semi-join (the labeled vertex table carries
+          // `label`, so has('label', …) pushes down like any property)
+          if (f == "weight" || (f == "label" && t.df.columns.contains("__elabel")))
+            st = Left(t.where(predOn(fieldColIn(t.df, f), p)))
           else st = Left(t.has(predOn(col(f), p)))
         case ("has", List(Lit(f))) => st = Left(t.has(col(f).isNotNull))
+        // hasLabel(l, …): per-label vertex scan (labeled graphs)
+        case ("hasLabel", ls) if ls.nonEmpty && ls.forall(_.isInstanceOf[Lit]) =>
+          st = Left(t.hasLabel(ls.map { case Lit(v) => v }: _*))
         case ("out", Nil) => st = Left(t.out())
         case ("in", Nil) => st = Left(t.in())
         case ("both", Nil) => st = Left(t.both())
         case ("outE", Nil) => st = Left(t.outE())
+        case ("outE", List(Lit(l))) => st = Left(t.outE(l))
         case ("inV", Nil) => st = Left(t.inV())
         case ("outV", Nil) => st = Left(t.outV())
         case (dir @ ("out" | "in" | "both"), List(Lit(RangeLit(lo, hi)))) =>
@@ -280,6 +312,11 @@ object Gremlin {
             case _ =>
               st = Left(t.pathExpand(lo.toInt, hi.toInt, dir))
           }
+        // label-filtered expand (a non-range string argument is an edge
+        // label, TinkerPop out('knows') — labeled graphs only)
+        case ("out", List(Lit(l))) => st = Left(t.out(l))
+        case ("in", List(Lit(l))) => st = Left(t.in(l))
+        case ("both", List(Lit(l))) => st = Left(t.both(l))
         case ("endV", Nil) => st = Left(t) // GetV after range expand — already vertex-positioned
         case ("dedup", Nil) => st = Left(t.dedup())
         case ("as", List(Lit(tag))) => st = Left(t.as_(tag))
@@ -372,9 +409,8 @@ object Gremlin {
               case _ => throw new IllegalArgumentException(
                 "group value must be [values(f).][dedup().]sum|max|min|mean|count|fold()")
             }
-            val needsOid = key == "oid" || vf.contains("oid")
-            val base = (if (needsOid) t.auxilia() else t).df
-            val vcol = vf.map(fieldCol).getOrElse(col("__v"))
+            val base = fetch(fetch(t, key), vf.getOrElse("")).df
+            val vcol = vf.map(fieldColIn(base, _)).getOrElse(col("__v"))
             val agg = aggName match {
               case "sum" => sum(vcol)
               case "max" => max(vcol)
@@ -388,7 +424,7 @@ object Gremlin {
               case other => throw new IllegalArgumentException(
                 s"unsupported group aggregator: $other")
             }
-            st = Right(base.groupBy(fieldCol(key).as(key)).agg(agg.as("val")))
+            st = Right(base.groupBy(fieldColIn(base, key).as(key)).agg(agg.as("val")))
             rest = tl
           case _ => throw new IllegalArgumentException(
             "group() must be followed by by(key).by(valueAgg)")
@@ -425,13 +461,16 @@ object Gremlin {
         case ("unfold", Nil) =>
           st = Right(d.select(explode(col(d.columns.head)).as("value")))
         case ("values", List(Lit(f))) =>
-          if (f == "weight") st = Right(t.df.select(fieldCol(f).as("weight")))
+          if (f == "weight" || f == "label")
+            st = Right(fetch(t, f).df.select(fieldColIn(t.df, f).as(f)))
           else st = Right((if (f == "oid") t.auxilia() else t).values(f))
         case ("hops", Nil) =>
           st = Right(t.auxilia().df.select(col("oid"), col("__hops").as("hops")))
         case ("groupCount", Nil) => rest match {
           case Step("by", List(Lit(f))) :: tl =>
-            st = Right((if (f == "oid") t.auxilia() else t).groupCount(f)); rest = tl
+            val base = fetch(t, f).df
+            st = Right(base.groupBy(fieldColIn(base, f).as(f)).agg(count(lit(1)).as("n")))
+            rest = tl
           case _ => st = Right(t.groupCount("__v"))
         }
         case ("count", Nil) =>

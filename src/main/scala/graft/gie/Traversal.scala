@@ -4,9 +4,29 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Engine
-import graft.graph.LinkGraph
+import graft.graph.{LinkGraph, PropertyGraph}
 
-/** Composable GIE-style traversal algebra over a [[LinkGraph]] — the
+/** Graph handle for the traversal plane. Plain graphs come from
+  * [[LinkGraph]] (vertices `(id, oid)`, edges `(src, dst, weight)` with
+  * per-pair weights merged); labeled graphs from the multi-label
+  * [[PropertyGraph]] (vertices carry `label`, edges carry `label` with
+  * per-(pair,label) weights — so an unfiltered expand over a labeled
+  * graph yields one traverser per labeled edge, the union-of-label-
+  * tables semantics of the reference's multi-label expand,
+  * `arrow_projected_fragment.h:339-444`). Label-aware steps
+  * ([[Traversal.hasLabel]], label-filtered expands) require `labeled`.
+  */
+final case class GGraph private[gie] (
+    vertices: DataFrame, edges: DataFrame, labeled: Boolean)
+
+object GGraph {
+  def apply(g: LinkGraph): GGraph =
+    GGraph(g.vertices.toDF, g.edges.toDF, labeled = false)
+  def apply(pg: PropertyGraph): GGraph =
+    GGraph(pg.vertices, pg.edges, labeled = true)
+}
+
+/** Composable GIE-style traversal algebra over a [[GGraph]] — the
   * Spark-native restatement of the reference's IR dataflow operators
   * (`research/query_service/ir/proto/algebra.proto`): Scan (:196),
   * Select (:42), EdgeExpand OUT/IN/BOTH (:254), GetV (:216), Auxilia
@@ -22,10 +42,10 @@ import graft.graph.LinkGraph
   * Columns: `__v` = current vertex id; user tags via [[as_]]; `__hops`
   * after a path expansion; `oid` after [[auxilia]] (property fetch).
   */
-final class Traversal private[gie] (g: LinkGraph, val df: DataFrame) {
+final class Traversal private[gie] (g: GGraph, val df: DataFrame) {
 
   private def next(d: DataFrame) = new Traversal(g, d)
-  private def edges = g.edges.toDF
+  private def edges = g.edges
 
   /** Select/IndexPredicate on the oid property (`algebra.proto:42,162`):
     * a left-semi join against the *filtered vertex scan*, so the
@@ -34,8 +54,21 @@ final class Traversal private[gie] (g: LinkGraph, val df: DataFrame) {
     */
   def has(pred: Column): Traversal =
     next(df.join(
-      g.vertices.toDF.where(pred).select(col("id").as("__v")),
+      g.vertices.where(pred).select(col("id").as("__v")),
       Seq("__v"), "left_semi"))
+
+  /** Gremlin `hasLabel(l, …)` — the per-label Scan/IndexPredicate of the
+    * reference's labeled scan (`algebra.proto:196` QueryParams.tables):
+    * the label predicate lands on the vertex table (at scale a
+    * label-partitioned table, so this is partition pruning), then one
+    * semi-join. Requires a labeled graph ([[GGraph]] from a
+    * [[PropertyGraph]]).
+    */
+  def hasLabel(labels: String*): Traversal = {
+    require(labels.nonEmpty, "hasLabel() needs at least one label")
+    require(g.labeled, "hasLabel() requires a labeled (property) graph")
+    has(col("label").isin(labels: _*))
+  }
 
   /** Arbitrary filter on the traverser frame (requires the referenced
     * columns, e.g. `oid` after [[auxilia]]).
@@ -46,51 +79,82 @@ final class Traversal private[gie] (g: LinkGraph, val df: DataFrame) {
     * (traverser, out-edge) — multiplicity = path count. Stale
     * per-vertex columns (oid/__hops) are dropped.
     */
-  def out(): Traversal = expand(col("src"), col("dst"))
+  def out(): Traversal = expand(edges, col("src"), col("dst"))
 
   /** EdgeExpand IN + GetV START. */
-  def in(): Traversal = expand(col("dst"), col("src"))
+  def in(): Traversal = expand(edges, col("dst"), col("src"))
 
   /** EdgeExpand BOTH. */
-  def both(): Traversal = {
-    val sym = edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+  def both(): Traversal = bothOver(edges)
+
+  /** Label-filtered EdgeExpand (`algebra.proto:254` QueryParams.tables —
+    * the per-edge-label expand of the reference's labeled dataflow):
+    * the label predicate lands on the edge scan (partition pruning on a
+    * label-partitioned edge table at scale), then the same single
+    * equi-join. Requires a labeled graph.
+    */
+  def out(label: String): Traversal = expand(labeledEdges(label), col("src"), col("dst"))
+
+  def in(label: String): Traversal = expand(labeledEdges(label), col("dst"), col("src"))
+
+  def both(label: String): Traversal = bothOver(labeledEdges(label))
+
+  private def labeledEdges(label: String): DataFrame = {
+    require(g.labeled, s"out/in/both/outE('$label') requires a labeled (property) graph")
+    edges.where(col("label") === label)
+  }
+
+  private def bothOver(e: DataFrame): Traversal = {
+    val sym = e.select(col("src"), col("dst"))
+      .unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
     next(carried
       .join(sym.withColumnRenamed("src", "__v"), Seq("__v"))
       .withColumn("__v", col("dst")).drop("dst"))
   }
 
-  private def expand(from: Column, to: Column): Traversal =
+  private def expand(e: DataFrame, from: Column, to: Column): Traversal =
     next(carried
-      .join(edges.select(from.as("__v"), to.as("__to")), Seq("__v"))
+      .join(e.select(from.as("__v"), to.as("__to")), Seq("__v"))
       .withColumn("__v", col("__to")).drop("__to"))
 
-  /** Traverser columns that survive an expansion (drop fetched props). */
+  /** Traverser columns that survive an expansion (drop fetched props
+    * and any stale edge position).
+    */
   private def carried: DataFrame = {
-    val stale = Seq("oid", "__hops", "__path", "path_str").filter(df.columns.contains)
+    val stale = Seq("oid", "label", "__hops", "__path", "path_str",
+      "__src", "__w", "__elabel").filter(df.columns.contains)
     stale.foldLeft(df)((d, c) => d.drop(c))
   }
 
   /** EdgeExpand OUT keeping the edge position (`algebra.proto:254` with
     * EXPAND_EDGE): traverser moves to the edge's END vertex but carries
     * `__src` (start) and `__w` (weight property) — the GetV(END) +
-    * edge-property Auxilia fusion.
+    * edge-property Auxilia fusion. On a labeled graph the edge label
+    * rides as `__elabel`.
     */
-  def outE(): Traversal =
+  def outE(): Traversal = outEOver(edges)
+
+  /** Label-filtered edge-positioned expand. */
+  def outE(label: String): Traversal = outEOver(labeledEdges(label))
+
+  private def outEOver(e0: DataFrame): Traversal = {
+    val e = if (e0.columns.contains("label"))
+      e0.withColumnRenamed("label", "__elabel") else e0
     next(carried
-      .join(edges.withColumnRenamed("src", "__v"), Seq("__v"))
+      .join(e.withColumnRenamed("src", "__v"), Seq("__v"))
       .withColumn("__src", col("__v"))
       .withColumn("__v", col("dst")).drop("dst")
       .withColumnRenamed("weight", "__w"))
+  }
 
   /** GetV(END) from an edge-positioned traverser (Gremlin `inV()`): the
     * traverser already sits at the edge's end — drop the edge columns.
     */
-  def inV(): Traversal = next(df.drop("__src", "__w"))
+  def inV(): Traversal = next(df.drop("__src", "__w", "__elabel"))
 
   /** GetV(START) from an edge-positioned traverser (Gremlin `outV()`). */
   def outV(): Traversal =
-    next(df.withColumn("__v", col("__src")).drop("__src", "__w"))
+    next(df.withColumn("__v", col("__src")).drop("__src", "__w", "__elabel"))
 
   /** SegmentApply (`algebra.proto:341`): apply a ranking/limit
     * sub-operation *per segment* of traversers sharing `segCol` —
@@ -116,7 +180,18 @@ final class Traversal private[gie] (g: LinkGraph, val df: DataFrame) {
     * current vertex (join against the vertex table).
     */
   def auxilia(): Traversal =
-    next(df.drop("oid").join(g.vertices.toDF.select(col("id").as("__v"), col("oid")), Seq("__v")))
+    next(df.drop("oid").join(g.vertices.select(col("id").as("__v"), col("oid")), Seq("__v")))
+
+  /** Auxilia for the vertex `label` property (Gremlin `label()` on a
+    * vertex-positioned traverser). Requires a labeled graph; an
+    * edge-positioned traverser already carries its edge label as
+    * `__elabel` (no fetch needed).
+    */
+  def auxiliaLabel(): Traversal = {
+    require(g.labeled, "label() requires a labeled (property) graph")
+    next(df.drop("label").join(
+      g.vertices.select(col("id").as("__v"), col("label")), Seq("__v")))
+  }
 
   /** Dedup (`algebra.proto:135`) on the given keys (default: the
     * current vertex), projecting to those keys — deterministic.
@@ -349,12 +424,17 @@ final class Traversal private[gie] (g: LinkGraph, val df: DataFrame) {
     * PathExpand `base` EdgeExpand direction (`algebra.proto:254`
     * Direction OUT/IN/BOTH).
     */
-  private def expandRel(dir: String): DataFrame = dir match {
-    case "out" => edges.select(col("src").as("__v"), col("dst"))
-    case "in" => edges.select(col("dst").as("__v"), col("src").as("dst"))
-    case "both" => edges.select(col("src").as("__v"), col("dst"))
-      .unionAll(edges.select(col("dst").as("__v"), col("src").as("dst")))
-    case other => throw new IllegalArgumentException(s"unknown expand direction: $other")
+  private def expandRel(dir: String): DataFrame = {
+    val rel = dir match {
+      case "out" => edges.select(col("src").as("__v"), col("dst"))
+      case "in" => edges.select(col("dst").as("__v"), col("src").as("dst"))
+      case "both" => edges.select(col("src").as("__v"), col("dst"))
+        .unionAll(edges.select(col("dst").as("__v"), col("src").as("dst")))
+      case other => throw new IllegalArgumentException(s"unknown expand direction: $other")
+    }
+    // a labeled edge table holds one row per (pair, label) — the hop
+    // relation of a path/shortest expand is the distinct pair set
+    if (g.labeled) rel.distinct() else rel
   }
 
   /** PathExpand lower..upper hops (`algebra.proto:287`) fused with
@@ -444,7 +524,7 @@ final class Traversal private[gie] (g: LinkGraph, val df: DataFrame) {
   def pathOids(sep: String = ">"): Traversal = {
     val mapping = df.select(col("__path")).distinct()
       .select(col("__path"), posexplode(col("__path")).as(Seq("__pos", "__pv")))
-      .join(g.vertices.toDF.select(col("id").as("__pv"), col("oid").as("__poid")), Seq("__pv"))
+      .join(g.vertices.select(col("id").as("__pv"), col("oid").as("__poid")), Seq("__pv"))
       .groupBy(col("__path"))
       .agg(expr(s"concat_ws('$sep', transform(array_sort(collect_list(struct(__pos, __poid))), x -> x.__poid))")
         .as("path_str"))
@@ -460,7 +540,7 @@ final class Traversal private[gie] (g: LinkGraph, val df: DataFrame) {
     */
   def selectTags(tags: Seq[String]): DataFrame = {
     require(tags.nonEmpty, "select() needs at least one tag")
-    val vs = g.vertices.toDF
+    val vs = g.vertices
     tags.foldLeft(df)((d, tg) =>
       d.join(vs.select(col("id").as(tg), col("oid").as(s"__oid_$tg")), Seq(tg)))
       .select(tags.map(tg => col(s"__oid_$tg").as(tg)): _*)
@@ -513,7 +593,7 @@ final class Traversal private[gie] (g: LinkGraph, val df: DataFrame) {
       col("__w").as("weight")).distinct()
     val vids = es.select(col("src").as("id"))
       .unionAll(es.select(col("dst").as("id"))).distinct()
-    val vs = g.vertices.toDF.join(vids, Seq("id"), "left_semi")
+    val vs = g.vertices.select(col("id"), col("oid")).join(vids, Seq("id"), "left_semi")
     LinkGraph(vs.as[graft.schema.Vertex], es.as[graft.schema.Edge])
   }
 
@@ -542,14 +622,23 @@ final class Traversal private[gie] (g: LinkGraph, val df: DataFrame) {
 object G {
 
   /** All vertices, one traverser each. */
-  def V(g: LinkGraph): Traversal =
-    new Traversal(g, g.vertices.toDF.select(col("id").as("__v")))
+  def V(g: GGraph): Traversal =
+    new Traversal(g, g.vertices.select(col("id").as("__v")))
 
-  /** Vertices matching an oid predicate — the predicate lands on the
-    * vertex scan (IndexPredicate pushdown analog).
+  def V(g: LinkGraph): Traversal = V(GGraph(g))
+
+  /** All vertices of a labeled property graph. */
+  def V(pg: PropertyGraph): Traversal = V(GGraph(pg))
+
+  /** Vertices matching a predicate — the predicate lands on the vertex
+    * scan (IndexPredicate pushdown analog).
     */
-  def V(g: LinkGraph, pred: Column): Traversal =
-    new Traversal(g, g.vertices.toDF.where(pred).select(col("id").as("__v")))
+  def V(g: GGraph, pred: Column): Traversal =
+    new Traversal(g, g.vertices.where(pred).select(col("id").as("__v")))
+
+  def V(g: LinkGraph, pred: Column): Traversal = V(GGraph(g), pred)
+
+  def V(pg: PropertyGraph, pred: Column): Traversal = V(GGraph(pg), pred)
 
   /** Greedy cost-based match-sentence order (patmat.rs:76-889's
     * cost-scored sentence pick over the left-deep join shape): start

@@ -79,9 +79,14 @@ object PropertyGraph {
     * carry their derivation label — `reply` (consecutive-turn links) or
     * `invoke` (assistant → tool) — with per-label occurrence-count
     * weights (so [[flatten]] reproduces the single-label weights
-    * exactly).
+    * exactly). The oid→id map joins are broadcast only while the vertex
+    * table is small (same `broadcastMaxVertices` guard + shuffle-join
+    * fallback as [[GraphBuilder.fromTranscripts]]).
     */
-  def fromTranscripts(turns: DataFrame): PropertyGraph = {
+  def fromTranscripts(
+      turns: DataFrame,
+      broadcastMaxVertices: Long = 10000000L
+  ): PropertyGraph = {
     val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
     val withOid = turns.select(
       col("conv_id"), col("turn_idx"), col("role"), col("tool"),
@@ -99,9 +104,12 @@ object PropertyGraph {
       .agg(count(lit(1)).cast("double").as("weight"))
     val oe = GraphBuilder.oidEdges(turns)
     val vs = GraphBuilder.vertices(turns, oe).toDF
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hint: DataFrame => DataFrame =
+      if (vs.count() <= broadcastMaxVertices) broadcast(_) else identity
     val es = labeled
-      .join(broadcast(vs.select(col("id").as("src"), col("oid").as("src_oid"))), "src_oid")
-      .join(broadcast(vs.select(col("id").as("dst"), col("oid").as("dst_oid"))), "dst_oid")
+      .join(hint(vs.select(col("id").as("src"), col("oid").as("src_oid"))), "src_oid")
+      .join(hint(vs.select(col("id").as("dst"), col("oid").as("dst_oid"))), "dst_oid")
       .select(col("src"), col("dst"), col("label"), col("weight"))
     PropertyGraph(vs.select(col("id"), col("oid"), labelOf(col("oid")).as("label")), es)
   }

@@ -260,6 +260,40 @@ object SynthSql2 {
        |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id""".stripMargin
   }
 
+  /** Twin of `TextOps.hashSplit` + per-(split, language) stratified
+    * corpus stats: bucket = portableHash(CAST(doc_id AS VARCHAR)) % 10
+    * (train 0-7 / valid 8 / test 9 — the same integer arithmetic as the
+    * Spark side), language from the standalone langid twin.
+    */
+  def splitStratifiedSql(stopwords: Map[String, Seq[String]]): String = {
+    val values = stopwords.toSeq.sortBy(_._1)
+      .flatMap { case (l, ws) => ws.map(w => s"('$l','$w')") }.mkString(", ")
+    s"""WITH sw(lang, word) AS (VALUES $values),
+       |tok AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+       |hits AS (
+       |  SELECT doc_id, lang, count(*) AS hits
+       |  FROM tok JOIN sw ON tok.word = sw.word
+       |  GROUP BY doc_id, lang),
+       |best AS (
+       |  SELECT doc_id, lang FROM (
+       |    SELECT doc_id, lang,
+       |           row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+       |    FROM hits) z WHERE rn = 1),
+       |assigned AS (
+       |  SELECT d.doc_id,
+       |         CASE WHEN b.b < 8 THEN 'train' WHEN b.b = 8 THEN 'valid' ELSE 'test' END AS split,
+       |         coalesce(bl.lang, 'unk') AS lang_guess,
+       |         len($toksSql) AS n_tokens
+       |  FROM documents d
+       |  JOIN (SELECT doc_id, ${LshSql.phash("CAST(doc_id AS VARCHAR)")} % 10 AS b
+       |        FROM documents) b ON d.doc_id = b.doc_id
+       |  LEFT JOIN best bl ON d.doc_id = bl.doc_id)
+       |SELECT split, lang_guess,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS tot_tokens
+       |FROM assigned GROUP BY split, lang_guess""".stripMargin
+  }
+
   /** End-to-end prep-pipeline twin: per-doc 2-dp quality band score,
     * exact normalized dedup (min-doc_id canonical per sorted-distinct-
     * token fingerprint), stopword language ID, then per-language corpus

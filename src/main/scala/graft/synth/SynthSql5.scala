@@ -258,6 +258,45 @@ object SynthSql5 {
        |SELECT v.oid AS oid FROM vertices v WHERE v.oid LIKE 'u%'
        |ORDER BY ${LshSql.phash("v.oid")}, v.oid LIMIT $n""".stripMargin
 
+  /** `PropertyGraph.labelOf` as SQL — vertex label from the oid shape. */
+  def labelOf(oid: String): String =
+    s"""CASE WHEN $oid LIKE 'tool:%' THEN 'tool'
+       |     WHEN $oid LIKE 'assistant%' THEN 'assistant'
+       |     WHEN $oid LIKE 'agent:%' THEN 'agent'
+       |     WHEN $oid = 'system' THEN 'system'
+       |     ELSE 'user' END""".stripMargin
+
+  /** Twin of the label-aware Gremlin scan+expand:
+    * `g.V().hasLabel('user').out('reply').groupCount().by('label')` —
+    * one traverser per distinct reply-labeled edge whose source is a
+    * user vertex, counted by the end vertex's label. The labeled edge
+    * table holds one row per (pair, label) (`PropertyGraph
+    * .fromTranscripts` groups by src,dst,label), so the expand
+    * multiplicity is the DISTINCT reply pair set.
+    */
+  def gieHasLabelSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT ${labelOf("r.dst_oid")} AS label, count(*) AS n
+       |FROM (SELECT DISTINCT src_oid, dst_oid FROM reply) r
+       |WHERE ${labelOf("r.src_oid")} = 'user'
+       |GROUP BY 1""".stripMargin
+
+  /** Twin of the edge-label grouping:
+    * `g.V().outE().group().by('label').by(__.values('weight').sum())` —
+    * every labeled edge expanded once from its source vertex, per-label
+    * occurrence-count weights summed per edge label. Integer-valued
+    * doubles, so the sum is exact on both engines.
+    */
+  def gieEdgeLabelSumSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |ledges AS (
+       |  SELECT src_oid, dst_oid, label, CAST(count(*) AS DOUBLE) AS weight
+       |  FROM (SELECT src_oid, dst_oid, 'reply' AS label FROM reply
+       |        UNION ALL SELECT src_oid, dst_oid, 'invoke' AS label FROM invoke) u
+       |  GROUP BY src_oid, dst_oid, label
+       |)
+       |SELECT label, sum(weight) AS val FROM ledges GROUP BY label""".stripMargin
+
   /** Unsalted twin of the salted hub aggregation: plain per-tool sum +
     * count — salting must be result-invariant.
     */

@@ -90,6 +90,28 @@ object TextOps {
       .select(col(idCol), coalesce(col("lang_guess"), lit("unk")).as("lang_guess"))
   }
 
+  /** Deterministic train/valid/test split — the split step of a
+    * training-data pipeline: bucket = portableHash(id) mod `buckets`,
+    * `train` buckets → "train", the next `valid` → "valid", the rest →
+    * "test". Hash-based, NOT rand(): stage re-execution after failure
+    * reproduces the assignment exactly (the same resume contract the
+    * engine's salting uses), and the split is stable across runs and
+    * cluster sizes. Pure codegen'd column expression — the split rides
+    * the scan, no shuffle.
+    */
+  def hashSplit(
+      df: DataFrame, idCol: String,
+      buckets: Int = 10, train: Int = 8, valid: Int = 1): DataFrame = {
+    require(buckets > train + valid, "need at least one test bucket")
+    // hash the decimal string form so non-string ids split identically
+    // across engines (DuckDB twin: phash(CAST(id AS VARCHAR)))
+    val b = pmod(portableHash(col(idCol).cast("string")), lit(buckets.toLong))
+    df.withColumn("split",
+      when(b < train, "train")
+        .when(b < train + valid, "valid")
+        .otherwise("test"))
+  }
+
   /** Large prime modulus shared by [[portableHash]] and its DuckDB SQL
     * twin (`LshSql`).
     */

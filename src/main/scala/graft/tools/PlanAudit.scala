@@ -39,7 +39,8 @@ object PlanAudit {
       "tg_gremlin_topk", "tg_gremlin_union", "tg_gremlin_match", "tg_gremlin_group",
       "tg_gremlin_numeric", "tg_gremlin_bool", "tg_gremlin_coalesce",
       "tg_gremlin_select", "tg_gremlin_textp", "tg_gremlin_subgraph",
-      "tg_gremlin_distinct", "tg_gremlin_sample").foreach(audit)
+      "tg_gremlin_distinct", "tg_gremlin_sample",
+      "tg_gremlin_haslabel", "tg_gremlin_edgelabel", "tg_salted_hub").foreach(audit)
 
     // Sampling-walk step: the per-step argmin must be a partial-aggregated
     // min_by (HashAggregate), NEVER a Window partitioned by start — a hub

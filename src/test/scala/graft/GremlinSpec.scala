@@ -405,6 +405,70 @@ class GremlinSpec extends SparkSpec {
     assert(rows(got) == Set("u0|0.0", "a0|3.0", "a1|1.0", "t0|5.0"))
   }
 
+  // labeled fixture (PropertyGraph plane): same id/oid shape, edges
+  // split into reply/invoke label tables; a0→t0 carries BOTH labels
+  private lazy val pg = {
+    val s = spark
+    import s.implicits._
+    val vs = Seq(
+      (0L, "u0", "user"), (1L, "u1", "user"),
+      (2L, "a0", "assistant"), (3L, "a1", "assistant"), (4L, "t0", "tool"))
+      .toDF("id", "oid", "label")
+    val es = Seq(
+      (0L, 2L, "reply", 2.0), (0L, 3L, "reply", 1.0), (1L, 2L, "reply", 1.0),
+      (2L, 3L, "reply", 1.0), (2L, 4L, "reply", 1.0),
+      (2L, 4L, "invoke", 3.0), (3L, 4L, "invoke", 1.0))
+      .toDF("src", "dst", "label", "weight")
+    graft.graph.PropertyGraph(vs, es)
+  }
+
+  test("hasLabel scan + label-filtered expand over a labeled graph") {
+    val got = Gremlin.run(pg,
+      "g.V().hasLabel('user').out('reply').groupCount().by('label')")
+    assert(rows(got) == Set("assistant|3"))
+    // unfiltered out() over a labeled graph = union of the label
+    // tables: a0→t0 contributes one traverser per label
+    val both = Gremlin.run(pg, "g.V().has('oid', 'a0').out().groupCount().by('oid')")
+    assert(rows(both) == Set("t0|2", "a1|1"))
+    assert(rows(Gremlin.run(pg, "g.V().hasLabel('user', 'tool').values('oid')")) ==
+      Set("u0", "u1", "t0"))
+    // in('lbl') is the reverse label-filtered expand
+    assert(rows(Gremlin.run(pg, "g.V().has('oid', 't0').in('invoke').values('oid')")) ==
+      Set("a0", "a1"))
+  }
+
+  test("edge labels ride outE; label grouping and values('label')") {
+    val sums = Gremlin.run(pg,
+      "g.V().outE().group().by('label').by(__.values('weight').sum())")
+    assert(rows(sums) == Set("reply|6.0", "invoke|4.0"))
+    val inv = Gremlin.run(pg, "g.V().outE('invoke').values('weight')")
+    assert(inv.collect().map(_.getDouble(0)).sorted.toSeq == Seq(1.0, 3.0))
+    // values('label'): vertex-positioned = Auxilia fetch; edge-positioned
+    // reads the carried __elabel
+    assert(rows(Gremlin.run(pg, "g.V().hasLabel('tool').values('label')")) == Set("tool"))
+    assert(rows(Gremlin.run(pg, "g.V().has('oid', 'a1').outE().values('label')")) ==
+      Set("invoke"))
+    // has('label', …): pushes into the vertex scan on a vertex frame,
+    // filters the carried edge label on an edge frame
+    assert(rows(Gremlin.run(pg,
+      "g.V().has('label', P.within('user', 'tool')).values('oid')")) ==
+      Set("u0", "u1", "t0"))
+    val replyW = Gremlin.run(pg,
+      "g.V().has('oid', 'a0').outE().has('label', 'reply').values('weight')")
+    assert(replyW.collect().map(_.getDouble(0)).sorted.toSeq == Seq(1.0, 1.0))
+  }
+
+  test("label steps require a labeled graph; ranges still parse as expands") {
+    intercept[IllegalArgumentException](
+      Gremlin.run(g, "g.V().hasLabel('user').values('oid')"))
+    intercept[IllegalArgumentException](
+      Gremlin.run(g, "g.V().out('reply').values('oid')"))
+    // a range-shaped argument stays a PathExpand on a labeled graph,
+    // and the labeled hop relation is the distinct pair set
+    val hops = Gremlin.run(pg, "g.V().has('oid', 'u0').out('1..2').hops()")
+    assert(rows(hops) == Set("a0|1", "a1|1", "t0|2"))
+  }
+
   test("parse errors are rejected with position info") {
     val e1 = intercept[IllegalArgumentException](Gremlin.run(g, "g.V().has('oid'"))
     assert(e1.getMessage.contains("parse error"))

@@ -80,6 +80,24 @@ class TextMlSpec extends SparkSpec {
     assert(l(1L) == "en" && l(7L) == "es" && l(8L) == "de")
   }
 
+  test("hashSplit partitions deterministically with no rand()") {
+    val s = spark
+    import s.implicits._
+    val ids = (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = TextOps.hashSplit(ids, "doc_id")
+    // every row gets exactly one split; re-evaluation reproduces it
+    assert(a.count() == 500L)
+    val m1 = a.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val m2 = TextOps.hashSplit(ids, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(m1 == m2)
+    // all three splits populated, train the large share (8/1/1 buckets)
+    val bySplit = m1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(bySplit.keySet == Set("train", "valid", "test"))
+    assert(bySplit("train") > bySplit("valid") && bySplit("train") > bySplit("test"))
+    assert(bySplit.values.sum == 500)
+  }
+
   test("doc fingerprint is order-independent and content-sensitive") {
     val fp = docs.select(col("doc_id"), TextOps.docFingerprint(col("text")).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
