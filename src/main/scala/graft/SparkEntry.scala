@@ -621,6 +621,38 @@ object SparkEntry {
           ".coalesce(__.out().has('oid', TextP.startingWith('u')), __.in())" +
           ".groupCount().by('oid')" +
           ".order().by('n', desc).by('oid', asc).limit(20)")),
+    // graph-algorithm Gremlin steps (the reference's TinkerPop bridges
+    // tinkerpop/steps/PageRankStep/ConnectedComponentsStep/
+    // LabelPropagationStep.java): the traversal string invokes the
+    // engine's analytical app over the whole graph and annotates every
+    // traverser — results must equal the direct-app queries exactly, so
+    // these REUSE tg_pagerank/tg_wcc/tg_cdlp's oracle SQL verbatim
+    "tg_gremlin_pagerank_step" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      graft.gie.Gremlin.run(g, s"g.V().pageRank().times($PrRounds)")
+        .join(g.vertices.toDF.select(col("id").as("__v"), col("oid")), "__v")
+        .select(col("oid"), round(col("pageRank"), 6).as("pr"))
+    }),
+    "tg_gremlin_cc_step" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      WCC.canonical(g, graft.gie.Gremlin.run(g, "g.V().connectedComponent()")
+        .select(col("__v").as("id"), col("component").as("comp")))
+    }),
+    "tg_gremlin_lpa_step" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      graft.gie.Gremlin.run(g, s"g.V().labelPropagation().times($CdlpRounds)")
+        .join(g.vertices.toDF.select(col("id").as("__v"), col("oid")), "__v")
+        .join(g.vertices.toDF.select(col("id").as("communityLabel"),
+          col("oid").as("label_oid")), Seq("communityLabel"))
+        .select("oid", "label_oid")
+    }),
+    "tg_gremlin_hits_step" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      graft.gie.Gremlin.run(g, "g.V().hits().times(5)")
+        .join(g.vertices.toDF.select(col("id").as("__v"), col("oid")), "__v")
+        .select(col("oid"), round(col("auth"), 6).as("auth"),
+          round(col("hub"), 6).as("hub"))
+    }),
     // label-aware Gremlin over the multi-label property graph (the
     // reference's QueryParams.tables label pushdown, algebra.proto:196/
     // :254): hasLabel scan + label-filtered expand + vertex-label
@@ -1180,6 +1212,11 @@ object SparkEntry {
     "tg_gremlin_coalesce" -> graft.synth.SynthSql5.gieCoalesceSql(OracleSf, 20),
     "tg_gremlin_haslabel" -> graft.synth.SynthSql5.gieHasLabelSql(OracleSf),
     "tg_gremlin_edgelabel" -> graft.synth.SynthSql5.gieEdgeLabelSumSql(OracleSf),
+    // algorithm-step bridges: same result contract as the direct apps
+    "tg_gremlin_pagerank_step" -> SynthSql.pageRankSql(OracleSf, PrRounds),
+    "tg_gremlin_cc_step" -> SynthSql.wccSql(OracleSf),
+    "tg_gremlin_lpa_step" -> SynthSql.cdlpSql(OracleSf, CdlpRounds),
+    "tg_gremlin_hits_step" -> SynthSql2.hitsSql(OracleSf),
     "tg_gremlin_select" -> graft.synth.SynthSql5.gieSelectSql(OracleSf, 50),
     "tg_gremlin_textp" -> graft.synth.SynthSql5.gieTextpSql(OracleSf),
     "tg_gremlin_subgraph" -> graft.synth.SynthSql5.gieSubgraphSql(OracleSf),

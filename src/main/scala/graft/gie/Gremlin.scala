@@ -446,6 +446,22 @@ object Gremlin {
             .join(vs.select(col("id").as("src"), col("oid").as("src_oid")), Seq("src"))
             .join(vs.select(col("id").as("dst"), col("oid").as("dst_oid")), Seq("dst"))
             .select(col("src_oid"), col("dst_oid"), col("weight")))
+        // graph-algorithm step bridges (tinkerpop/steps/PageRankStep/
+        // ConnectedComponentsStep/LabelPropagationStep/HitsStep.java):
+        // whole-graph VertexProgram semantics, result annotated onto
+        // the traverser; optional times(n) modulator bounds the rounds
+        case (a @ ("pageRank" | "labelPropagation" | "hits"), Nil) =>
+          val n = rest match {
+            case Step("times", List(Num(k))) :: tl => rest = tl; Some(k.toInt)
+            case _ => None
+          }
+          st = Left(a match {
+            case "pageRank" => n.map(t.pageRankStep).getOrElse(t.pageRankStep())
+            case "labelPropagation" =>
+              n.map(t.labelPropagationStep).getOrElse(t.labelPropagationStep())
+            case _ => n.map(t.hitsStep).getOrElse(t.hitsStep())
+          })
+        case ("connectedComponent", Nil) => st = Left(t.connectedComponentStep())
         // id() intrinsic (`expr.proto:49-57` ID): the dense vertex id
         case ("id", Nil) => st = Right(t.df.select(col("__v").as("id")))
         // sample(n): deterministic portable-pick-hash sample (MetapathSample)

@@ -26,6 +26,23 @@ object GGraph {
     GGraph(pg.vertices, pg.edges, labeled = true)
 }
 
+private[gie] object GGraphOps {
+  /** Simple-graph view for whole-graph algorithm steps: a labeled edge
+    * table merges per-(pair, label) weights (PropertyGraph.flatten
+    * semantics); a plain one passes through.
+    */
+  def linkView(g: GGraph): LinkGraph = {
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val es = if (g.labeled)
+      g.edges.groupBy(col("src"), col("dst")).agg(sum(col("weight")).as("weight"))
+    else g.edges
+    LinkGraph(
+      g.vertices.select(col("id"), col("oid")).as[graft.schema.Vertex],
+      es.select(col("src"), col("dst"), col("weight")).as[graft.schema.Edge])
+  }
+}
+
 /** Composable GIE-style traversal algebra over a [[GGraph]] — the
   * Spark-native restatement of the reference's IR dataflow operators
   * (`research/query_service/ir/proto/algebra.proto`): Scan (:196),
@@ -122,7 +139,9 @@ final class Traversal private[gie] (g: GGraph, val df: DataFrame) {
     */
   private def carried: DataFrame = {
     val stale = Seq("oid", "label", "__hops", "__path", "path_str",
-      "__src", "__w", "__elabel").filter(df.columns.contains)
+      "__src", "__w", "__elabel",
+      "pageRank", "component", "communityLabel", "auth", "hub")
+      .filter(df.columns.contains)
     stale.foldLeft(df)((d, c) => d.drop(c))
   }
 
@@ -596,6 +615,43 @@ final class Traversal private[gie] (g: GGraph, val df: DataFrame) {
     val vs = g.vertices.select(col("id"), col("oid")).join(vids, Seq("id"), "left_semi")
     LinkGraph(vs.as[graft.schema.Vertex], es.as[graft.schema.Edge])
   }
+
+  // ---- graph-algorithm step bridges (the reference's TinkerPop steps
+  // `interactive_engine/.../tinkerpop/steps/PageRankStep.java`,
+  // `ConnectedComponentsStep.java`, `LabelPropagationStep.java`,
+  // `HitsStep.java`): run the engine's analytical app over the
+  // traversal's WHOLE graph (TinkerPop VertexProgram semantics — the
+  // algorithm sees the full graph, not the current traverser set) and
+  // annotate each traverser with the result property, queryable by the
+  // following values()/order() steps. ----
+
+  private def annotate(props: DataFrame): Traversal =
+    next(df.join(props, Seq("__v")))
+
+  /** Gremlin `pageRank()` (PageRankStep): annotates `pageRank`. */
+  def pageRankStep(rounds: Int = 10): Traversal = annotate(
+    graft.algos.PageRank.run(GGraphOps.linkView(g),
+        graft.algos.PageRank.Config(0.85, rounds))
+      .select(col("id").as("__v"), col("rank").as("pageRank")))
+
+  /** Gremlin `connectedComponent()` (ConnectedComponentsStep):
+    * annotates `component` (dense min-id — decode to oids at the sink).
+    */
+  def connectedComponentStep(): Traversal = annotate(
+    graft.algos.WCC.run(GGraphOps.linkView(g))
+      .select(col("id").as("__v"), col("comp").as("component")))
+
+  /** Gremlin `labelPropagation()` (LabelPropagationStep): annotates
+    * `communityLabel` (dense id of the CDLP label vertex).
+    */
+  def labelPropagationStep(rounds: Int = 10): Traversal = annotate(
+    graft.algos.CDLP.run(GGraphOps.linkView(g), rounds)
+      .select(col("id").as("__v"), col("label").as("communityLabel")))
+
+  /** Gremlin `hits()` (HitsStep): annotates `auth` and `hub`. */
+  def hitsStep(iters: Int = 5): Traversal = annotate(
+    graft.algos.HITS.run(GGraphOps.linkView(g), maxIter = iters, tol = 0.0)
+      .select(col("id").as("__v"), col("auth"), col("hub")))
 
   /** GroupBy count (`algebra.proto:79`, Gremlin groupCount). */
   def groupCount(key: String): DataFrame =

@@ -469,6 +469,30 @@ class GremlinSpec extends SparkSpec {
     assert(rows(hops) == Set("a0|1", "a1|1", "t0|2"))
   }
 
+  test("algorithm steps annotate the whole-graph app result exactly") {
+    // pageRank(): the annotation must equal the direct app run
+    val viaStep = Gremlin.run(g, "g.V().pageRank().times(3)")
+      .select(col("__v").as("id"), round(col("pageRank"), 9).as("r"))
+    val direct = graft.algos.PageRank.run(g, graft.algos.PageRank.Config(0.85, 3))
+      .select(col("id"), round(col("rank"), 9).as("r"))
+    assert(rows(viaStep) == rows(direct))
+    // connectedComponent(): single component (t0→u1 closes the cycle)
+    val cc = Gremlin.run(g, "g.V().connectedComponent()")
+      .select(col("component")).distinct()
+    assert(cc.collect().map(_.getLong(0)).toSeq == Seq(0L))
+    // labelPropagation() equals the direct CDLP labels
+    val lpa = Gremlin.run(g, "g.V().labelPropagation().times(4)")
+      .select(col("__v").as("id"), col("communityLabel").as("label"))
+    assert(rows(lpa) == rows(graft.algos.CDLP.run(g, 4)))
+    // hits() annotates auth+hub; the step result can feed order()/limit
+    val topAuth = Gremlin.run(g,
+      "g.V().hits().times(5).order().by('auth', desc).limit(1).values('oid')")
+    val directTop = graft.algos.HITS.run(g, maxIter = 5, tol = 0.0)
+      .orderBy(desc("auth")).limit(1)
+      .join(g.vertices.toDF, Seq("id")).select("oid")
+    assert(rows(topAuth) == rows(directTop))
+  }
+
   test("parse errors are rejected with position info") {
     val e1 = intercept[IllegalArgumentException](Gremlin.run(g, "g.V().has('oid'"))
     assert(e1.getMessage.contains("parse error"))
