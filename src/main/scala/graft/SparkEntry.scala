@@ -333,6 +333,25 @@ object SparkEntry {
       withOid(g, graft.algos.Centrality.degree(g, "both")
         .select(col("id"), round(col("centrality"), 6).as("centrality")), "centrality")
     }),
+    // in_/out_degree_centrality (nx builtin.py wrappers over the same
+    // DegreeCentrality app with DegreeType IN/OUT)
+    "tg_degcent_in" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      withOid(g, graft.algos.Centrality.degree(g, "in")
+        .select(col("id"), round(col("centrality"), 6).as("centrality")), "centrality")
+    }),
+    "tg_degcent_out" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      withOid(g, graft.algos.Centrality.degree(g, "out")
+        .select(col("id"), round(col("centrality"), 6).as("centrality")), "centrality")
+    }),
+    // numeric assortativity (gs::AttributeAssortativity numeric=true):
+    // Pearson over endpoint numeric values; length(oid) as the attribute
+    "tg_numeric_assort" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      graft.algos.Paths3.numericAssortativityDf(g,
+        g.vertices.toDF.select(col("id"), length(col("oid")).cast("double").as("x")))
+    }),
     "tg_lcc" -> ((s, dir) => {
       val g = graphFor(s, dir)
       withOid(g, graft.algos.Clustering.lcc(g)
@@ -1251,6 +1270,9 @@ object SparkEntry {
     "tg_simple_paths" -> SynthSql3.simplePathsSql(OracleSf, "system", "tool:t0"),
     "tg_hits" -> SynthSql2.hitsSql(OracleSf),
     "tg_degcent" -> SynthSql2.degCentralitySql(OracleSf),
+    "tg_degcent_in" -> SynthSql2.degCentralitySql(OracleSf, "in"),
+    "tg_degcent_out" -> SynthSql2.degCentralitySql(OracleSf, "out"),
+    "tg_numeric_assort" -> SynthSql2.numericAssortSql(OracleSf),
     "tg_lcc" -> SynthSql2.lccSql(OracleSf),
     "tg_avgdegconn" -> SynthSql2.avgDegConnectivitySql(OracleSf),
     "tg_assortativity" -> SynthSql2.assortativitySql(OracleSf),

@@ -57,6 +57,22 @@ object Paths3 {
     if (sumAb == 1.0) 1.0 else (trace - sumAb) / (1.0 - sumAb)
   }
 
+  /** Numeric assortativity (reference `gs::AttributeAssortativity` with
+    * `numeric = true`, `apps/assortativity/attribute_assortativity.h:77`
+    * + `utils.h` ProcessMatrix — the mixing-matrix Pearson form): the
+    * Pearson correlation of the endpoint numeric attribute values over
+    * the directed edges, which is exactly what the reference's
+    * matrix-form computation reduces to. One aggregate over the
+    * attribute-joined edge table — map-side partial `corr`, no driver
+    * loop.
+    */
+  def numericAssortativityDf(g: LinkGraph, attr: DataFrame): DataFrame =
+    // attr: (id, x: double)
+    g.edges.toDF
+      .join(attr.select(col("id").as("src"), col("x").as("xa")), "src")
+      .join(attr.select(col("id").as("dst"), col("x").as("xb")), "dst")
+      .agg(round(corr(col("xa"), col("xb")), 6).as("numeric_assortativity"))
+
   /** DFS preorder from a source. Inherently sequential — executed on the
     * driver over collected adjacency (the reference's DFS is likewise a
     * sequential traversal, `apps/dfs/dfs.h`). Guarded by `maxEdges` —

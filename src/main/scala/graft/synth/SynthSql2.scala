@@ -88,14 +88,30 @@ object SynthSql2 {
        |FROM vertices v JOIN hh$rounds h ON v.id = h.id""".stripMargin
   }
 
-  def degCentralitySql(sf: Double): String =
+  def degCentralitySql(sf: Double, mode: String = "both"): String = {
+    val expr = mode match {
+      case "in"  => "coalesce(i.idg, 0)"
+      case "out" => "coalesce(o.od, 0)"
+      case _     => "(coalesce(o.od, 0) + coalesce(i.idg, 0))"
+    }
     s"""WITH ${SynthSql.graphCtes(sf)},
        |nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vertices)
        |SELECT v.oid AS oid,
-       |       round((coalesce(o.od, 0) + coalesce(i.idg, 0)) / ((SELECT n FROM nv) - 1), 6) AS centrality
+       |       round($expr / ((SELECT n FROM nv) - 1), 6) AS centrality
        |FROM vertices v
        |LEFT JOIN (SELECT src, count(*) AS od FROM dedges GROUP BY src) o ON v.id = o.src
        |LEFT JOIN (SELECT dst, count(*) AS idg FROM dedges GROUP BY dst) i ON v.id = i.dst""".stripMargin
+  }
+
+  /** Numeric assortativity over length(oid) as the numeric attribute
+    * (twin of `Paths3.numericAssortativityDf` — the Pearson reduction of
+    * the reference's numeric mixing matrix).
+    */
+  def numericAssortSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |x AS (SELECT id, CAST(length(oid) AS DOUBLE) AS x FROM vertices)
+       |SELECT round(corr(a.x, b.x), 6) AS numeric_assortativity
+       |FROM dedges e JOIN x a ON e.src = a.id JOIN x b ON e.dst = b.id""".stripMargin
 
   /** Local clustering coefficient, sharing the triangles derivation. */
   def lccSql(sf: Double): String =
