@@ -681,6 +681,29 @@ object SparkEntry {
         graft.graph.PropertyGraph.fromTranscripts(
           Synth.transcripts(s, Synth.sfOfDir(dir)).toDF),
         "g.V().hasLabel('user').out('reply').groupCount().by('label')")),
+    // LDBC-shaped composites (the reference's own Gremlin workload,
+    // research/query_service/benchmark/queries/ir_ldbc/*.gremlin):
+    // q9's labeled range expand; q12's groupCount ordered by
+    // select(values)/select(keys); q3's correlated count predicate +
+    // predicate-connective edge filter
+    "tg_gremlin_ldbc_reach" -> ((s, dir) =>
+      graft.gie.Gremlin.run(
+        graft.graph.PropertyGraph.fromTranscripts(
+          Synth.transcripts(s, Synth.sfOfDir(dir)).toDF),
+        "g.V().hasLabel('user').both('1..2','reply').hops()")),
+    "tg_gremlin_ldbc_top" -> ((s, dir) =>
+      graft.gie.Gremlin.run(
+        graft.graph.PropertyGraph.fromTranscripts(
+          Synth.transcripts(s, Synth.sfOfDir(dir)).toDF),
+        "g.V().hasLabel('assistant').out('invoke').groupCount().by('oid')" +
+          ".order().by(select(values), desc).by(select(keys), asc).limit(10)")),
+    "tg_gremlin_ldbc_filter" -> ((s, dir) =>
+      graft.gie.Gremlin.run(
+        graft.graph.PropertyGraph.fromTranscripts(
+          Synth.transcripts(s, Synth.sfOfDir(dir)).toDF),
+        "g.V().where(__.out('invoke').dedup().count().is(P.gte(12)))" +
+          ".outE('invoke').has('weight', P.gte(3).and(P.lt(10)))" +
+          ".inV().groupCount().by('oid')")),
     // edge-label plane: outE() carries the edge label (__elabel);
     // group().by('label').by(values('weight').sum()) = total per-label
     // occurrence weight (reply vs invoke)
@@ -1230,6 +1253,9 @@ object SparkEntry {
     "tg_gremlin_numeric" -> graft.synth.SynthSql5.gieNumericSql(OracleSf, 2, 5),
     "tg_gremlin_coalesce" -> graft.synth.SynthSql5.gieCoalesceSql(OracleSf, 20),
     "tg_gremlin_haslabel" -> graft.synth.SynthSql5.gieHasLabelSql(OracleSf),
+    "tg_gremlin_ldbc_reach" -> graft.synth.SynthSql5.gieLdbcReachSql(OracleSf),
+    "tg_gremlin_ldbc_top" -> graft.synth.SynthSql5.gieLdbcTopSql(OracleSf),
+    "tg_gremlin_ldbc_filter" -> graft.synth.SynthSql5.gieLdbcFilterSql(OracleSf, 12, 3.0, 10.0),
     "tg_gremlin_edgelabel" -> graft.synth.SynthSql5.gieEdgeLabelSumSql(OracleSf),
     // algorithm-step bridges: same result contract as the direct apps
     "tg_gremlin_pagerank_step" -> SynthSql.pageRankSql(OracleSf, PrRounds),

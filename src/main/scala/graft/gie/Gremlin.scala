@@ -26,14 +26,23 @@ import graft.graph.{LinkGraph, PropertyGraph}
   * within(a,b) | without(a,b))`,
   * `has('weight', P.gt|gte|lt|lte(n) | between(a,b) | inside(a,b))`
   * (numeric predicates; `weight` is the edge property an `outE()`
-  * traverser carries), `out() | in() | both()`, `outE()`, `inV()`,
+  * traverser carries), predicate connectives
+  * `P.gt(a).and(P.lt(b))` / `eq(x).or(eq(y))` (AndTreeNode/OrTreeNode
+  * trees), `out() | in() | both()`, `outE()`, `inV()`,
   * `outV()`, `out('l..u') | in('l..u') | both('l..u')`
   * (PathExpand + endV, base-expand direction from the step name),
+  * `out('l..u', 'lbl') | in('l..u', 'lbl') | both('l..u', 'lbl')`
+  * (label-filtered PathExpand — the LDBC `both('1..3','KNOWS')` shape),
   * `out('l..u').path()` / `out('l..u').simplePath().path()` (PathExpand
   * result_opt ALL_V: materialized walks with a `path_str` column),
   * `values('oid'|'weight')`, `dedup()`, `as('t')`, `select('t')`,
-  * `where(<sub>)`, `where('a', P.neq|eq('b'))` (tag comparison),
-  * `select('a','b',…)` (multi-tag oid projection),
+  * `where(<sub>)`, `where(<sub>.[dedup().]count().is(<p>))` (correlated
+  * count predicate), `where('a', P.neq|eq('b'))` (tag comparison),
+  * `where(P.eq|neq('t'))` (current vertex vs tag),
+  * `select('a','b',…)` (multi-tag oid projection), `is(<p>)` (scalar
+  * predicate on a terminal frame), `valueMap('p',…)` (property-map
+  * projection), `order().by(select(keys|values), asc|desc)` and
+  * `order().by(select('t'), …)` (group-frame / tag ordering),
   * `not(<sub>)`, `and(<sub>, …)`, `or(<sub>, …)`,
   * `union(<sub>, …)`, `coalesce(<sub>, …)` (first non-empty branch per
   * traverser), `optional(<sub>)`, `match(<as-tagged sentences>)`,
@@ -56,6 +65,8 @@ object Gremlin {
   private case class Lit(s: String) extends Arg
   private case class Num(n: Long) extends Arg
   private case class Pred(fn: String, args: Seq[String]) extends Arg
+  // predicate connective tree: P.gt(a).and(P.lt(b)) / eq(x).or(eq(y))
+  private case class PredComb(op: String, a: Arg, b: Arg) extends Arg
   private case class Sub(steps: List[Step]) extends Arg
   private case class Sym(s: String) extends Arg // asc / desc / bare word
   private case class Step(name: String, args: List[Arg])
@@ -151,7 +162,7 @@ object Gremlin {
         val save = i
         var id = ident()
         ws()
-        if (id == "TextP" || id == "P") { eat('.'); id = ident(); ws() }
+        if (id == "TextP" || id == "P" || id == "Order") { eat('.'); id = ident(); ws() }
         if (i < s.length && s(i) == '(') {
           if (PredFns.contains(id)) {
             eat('(')
@@ -160,7 +171,25 @@ object Gremlin {
             vs += one()
             while (tryEat(',')) vs += one()
             eat(')')
-            Pred(id, vs.result())
+            // connective chaining (TinkerPop P.and/P.or, the reference's
+            // AndTreeNode/OrTreeNode predicate trees — LDBC q3's
+            // gt(a).and(lt(b)) shape): .and(<pred>) / .or(<pred>)
+            var p: Arg = Pred(id, vs.result())
+            var chained = true
+            while (chained) {
+              ws()
+              val save2 = i
+              if (i < s.length && s(i) == '.') {
+                i += 1
+                val op = ident()
+                ws()
+                if ((op == "and" || op == "or") && i < s.length && s(i) == '(') {
+                  eat('('); val rhs = arg(); eat(')')
+                  p = PredComb(op, p, rhs)
+                } else { i = save2; chained = false }
+              } else chained = false
+            }
+            p
           } else { i = save; Sub(chain(anonymous = true)) }
         } else if (id == "__") { i = save; Sub(chain(anonymous = true)) }
         else Sym(id)
@@ -212,6 +241,9 @@ object Gremlin {
     */
   private def predOn(c: Column, p: Arg): Column = p match {
     case Lit(v) => c === v
+    case Num(n) => c === n
+    case PredComb("and", a, b) => predOn(c, a) && predOn(c, b)
+    case PredComb("or", a, b) => predOn(c, a) || predOn(c, b)
     case Pred("eq", Seq(v)) => c === v
     case Pred("neq", Seq(v)) => c =!= v
     case Pred("within", vs) => c.isin(vs: _*)
@@ -312,6 +344,12 @@ object Gremlin {
             case _ =>
               st = Left(t.pathExpand(lo.toInt, hi.toInt, dir))
           }
+        // label-filtered range expand (the LDBC dialect's
+        // `both('1..3', 'KNOWS')` — PathExpand whose base EdgeExpand
+        // carries the edge-label predicate, `algebra.proto:287` base +
+        // QueryParams.tables)
+        case (dir @ ("out" | "in" | "both"), List(Lit(RangeLit(lo, hi)), Lit(l))) =>
+          st = Left(t.pathExpand(lo.toInt, hi.toInt, dir, Some(l)))
         // label-filtered expand (a non-range string argument is an edge
         // label, TinkerPop out('knows') — labeled graphs only)
         case ("out", List(Lit(l))) => st = Left(t.out(l))
@@ -335,8 +373,31 @@ object Gremlin {
               s"unsupported tag predicate: $other")
           }
           st = Left(t.where(c))
+        // single-predicate where: compare the CURRENT vertex to a tagged
+        // one (LDBC q5's `where(eq('p'))`)
+        case ("where", List(Pred(fn, Seq(tag)))) =>
+          val c = fn match {
+            case "eq" => col("__v") === col(tag)
+            case "neq" => col("__v") =!= col(tag)
+            case other => throw new IllegalArgumentException(
+              s"unsupported where predicate: $other")
+          }
+          st = Left(t.where(c))
         case ("where", List(Sub(sub))) =>
-          st = Left(t.whereExists(vertexFn(sub, "where()")))
+          // a sub-traversal ending in [dedup().]count().is(<p>) is the
+          // correlated count predicate (LDBC q3); otherwise Apply-SEMI
+          sub.reverse match {
+            case Step("is", List(p)) :: Step("count", Nil) :: Step("dedup", Nil) :: body =>
+              st = Left(t.whereCountIs(
+                vertexFn(body.reverse, "where()"), distinctCount = true,
+                predOn(col("__cnt"), p)))
+            case Step("is", List(p)) :: Step("count", Nil) :: body =>
+              st = Left(t.whereCountIs(
+                vertexFn(body.reverse, "where()"), distinctCount = false,
+                predOn(col("__cnt"), p)))
+            case _ =>
+              st = Left(t.whereExists(vertexFn(sub, "where()")))
+          }
         case ("not", List(Sub(sub))) =>
           st = Left(t.whereNotExists(vertexFn(sub, "not()")))
         case ("and", subs) if subs.nonEmpty && subs.forall(_.isInstanceOf[Sub]) =>
@@ -492,6 +553,18 @@ object Gremlin {
         case ("count", Nil) =>
           val base = st match { case Left(tr) => tr.df; case Right(df) => df }
           st = Right(base.agg(count(lit(1)).as("n")))
+        // is(<p>): scalar predicate on a terminal value frame (LDBC
+        // q3's count().is(2); expr.proto comparison over the fold)
+        case ("is", List(p)) =>
+          st = Right(d.where(predOn(col(d.columns.head), p)))
+        // valueMap(p1, p2, …): property-map projection (TinkerPop
+        // valueMap, the LDBC sink shape select(...).by(valueMap(...)) —
+        // one column per requested property; our property surface is
+        // oid/label on vertices, weight/label on edge traversers)
+        case ("valueMap", props) if props.nonEmpty && props.forall(_.isInstanceOf[Lit]) =>
+          val ps = props.map { case Lit(v) => v }
+          val base = ps.foldLeft(t)((tr, f) => fetch(tr, f)).df
+          st = Right(base.select(ps.map(p => fieldColIn(base, p).as(p)): _*))
         // global numeric terminals over a value frame (reference
         // accumulators ToMin/ToMax/ToSum, accum.rs:34-41): follow a
         // values(f) projection — `g.V().outE().values('weight').sum()`
@@ -508,17 +581,34 @@ object Gremlin {
           // resolve by-fields against the actual frame: a literal match
           // wins (e.g. "weight" after values('weight')), else the
           // property mapping (weight → __w on an edge-positioned frame)
-          val frameCols = (st match {
+          val frameDf = st match {
             case Left(tr) => tr.df
             case Right(d2) => d2
-          }).columns.toSet
+          }
+          val frameCols = frameDf.columns.toSet
           def oc(f: String): Column = if (frameCols.contains(f)) col(f) else fieldCol(f)
+          // by(select(keys|values)[.values(f)]) — order a groupCount/
+          // group frame by its key (first) or value (last) column, the
+          // LDBC `order().by(select(values), desc)` idiom; by(select(t))
+          // orders by a tagged vertex
+          def selByCol(sel: List[Step]): Column = sel match {
+            case List(Step("select", List(Sym("values")))) => col(frameDf.columns.last)
+            case List(Step("select", List(Sym("keys")))) => col(frameDf.columns.head)
+            case List(Step("select", List(Sym("keys"))), Step("values", List(Lit(_)))) =>
+              col(frameDf.columns.head)
+            case List(Step("select", List(Lit(tag)))) => col(tag)
+            case other => throw new IllegalArgumentException(
+              s"unsupported order().by sub-step: $other")
+          }
           val cols = List.newBuilder[Column]
           var more = true
           while (more) rest match {
             case Step("by", List(Lit(f))) :: tl => cols += oc(f).asc; rest = tl
             case Step("by", List(Lit(f), Sym("asc"))) :: tl => cols += oc(f).asc; rest = tl
             case Step("by", List(Lit(f), Sym("desc"))) :: tl => cols += oc(f).desc; rest = tl
+            case Step("by", List(Sub(sel))) :: tl => cols += selByCol(sel).asc; rest = tl
+            case Step("by", List(Sub(sel), Sym("asc"))) :: tl => cols += selByCol(sel).asc; rest = tl
+            case Step("by", List(Sub(sel), Sym("desc"))) :: tl => cols += selByCol(sel).desc; rest = tl
             case _ => more = false
           }
           st = st match {

@@ -245,6 +245,26 @@ final class Traversal private[gie] (g: GGraph, val df: DataFrame) {
     fs.foldLeft(this)((t, f) => t.whereExists(f))
   }
 
+  /** Correlated count predicate (TinkerPop `where(sub.count().is(p))` —
+    * LDBC q3's shape; the GIE compiler folds the scalar sub-query into
+    * an Apply with a count accumulator): keep traversers whose
+    * sub-traversal result count (distinct end-vertex count when
+    * `distinctCount`, for a `dedup().count()` body) satisfies `pred`.
+    * The body runs ONCE over the distinct origin set; the counts are one
+    * map-side-combinable aggregate. Origins with ZERO results never
+    * appear in the aggregate, so `pred` must be satisfiable only by
+    * positive counts (`count().is(0)` is Gremlin `not()` — use that).
+    */
+  def whereCountIs(
+      f: Traversal => Traversal, distinctCount: Boolean, pred: Column): Traversal = {
+    val origin = next(df.select(col("__v")).distinct().withColumn("__origin", col("__v")))
+    val res = f(origin).df
+    val cnt = res.groupBy(col("__origin"))
+      .agg((if (distinctCount) countDistinct(col("__v")) else count(lit(1))).as("__cnt"))
+    val hits = cnt.where(pred).select(col("__origin").as("__v"))
+    next(df.join(hits, Seq("__v"), "left_semi"))
+  }
+
   /** Boolean combinator OR (`OrTreeNode.java`): keep traversers
     * satisfying ANY branch filter. Each branch runs once over the
     * distinct origin set; the hit sets union before one semi-join.
@@ -443,12 +463,13 @@ final class Traversal private[gie] (g: GGraph, val df: DataFrame) {
     * PathExpand `base` EdgeExpand direction (`algebra.proto:254`
     * Direction OUT/IN/BOTH).
     */
-  private def expandRel(dir: String): DataFrame = {
+  private def expandRel(dir: String, label: Option[String] = None): DataFrame = {
+    val e = label.map(labeledEdges).getOrElse(edges)
     val rel = dir match {
-      case "out" => edges.select(col("src").as("__v"), col("dst"))
-      case "in" => edges.select(col("dst").as("__v"), col("src").as("dst"))
-      case "both" => edges.select(col("src").as("__v"), col("dst"))
-        .unionAll(edges.select(col("dst").as("__v"), col("src").as("dst")))
+      case "out" => e.select(col("src").as("__v"), col("dst"))
+      case "in" => e.select(col("dst").as("__v"), col("src").as("dst"))
+      case "both" => e.select(col("src").as("__v"), col("dst"))
+        .unionAll(e.select(col("dst").as("__v"), col("src").as("dst")))
       case other => throw new IllegalArgumentException(s"unknown expand direction: $other")
     }
     // a labeled edge table holds one row per (pair, label) — the hop
@@ -464,9 +485,11 @@ final class Traversal private[gie] (g: GGraph, val df: DataFrame) {
     * ([[Engine.materialize]]) to keep lineage flat. `dir` is the base
     * EdgeExpand direction (out/in/both).
     */
-  def pathExpand(lower: Int, upper: Int, dir: String = "out"): Traversal = {
+  def pathExpand(
+      lower: Int, upper: Int, dir: String = "out", label: Option[String] = None
+  ): Traversal = {
     require(lower >= 0 && upper >= lower, "need 0 <= lower <= upper")
-    val rel = expandRel(dir)
+    val rel = expandRel(dir, label)
     var reached = Engine.materialize(
       df.select(col("__v")).distinct().withColumn("__hops", lit(0L)))
     var frontier = reached.select(col("__v"))

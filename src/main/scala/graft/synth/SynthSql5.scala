@@ -420,4 +420,60 @@ object SynthSql5 {
        |FROM ws$rounds w JOIN vertices v ON v.id = w.id
        |WHERE v.oid LIKE '$oidLike'""".stripMargin
   }
+
+  /** Twin of the LDBC-q9-shaped labeled range expand:
+    * `g.V().hasLabel('user').both('1..2','reply').hops()` — BFS levels
+    * 1..2 from the user-labeled vertex set over the DISTINCT symmetrized
+    * reply pair relation (a labeled PathExpand's hop relation is the
+    * distinct pair set; hops = shortest distance from the whole start
+    * SET, so level 2 excludes levels 0 and 1).
+    */
+  def gieLdbcReachSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |rp AS MATERIALIZED (SELECT DISTINCT vs.id AS a, vd.id AS b
+       |  FROM (SELECT DISTINCT src_oid, dst_oid FROM reply) r
+       |  JOIN vertices vs ON r.src_oid = vs.oid
+       |  JOIN vertices vd ON r.dst_oid = vd.oid),
+       |sym AS MATERIALIZED (SELECT a, b FROM rp UNION SELECT b, a FROM rp),
+       |l0 AS MATERIALIZED (SELECT id FROM vertices WHERE ${labelOf("oid")} = 'user'),
+       |l1 AS MATERIALIZED (
+       |  SELECT DISTINCT s.b AS id FROM l0 JOIN sym s ON s.a = l0.id
+       |  WHERE s.b NOT IN (SELECT id FROM l0)),
+       |l2 AS (
+       |  SELECT DISTINCT s.b AS id FROM l1 JOIN sym s ON s.a = l1.id
+       |  WHERE s.b NOT IN (SELECT id FROM l0) AND s.b NOT IN (SELECT id FROM l1))
+       |SELECT v.oid AS oid, h.hops FROM (
+       |  SELECT id, CAST(1 AS BIGINT) AS hops FROM l1
+       |  UNION ALL SELECT id, CAST(2 AS BIGINT) AS hops FROM l2) h
+       |JOIN vertices v ON v.id = h.id""".stripMargin
+
+  /** Twin of the LDBC-q12-shaped top-k group ordering:
+    * `g.V().hasLabel('assistant').out('invoke').groupCount().by('oid')
+    * .order().by(select(values), desc).by(select(keys), asc).limit(10)`
+    * — one traverser per distinct labeled (src, dst) invoke pair, so
+    * the group count is the distinct invoking-assistant count per tool.
+    */
+  def gieLdbcTopSql(sf: Double, k: Int = 10): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT dst_oid AS oid, count(*) AS n
+       |FROM (SELECT DISTINCT src_oid, dst_oid FROM invoke) i
+       |WHERE ${labelOf("src_oid")} = 'assistant'
+       |GROUP BY 1 ORDER BY n DESC, oid ASC LIMIT $k""".stripMargin
+
+  /** Twin of the LDBC-q3-shaped correlated-count + predicate-connective
+    * composite: assistants invoking >= `minTools` distinct tools, their
+    * invoke pairs with weight in [`wLo`, `wHi`), counted per tool.
+    */
+  def gieLdbcFilterSql(sf: Double, minTools: Int, wLo: Double, wHi: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |ip AS MATERIALIZED (
+       |  SELECT src_oid, dst_oid, CAST(count(*) AS DOUBLE) AS weight
+       |  FROM invoke GROUP BY 1, 2),
+       |hub AS (SELECT src_oid FROM (
+       |  SELECT src_oid, count(DISTINCT dst_oid) AS c FROM ip GROUP BY 1)
+       |  WHERE c >= $minTools)
+       |SELECT e.dst_oid AS oid, count(*) AS n
+       |FROM ip e JOIN hub h ON e.src_oid = h.src_oid
+       |WHERE e.weight >= $wLo AND e.weight < $wHi
+       |GROUP BY 1""".stripMargin
 }

@@ -493,6 +493,46 @@ class GremlinSpec extends SparkSpec {
     assert(rows(topAuth) == rows(directTop))
   }
 
+  test("LDBC-shaped steps: labeled range expand, pred connectives, " +
+      "count().is(), where(eq(tag)), select(keys|values) ordering, valueMap") {
+    // label-filtered PathExpand: both('1..2','invoke') from a0 must NOT
+    // walk reply edges — t0 at hop 1, a1 only via t0 at hop 2
+    val lre = Gremlin.run(pg, "g.V().has('oid','a0').both('1..2','invoke').inV().hops()")
+    assert(rows(lre) == Set("t0|1", "a1|2"))
+    val lreReply = Gremlin.run(pg, "g.V().has('oid','a0').both('1..2','reply').hops()")
+    assert(rows(lreReply) == Set("u0|1", "u1|1", "a1|1", "t0|1"))
+    // predicate connectives: gte(2).and(lt(3)) keeps only the 2.0 edge
+    val chain = Gremlin.run(pg,
+      "g.V().outE().has('weight', P.gte(2).and(P.lt(3))).inV().dedup().values('oid')")
+    assert(rows(chain) == Set("a0"))
+    val orChain = Gremlin.run(pg,
+      "g.V().has('oid', eq('u0').or(eq('t0'))).values('oid')")
+    assert(rows(orChain) == Set("u0", "t0"))
+    // correlated count predicate: >= 2 distinct reply successors
+    val wc = Gremlin.run(pg,
+      "g.V().where(__.out('reply').dedup().count().is(P.gte(2))).values('oid')")
+    assert(rows(wc) == Set("u0", "a0"))
+    // non-distinct count over the labeled union: a0 has 3 out-edges
+    val wc3 = Gremlin.run(pg, "g.V().where(__.out().count().is(3)).values('oid')")
+    assert(rows(wc3) == Set("a0"))
+    // where(eq('x')): invoke out-in round trip returning to the start
+    val weq = Gremlin.run(pg,
+      "g.V().as('x').out('invoke').in('invoke').where(eq('x')).dedup().values('oid')")
+    assert(rows(weq) == Set("a0", "a1"))
+    // groupCount ordering by select(values)/select(keys) + Order.desc
+    val top = Gremlin.run(pg,
+      "g.V().out('reply').groupCount().by('oid')" +
+        ".order().by(select(values), Order.desc).by(select(keys), asc).limit(2)")
+    assert(top.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("a0", 2L), ("a1", 2L)))
+    // scalar is() on a count frame
+    assert(Gremlin.run(pg, "g.V().hasLabel('user').count().is(2)").count() == 1L)
+    assert(Gremlin.run(pg, "g.V().hasLabel('user').count().is(3)").count() == 0L)
+    // valueMap projection
+    assert(rows(Gremlin.run(pg, "g.V().hasLabel('tool').valueMap('oid','label')"))
+      == Set("t0|tool"))
+  }
+
   test("parse errors are rejected with position info") {
     val e1 = intercept[IllegalArgumentException](Gremlin.run(g, "g.V().has('oid'"))
     assert(e1.getMessage.contains("parse error"))
