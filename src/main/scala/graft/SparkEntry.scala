@@ -752,6 +752,14 @@ object SparkEntry {
           sum(col("n_tokens")).cast("long").as("total_tokens"),
           round(sum(col("quality")), 2).as("quality_sum"))
     }),
+    // concat-and-chunk sequence packing (GPT-style: hash-bucketed token
+    // streams chunked at a fixed budget — the per-doc (seq, offset)
+    // assignment plus the per-chunk fill stats a training build monitors)
+    "d_pack_chunks" -> ((s, dir) =>
+      graft.text.Packing.packChunks(t(s, dir, "documents"), maxTokens = 512, buckets = 8)),
+    "d_pack_stats" -> ((s, dir) =>
+      graft.text.Packing.chunkStats(
+        graft.text.Packing.packChunks(t(s, dir, "documents"), maxTokens = 512, buckets = 8))),
     // deterministic train/valid/test split (portable-hash buckets, no
     // rand() — resume-safe and cluster-size-stable) + per-(split, lang)
     // stratified corpus stats: the split step of a training-data build
@@ -1311,6 +1319,8 @@ object SparkEntry {
     "d_fingerprint" -> SynthSql2.fingerprintSql,
     "d_prep_pipeline" -> SynthSql2.prepPipelineSql(graft.text.TextOps.Stopwords),
     "d_split_stratified" -> SynthSql2.splitStratifiedSql(graft.text.TextOps.Stopwords),
+    "d_pack_chunks" -> SynthSql2.packChunksSql(512, 8),
+    "d_pack_stats" -> SynthSql2.packStatsSql(512, 8),
     "d_minhash_groups" -> graft.synth.LshSql.minhashGroupsSql(
       numHashes = 16, bands = 8, shingleSize = 3, threshold = 0.5),
     "d_simhash_pairs" -> graft.synth.LshSql.simhashPairsSql(maxDist = 3),

@@ -226,6 +226,35 @@ object SynthSql2 {
        |  FROM documents)
        |SELECT min(doc_id) OVER (PARTITION BY f) AS canonical_id, doc_id FROM fp""".stripMargin
 
+  /** Shared packing derivation for the concat-and-chunk twins (matches
+    * `Packing.packChunks(docs, maxTokens, buckets)` exactly: portable-
+    * hash bucketing, doc_id-ordered per-bucket running token sum).
+    */
+  private def packCtes(maxTokens: Int, buckets: Int): String =
+    s"""t AS (SELECT doc_id,
+       |  CAST(${LshSql.phash("CAST(doc_id AS VARCHAR)")} % $buckets AS BIGINT) AS bucket,
+       |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, bucket, n_tokens,
+       |  CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) AS BIGINT) - n_tokens AS strt
+       |  FROM t)""".stripMargin
+
+  /** Twin of `Packing.packChunks`: per-document (bucket, seq, off)
+    * assignment in the concat-and-chunk training stream.
+    */
+  def packChunksSql(maxTokens: Int, buckets: Int): String =
+    s"""WITH ${packCtes(maxTokens, buckets)}
+       |SELECT doc_id, bucket, n_tokens,
+       |       strt // $maxTokens AS seq, strt % $maxTokens AS off
+       |FROM c""".stripMargin
+
+  /** Twin of `Packing.chunkStats` over the same packing. */
+  def packStatsSql(maxTokens: Int, buckets: Int): String =
+    s"""WITH ${packCtes(maxTokens, buckets)}
+       |SELECT bucket, strt // $maxTokens AS seq,
+       |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS stream_tokens
+       |FROM c GROUP BY 1, 2""".stripMargin
+
   def textStatsSql: String =
     s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
        |SELECT doc_id,

@@ -157,4 +157,32 @@ class TextMlSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("sequence packing: contiguous per-bucket token stream, chunk-local offsets") {
+    val maxTokens = 10
+    val packed = graft.text.Packing.packChunks(docs, maxTokens, buckets = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap // doc_id -> (bucket, n_tokens, seq, off)
+    assert(packed.size == 8)
+    // offsets live inside a chunk; seqs are non-negative
+    packed.values.foreach { case (_, _, seq, off) =>
+      assert(off >= 0 && off < maxTokens && seq >= 0)
+    }
+    // within a bucket, doc_id order concatenates with no gaps: each
+    // doc's global start = sum of the n_tokens of earlier docs
+    packed.groupBy(_._2._1).foreach { case (_, ds) =>
+      val inOrder = ds.toSeq.sortBy(_._1)
+      var cursor = 0L
+      inOrder.foreach { case (_, (_, n, seq, off)) =>
+        assert(seq == cursor / maxTokens && off == cursor % maxTokens)
+        cursor += n
+      }
+    }
+    // chunkStats reconciles: total stream tokens = total doc tokens
+    val stats = graft.text.Packing.chunkStats(
+      graft.text.Packing.packChunks(docs, maxTokens, buckets = 2))
+    val totStats = stats.agg(sum(col("stream_tokens"))).head().getLong(0)
+    val totDocs = packed.values.map(_._2).sum
+    assert(totStats == totDocs)
+  }
 }
