@@ -40,7 +40,24 @@ object PlanAudit {
       "tg_gremlin_numeric", "tg_gremlin_bool", "tg_gremlin_coalesce",
       "tg_gremlin_select", "tg_gremlin_textp", "tg_gremlin_subgraph",
       "tg_gremlin_distinct", "tg_gremlin_sample",
-      "tg_gremlin_haslabel", "tg_gremlin_edgelabel", "tg_salted_hub").foreach(audit)
+      "tg_gremlin_haslabel", "tg_gremlin_edgelabel", "tg_salted_hub",
+      "tg_gremlin_ldbc_top", "tg_gremlin_ldbc_filter", "tg_numeric_assort",
+      "d_pack_chunks", "d_pack_stats").foreach(audit)
+
+    // Sequence packing: the running-token-sum window must be partitioned
+    // by the hash bucket (parallelism = buckets), NEVER a single global
+    // partition — a global pack order would serialize the corpus
+    // through one task.
+    {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val plan = graft.text.Packing.packChunks(docs, 512, 8)
+        .queryExecution.executedPlan.toString
+      println("==== pack_chunks ====")
+      println(s"---- pack_chunks summary: " +
+        s"bucketPartitionedWindow=${plan.contains("hashpartitioning(bucket")} " +
+        s"singlePartitionWindow=${"Exchange SinglePartition".r.findFirstIn(plan).isDefined} " +
+        s"exchanges=${countOf(plan, "Exchange")}")
+    }
 
     // Sampling-walk step: the per-step argmin must be a partial-aggregated
     // min_by (HashAggregate), NEVER a Window partitioned by start — a hub
