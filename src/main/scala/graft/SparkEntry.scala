@@ -760,6 +760,13 @@ object SparkEntry {
     "d_pack_stats" -> ((s, dir) =>
       graft.text.Packing.chunkStats(
         graft.text.Packing.packChunks(t(s, dir, "documents"), maxTokens = 512, buckets = 8))),
+    // benchmark decontamination: train-split docs sharing >= 2 distinct
+    // word 3-grams with any test-split doc (the train-vs-eval overlap
+    // scrub run before pretraining), over the same deterministic split
+    "d_decontaminate" -> ((s, dir) =>
+      graft.text.Dedup.decontaminate(
+        graft.text.TextOps.hashSplit(t(s, dir, "documents"), "doc_id"),
+        "doc_id", "text", "split")),
     // deterministic train/valid/test split (portable-hash buckets, no
     // rand() — resume-safe and cluster-size-stable) + per-(split, lang)
     // stratified corpus stats: the split step of a training-data build
@@ -1320,6 +1327,7 @@ object SparkEntry {
     "d_prep_pipeline" -> SynthSql2.prepPipelineSql(graft.text.TextOps.Stopwords),
     "d_split_stratified" -> SynthSql2.splitStratifiedSql(graft.text.TextOps.Stopwords),
     "d_pack_chunks" -> SynthSql2.packChunksSql(512, 8),
+    "d_decontaminate" -> graft.synth.LshSql.decontaminateSql(),
     "d_pack_stats" -> SynthSql2.packStatsSql(512, 8),
     "d_minhash_groups" -> graft.synth.LshSql.minhashGroupsSql(
       numHashes = 16, bands = 8, shingleSize = 3, threshold = 0.5),

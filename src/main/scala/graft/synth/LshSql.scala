@@ -179,4 +179,24 @@ object LshSql {
        |               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 5) AS cos_sim
        |  FROM cand JOIN e a ON a.vec_id = cand.id_a JOIN e b ON b.vec_id = cand.id_b) z
        |WHERE cos_sim >= $threshold""".stripMargin
+
+  /** Benchmark decontamination twin (matches `Dedup.decontaminate` over
+    * a `TextOps.hashSplit(buckets=10, train=8, valid=1)` split): train
+    * docs sharing >= `minShared` distinct word `n`-grams (portable-hash
+    * identity) with any test-split doc.
+    */
+  def decontaminateSql(n: Int = 3, minShared: Int = 2): String =
+    s"""WITH t AS (SELECT doc_id AS id, $toksSql AS toks,
+       |  ${phash("CAST(doc_id AS VARCHAR)")} % 10 AS b FROM documents),
+       |g AS MATERIALIZED (
+       |  SELECT id, CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid' ELSE 'test' END AS split,
+       |         ${phash("s")} AS gh
+       |  FROM (SELECT id, b, unnest(list_distinct(list_transform(
+       |          generate_series(1, len(toks) - ${n - 1}), i ->
+       |          array_to_string(list_slice(toks, i, i + ${n - 1}), '')))) AS s
+       |        FROM t WHERE len(toks) >= $n) z),
+       |hold AS MATERIALIZED (SELECT DISTINCT gh FROM g WHERE split = 'test')
+       |SELECT g.id AS doc_id, count(DISTINCT g.gh) AS n_shared
+       |FROM g JOIN hold USING (gh) WHERE g.split = 'train'
+       |GROUP BY 1 HAVING count(DISTINCT g.gh) >= $minShared""".stripMargin
 }

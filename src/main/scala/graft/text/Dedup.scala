@@ -202,4 +202,34 @@ object Dedup {
       .where(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Benchmark decontamination — flag documents in one split whose text
+    * shares at least `minShared` distinct word n-grams with ANY document
+    * of a held-out split (the train-vs-eval overlap scrub every serious
+    * training-data build runs before pretraining). Returns
+    * (idCol, n_shared) for flagged `flagSplit` docs.
+    *
+    * Scale shape: per-doc DISTINCT n-grams hash to longs
+    * ([[TextOps.portableHash]]) so the overlap join ships bare
+    * (id, gram_hash) rows; the held-out gram set is a distinct
+    * projection joined with left-semi (broadcastable when the benchmark
+    * split is small — the common case — and a plain hash equi-join
+    * otherwise); the per-doc tally is one partial+final countDistinct.
+    */
+  def decontaminate(
+      df: DataFrame, idCol: String, textCol: String, splitCol: String,
+      flagSplit: String = "train", holdoutSplit: String = "test",
+      n: Int = 3, minShared: Int = 2
+  ): DataFrame = {
+    val grams = df.select(col(idCol).as("id"), col(splitCol).as("split"),
+        explode(array_distinct(shingles(textCol, n))).as("g"))
+      .select(col("id"), col("split"), TextOps.portableHash(col("g")).as("gh"))
+    val holdout = grams.where(col("split") === holdoutSplit).select(col("gh")).distinct()
+    grams.where(col("split") === flagSplit)
+      .join(holdout, Seq("gh"), "left_semi")
+      .groupBy(col("id"))
+      .agg(countDistinct(col("gh")).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .select(col("id").as(idCol), col("n_shared"))
+  }
 }

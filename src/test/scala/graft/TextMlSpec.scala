@@ -158,6 +158,25 @@ class TextMlSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("decontamination flags train docs sharing held-out n-grams") {
+    val s = spark
+    import s.implicits._
+    val split = Seq(
+      (1L, "alpha beta gamma delta epsilon", "train"), // shares 3-grams with doc 3
+      (2L, "one two three four five six", "train"),    // no overlap
+      (3L, "beta gamma delta epsilon zeta", "test"),
+      (4L, "unrelated held out benchmark text", "test")
+    ).toDF("doc_id", "text", "split")
+    val flagged = graft.text.Dedup.decontaminate(
+      split, "doc_id", "text", "split", n = 3, minShared = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares "beta gamma delta" and "gamma delta epsilon" with doc 3
+    assert(flagged == Map(1L -> 2L))
+    // raising the threshold above the overlap clears the flag
+    assert(graft.text.Dedup.decontaminate(
+      split, "doc_id", "text", "split", n = 3, minShared = 3).isEmpty)
+  }
+
   test("sequence packing: contiguous per-bucket token stream, chunk-local offsets") {
     val maxTokens = 10
     val packed = graft.text.Packing.packChunks(docs, maxTokens, buckets = 2)
