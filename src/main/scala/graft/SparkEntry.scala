@@ -796,6 +796,10 @@ object SparkEntry {
     // IVF coarse-quantizer ANN (the second scale path beside sign-LSH):
     // strided centroids, one argmax assignment pass, probe-partition
     // candidates as bare ids
+    // Lloyd k-means corpus clustering (cosine, deterministic init +
+    // rounded-mean updates — the domain-balancing cluster step)
+    "s_kmeans" -> ((s, dir) =>
+      graft.ml.KMeans.assignments(t(s, dir, "embeddings"), "vec_id", "embedding", 8, 2)),
     "s_ivf_topk" -> ((s, dir) =>
       graft.ml.Similarity.ivfTopK(
         t(s, dir, "embeddings"), "vec_id", "embedding", (0L until 10L).toSeq, 5)),
@@ -1335,6 +1339,7 @@ object SparkEntry {
     "s_cosine_topk" -> SynthSql2.cosineTopKSql((0L until 10L).toSeq, 5),
     "s_lsh_topk" -> graft.synth.LshSql.lshTopKSql((0L until 10L).toSeq, 5),
     "s_ivf_topk" -> graft.synth.SynthSql5.ivfTopKSql((0L until 10L).toSeq, 5),
+    "s_kmeans" -> graft.synth.SynthSql5.kmeansSql(8, 2, 64),
     "s_cosine_pairs" -> graft.synth.LshSql.cosinePairsSql(0.35),
     "tg_bfs_preds" -> SynthSql3.bfsPredsSql(OracleSf),
     "tg_bfs_succs" -> SynthSql3.bfsSuccsSql(OracleSf),

@@ -351,6 +351,44 @@ object SynthSql5 {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** Lloyd k-means twin (matches `KMeans.assignments(k, rounds)` —
+    * strided init, 5-dp-rounded cosine argmax assignment with
+    * smaller-cid ties, 6-dp-rounded per-dim Lloyd means, empty clusters
+    * keep their previous centroid), unrolled per round.
+    */
+  def kmeansSql(k: Int = 8, rounds: Int = 2, dim: Int = 64): String = {
+    def cos(a: String, b: String) =
+      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 5)"
+    def assign(name: String, cents: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT id, cid FROM (
+         |    SELECT e.id, c.cid,
+         |           row_number() OVER (PARTITION BY e.id
+         |             ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+         |    FROM e CROSS JOIN $cents c) z WHERE rn = 1)""".stripMargin
+    def update(prev: String, asg: String, out: String) =
+      s"""m_$out AS MATERIALIZED (
+         |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+         |    SELECT a.cid, g.pos, round(avg(e.v[g.pos]), 6) AS m
+         |    FROM $asg a JOIN e ON e.id = a.id
+         |    CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS pos) g
+         |    GROUP BY a.cid, g.pos) z GROUP BY cid),
+         |$out AS MATERIALIZED (
+         |  SELECT c.cid, coalesce(m.cv, c.cv) AS cv
+         |  FROM $prev c LEFT JOIN m_$out m ON m.cid = c.cid)""".stripMargin
+    val body = (1 to rounds).map { r =>
+      assign(s"a$r", s"c${r - 1}") + ",\n" + update(s"c${r - 1}", s"a$r", s"c$r")
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |stp AS (SELECT greatest(1, count(*) // $k) AS st FROM e),
+       |c0 AS MATERIALIZED (
+       |  SELECT id AS cid, v AS cv FROM e
+       |  WHERE id % (SELECT st FROM stp) = 0 ORDER BY id LIMIT $k),
+       |$body,
+       |${assign("af", s"c$rounds")}
+       |SELECT id AS vec_id, cid FROM af""".stripMargin
+  }
+
   /** Closeness (wf_improved) for the top-`k`-degree source set — twin of
     * `Paths2.closenessTop`. Unlike [[SynthSql3.closenessSql]]'s
     * full-state min-union (state × edges per round — fine for 3 sources,

@@ -158,6 +158,24 @@ class TextMlSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("k-means recovers planted clusters; empty clusters keep centroids") {
+    val s = spark
+    import s.implicits._
+    // ids 0..2 hug the x-axis, 3..5 the y-axis; strided init (n=6, k=2,
+    // step=3) seeds centroids from ids 0 and 3 — one per true cluster
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.05f)), (1L, Array(0.9f, 0.1f)), (2L, Array(1.1f, 0.0f)),
+      (3L, Array(0.05f, 1.0f)), (4L, Array(0.1f, 0.9f)), (5L, Array(0.0f, 1.1f))
+    ).toDF("vec_id", "embedding")
+    val asg = graft.ml.KMeans.assignments(vecs, "vec_id", "embedding", k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asg == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 3L))
+    val sizes = graft.ml.KMeans.clusterSizes(
+      graft.ml.KMeans.assignments(vecs, "vec_id", "embedding", k = 2, rounds = 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(0L -> 3L, 3L -> 3L))
+  }
+
   test("decontamination flags train docs sharing held-out n-grams") {
     val s = spark
     import s.implicits._
