@@ -665,6 +665,21 @@ object SparkEntry {
           col("oid").as("label_oid")), Seq("communityLabel"))
         .select("oid", "label_oid")
     }),
+    // ShortestPathStep through the text front-end — must equal the DSL
+    // queries tg_gie_shortest / tg_gie_weighted_shortest exactly, so
+    // these REUSE their oracle SQL verbatim
+    "tg_gremlin_shortest_step" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      graft.gie.Gremlin.run(g,
+        "g.V().has('oid','tool:t0').shortestPath(15)" +
+          ".has('oid', TextP.startingWith('tool:')).hops()")
+    }),
+    "tg_gremlin_weighted_shortest_step" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      graft.gie.Gremlin.run(g,
+        "g.V().has('oid','assistant').shortestPath('weight')" +
+          ".has('oid', TextP.startingWith('tool:')).dist()")
+    }),
     "tg_gremlin_hits_step" -> ((s, dir) => {
       val g = graphFor(s, dir)
       graft.gie.Gremlin.run(g, "g.V().hits().times(5)")
@@ -1281,6 +1296,9 @@ object SparkEntry {
     "tg_gremlin_cc_step" -> SynthSql.wccSql(OracleSf),
     "tg_gremlin_lpa_step" -> SynthSql.cdlpSql(OracleSf, CdlpRounds),
     "tg_gremlin_hits_step" -> SynthSql2.hitsSql(OracleSf),
+    "tg_gremlin_shortest_step" -> SynthSql3.gieShortestSql(OracleSf, "tool:t0", 15, "tool:%"),
+    "tg_gremlin_weighted_shortest_step" ->
+      graft.synth.SynthSql5.gieWeightedShortestSql(OracleSf, "assistant", "tool:%"),
     "tg_gremlin_select" -> graft.synth.SynthSql5.gieSelectSql(OracleSf, 50),
     "tg_gremlin_textp" -> graft.synth.SynthSql5.gieTextpSql(OracleSf),
     "tg_gremlin_subgraph" -> graft.synth.SynthSql5.gieSubgraphSql(OracleSf),

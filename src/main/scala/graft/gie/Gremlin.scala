@@ -523,6 +523,24 @@ object Gremlin {
             case _ => n.map(t.hitsStep).getOrElse(t.hitsStep())
           })
         case ("connectedComponent", Nil) => st = Left(t.connectedComponentStep())
+        // ShortestPathStep (tinkerpop/steps/ShortestPathStep.java;
+        // algebra.proto:302): shortest expansion from the traverser set —
+        // hop-count with an optional bound, or weight-property relaxation
+        // via shortestPath('weight'); hops()/dist() project the result
+        case ("shortestPath", Nil) => st = Left(t.shortestPathExpand(64))
+        case ("shortestPath", List(Num(n))) => st = Left(t.shortestPathExpand(n.toInt))
+        case ("shortestPath", List(Lit("weight"))) =>
+          st = Left(t.weightedShortestPathExpand())
+        case ("dist", Nil) =>
+          st = Right(t.auxilia().df
+            .select(col("oid"), round(col("__dist"), 6).as("dist")))
+        // EstimateCountStep (tinkerpop/steps/EstimateCountStep.java): an
+        // approximate distinct-vertex count — the Spark-native analog is
+        // the HyperLogLog++ sketch (approx_count_distinct), which unlike
+        // the reference's sampled estimate is mergeable across
+        // partitions with one tiny exchange
+        case ("estimateCount", Nil) =>
+          st = Right(t.df.agg(approx_count_distinct(col("__v")).as("n_estimate")))
         // id() intrinsic (`expr.proto:49-57` ID): the dense vertex id
         case ("id", Nil) => st = Right(t.df.select(col("__v").as("id")))
         // sample(n): deterministic portable-pick-hash sample (MetapathSample)

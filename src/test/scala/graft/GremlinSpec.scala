@@ -533,6 +533,18 @@ class GremlinSpec extends SparkSpec {
       == Set("t0|tool"))
   }
 
+  test("shortestPath step (hop + weighted) and estimateCount") {
+    // hop-count: from u0 the whole fixture is reachable within 3 hops
+    val sp = Gremlin.run(g, "g.V().has('oid','u0').shortestPath(3).hops()")
+    assert(rows(sp) == Set("u0|0", "a0|1", "a1|1", "t0|2", "u1|3"))
+    // weighted: all edge weights are 1.0, so dist == hops as doubles
+    val wsp = Gremlin.run(g, "g.V().has('oid','u0').shortestPath('weight').dist()")
+    assert(rows(wsp) == Set("u0|0.0", "a0|1.0", "a1|1.0", "t0|2.0", "u1|3.0"))
+    // HLL estimate is exact at this cardinality
+    val est = Gremlin.run(g, "g.V().out().estimateCount()")
+    assert(est.collect().head.getLong(0) == 4L) // distinct out-targets
+  }
+
   test("parse errors are rejected with position info") {
     val e1 = intercept[IllegalArgumentException](Gremlin.run(g, "g.V().has('oid'"))
     assert(e1.getMessage.contains("parse error"))
