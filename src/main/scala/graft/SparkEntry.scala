@@ -712,6 +712,14 @@ object SparkEntry {
           Synth.transcripts(s, Synth.sfOfDir(dir)).toDF),
         "g.V().hasLabel('assistant').out('invoke').groupCount().by('oid')" +
           ".order().by(select(values), desc).by(select(keys), asc).limit(10)")),
+    // if-then-else branch routing: assistants expand via invoke edges,
+    // everyone else via reply edges (TinkerPop choose(pred, yes, no))
+    "tg_gremlin_choose" -> ((s, dir) =>
+      graft.gie.Gremlin.run(
+        graft.graph.PropertyGraph.fromTranscripts(
+          Synth.transcripts(s, Synth.sfOfDir(dir)).toDF),
+        "g.V().choose(__.hasLabel('assistant'), __.out('invoke'), __.out('reply'))" +
+          ".groupCount().by('oid')")),
     "tg_gremlin_ldbc_filter" -> ((s, dir) =>
       graft.gie.Gremlin.run(
         graft.graph.PropertyGraph.fromTranscripts(
@@ -775,6 +783,12 @@ object SparkEntry {
     "d_pack_stats" -> ((s, dir) =>
       graft.text.Packing.chunkStats(
         graft.text.Packing.packChunks(t(s, dir, "documents"), maxTokens = 512, buckets = 8))),
+    // RAG token-window chunking (stride-overlapped retrieval chunks) and
+    // per-doc top-3 tf-idf terms (corpus keyword signal)
+    "d_chunk_windows" -> ((s, dir) =>
+      graft.text.Packing.tokenChunks(t(s, dir, "documents"), "doc_id", "text", 32, 24)),
+    "d_tfidf_top" -> ((s, dir) =>
+      graft.text.TextOps.tfidfTop(t(s, dir, "documents"), "doc_id", "text", 3)),
     // benchmark decontamination: train-split docs sharing >= 2 distinct
     // word 3-grams with any test-split doc (the train-vs-eval overlap
     // scrub run before pretraining), over the same deterministic split
@@ -1288,6 +1302,7 @@ object SparkEntry {
     "tg_gremlin_coalesce" -> graft.synth.SynthSql5.gieCoalesceSql(OracleSf, 20),
     "tg_gremlin_haslabel" -> graft.synth.SynthSql5.gieHasLabelSql(OracleSf),
     "tg_gremlin_ldbc_reach" -> graft.synth.SynthSql5.gieLdbcReachSql(OracleSf),
+    "tg_gremlin_choose" -> graft.synth.SynthSql5.gieChooseSql(OracleSf),
     "tg_gremlin_ldbc_top" -> graft.synth.SynthSql5.gieLdbcTopSql(OracleSf),
     "tg_gremlin_ldbc_filter" -> graft.synth.SynthSql5.gieLdbcFilterSql(OracleSf, 12, 3.0, 10.0),
     "tg_gremlin_edgelabel" -> graft.synth.SynthSql5.gieEdgeLabelSumSql(OracleSf),
@@ -1350,6 +1365,8 @@ object SparkEntry {
     "d_split_stratified" -> SynthSql2.splitStratifiedSql(graft.text.TextOps.Stopwords),
     "d_pack_chunks" -> SynthSql2.packChunksSql(512, 8),
     "d_decontaminate" -> graft.synth.LshSql.decontaminateSql(),
+    "d_chunk_windows" -> SynthSql2.tokenChunksSql(32, 24),
+    "d_tfidf_top" -> SynthSql2.tfidfTopSql(3),
     "d_pack_stats" -> SynthSql2.packStatsSql(512, 8),
     "d_minhash_groups" -> graft.synth.LshSql.minhashGroupsSql(
       numHashes = 16, bands = 8, shingleSize = 3, threshold = 0.5),

@@ -410,6 +410,10 @@ object Gremlin {
           st = Left(t.coalesce(subs.map { case Sub(sub) => vertexFn(sub, "coalesce()") }: _*))
         case ("optional", List(Sub(sub))) =>
           st = Left(t.optional(vertexFn(sub, "optional()")))
+        // if-then-else branch (TinkerPop choose(pred, yes, no))
+        case ("choose", List(Sub(p), Sub(a), Sub(b))) =>
+          st = Left(t.choose(vertexFn(p, "choose()"),
+            vertexFn(a, "choose()"), vertexFn(b, "choose()")))
         // match (algebra.proto:350, patmat.rs NaiveStrategy): sentences
         // are as(a)…as(b) chains, joined left-deep on shared tags
         case ("match", subs) if subs.nonEmpty && subs.forall(_.isInstanceOf[Sub]) =>

@@ -443,6 +443,29 @@ final class Traversal private[gie] (g: GGraph, val df: DataFrame) {
     */
   def optional(f: Traversal => Traversal): Traversal = coalesce(f, identity)
 
+  /** Choose (TinkerPop `choose(pred, yes, no)` — the GIE compiler's
+    * if-then-else branch plan): traversers whose current vertex
+    * satisfies `pred` route through `yes`, the rest through `no`. The
+    * predicate runs ONCE over the distinct origin set (same correlated
+    * discipline as [[whereExists]]); the split is one semi + one anti
+    * join and the branch outputs union with bag semantics.
+    */
+  def choose(
+      pred: Traversal => Traversal,
+      yes: Traversal => Traversal,
+      no: Traversal => Traversal): Traversal = {
+    val origin = next(df.select(col("__v")).distinct().withColumn("__origin", col("__v")))
+    val hits = Engine.materialize(
+      pred(origin).df.select(col("__origin").as("__v")).distinct())
+    val branches = Seq(
+      yes(next(df.join(hits, Seq("__v"), "left_semi"))).df,
+      no(next(df.join(hits, Seq("__v"), "left_anti"))).df)
+    val common = branches.map(_.columns.toSet).reduce(_ intersect _)
+    require(common.contains("__v"), "choose branches must stay vertex-typed")
+    val cols = branches.head.columns.filter(common.contains).toSeq.map(col)
+    next(branches.map(_.select(cols: _*)).reduce(_ unionAll _))
+  }
+
   /** Union (`algebra.proto:74,394`, Gremlin union()): run each branch
     * sub-traversal from the current traverser frame and merge the
     * outputs with bag semantics — traverser multiplicity preserved, as

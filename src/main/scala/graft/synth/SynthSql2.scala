@@ -255,6 +255,31 @@ object SynthSql2 {
        |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS stream_tokens
        |FROM c GROUP BY 1, 2""".stripMargin
 
+  /** Twin of `Packing.tokenChunks` (RAG token-window chunking). */
+  def tokenChunksSql(chunkTokens: Int, stride: Int): String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |st AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, $stride)) AS s
+       |       FROM t WHERE len(toks) > 0)
+       |SELECT doc_id, s // $stride AS chunk_id,
+       |       CAST(len(list_slice(toks, s + 1, s + $chunkTokens)) AS INTEGER) AS n_chunk_tokens,
+       |       array_to_string(list_slice(toks, s + 1, s + $chunkTokens), ' ') AS chunk_text
+       |FROM st""".stripMargin
+
+  /** Twin of `TextOps.tfidfTop` (per-doc top-k tf-idf terms). */
+  def tfidfTopSql(k: Int = 3): String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       |tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       |s AS (SELECT tf.doc_id, tf.term,
+       |             round(tf * ln((SELECT n FROM nn) / df), 6) AS tfidf
+       |      FROM tf JOIN dfq USING (term))
+       |SELECT doc_id, term, tfidf FROM (
+       |  SELECT doc_id, term, tfidf,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+       |  FROM s) z WHERE rn <= $k""".stripMargin
+
   def textStatsSql: String =
     s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
        |SELECT doc_id,

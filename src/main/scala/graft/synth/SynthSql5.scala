@@ -498,6 +498,22 @@ object SynthSql5 {
        |WHERE ${labelOf("src_oid")} = 'assistant'
        |GROUP BY 1 ORDER BY n DESC, oid ASC LIMIT $k""".stripMargin
 
+  /** Twin of the choose() branch routing: assistant-labeled vertices
+    * expand over their distinct invoke pairs, all other vertices over
+    * their distinct reply pairs; traverser counts per target oid.
+    */
+  def gieChooseSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT dst_oid AS oid, count(*) AS n FROM (
+       |  SELECT src_oid, dst_oid
+       |  FROM (SELECT DISTINCT src_oid, dst_oid FROM invoke) i
+       |  WHERE ${labelOf("src_oid")} = 'assistant'
+       |  UNION ALL
+       |  SELECT src_oid, dst_oid
+       |  FROM (SELECT DISTINCT src_oid, dst_oid FROM reply) r
+       |  WHERE ${labelOf("src_oid")} <> 'assistant') u
+       |GROUP BY 1""".stripMargin
+
   /** Twin of the LDBC-q3-shaped correlated-count + predicate-connective
     * composite: assistants invoking >= `minTools` distinct tools, their
     * invoke pairs with weight in [`wLo`, `wHi`), counted per tool.

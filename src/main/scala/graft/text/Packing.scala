@@ -52,4 +52,25 @@ object Packing {
   def chunkStats(packed: DataFrame): DataFrame =
     packed.groupBy(col("bucket"), col("seq"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("stream_tokens"))
+
+  /** Overlapping token-window chunking — the retrieval-corpus (RAG) prep
+    * step: each document becomes one row per `stride`-spaced window of
+    * `chunkTokens` tokens (the tail window may be shorter). Pure
+    * per-row array expressions — no shuffle at all until the caller
+    * aggregates; a 100 TB corpus chunks entirely map-side.
+    */
+  def tokenChunks(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int
+  ): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "need positive chunkTokens and stride")
+    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))).as("s"))
+      .select(col(idCol),
+        (col("s") / stride).cast("long").as("chunk_id"),
+        size(slice(col("toks"), col("s") + 1, lit(chunkTokens))).as("n_chunk_tokens"),
+        array_join(slice(col("toks"), col("s") + 1, lit(chunkTokens)), " ").as("chunk_text"))
+  }
 }

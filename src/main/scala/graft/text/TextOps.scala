@@ -153,4 +153,26 @@ object TextOps {
           ascii(substring(x, -1, 1)).cast("long")) % 1000000007L),
       lit(0L), (acc, h) => (acc + h) % 1000000007L)
   }
+
+  /** Top-`k` tf-idf terms per document (the keyword/topic signal a
+    * corpus-analysis pass extracts): tf = in-doc term count, idf =
+    * ln(N / doc-frequency), score rounded to 6 dp with ties to the
+    * lexicographically smaller term (cross-engine determinism). Shapes
+    * for scale: tf and df are partial+final aggregates; the per-doc
+    * top-k window partitions on the document id (max parallelism); N is
+    * one count job.
+    */
+  def tfidfTop(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val n = df.count()
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col(idCol), col("term"), col("tfidf"))
+  }
 }

@@ -533,6 +533,14 @@ class GremlinSpec extends SparkSpec {
       == Set("t0|tool"))
   }
 
+  test("choose(pred, yes, no) routes branches by predicate") {
+    val got = Gremlin.run(pg,
+      "g.V().choose(__.hasLabel('assistant'), __.out('invoke'), __.out('reply'))" +
+        ".groupCount().by('oid')")
+    // assistants a0,a1 -> invoke (t0 x2); u0,u1,t0 -> reply (a0 x2, a1 x1)
+    assert(rows(got) == Set("t0|2", "a0|2", "a1|1"))
+  }
+
   test("shortestPath step (hop + weighted) and estimateCount") {
     // hop-count: from u0 the whole fixture is reachable within 3 hops
     val sp = Gremlin.run(g, "g.V().has('oid','u0').shortestPath(3).hops()")

@@ -176,6 +176,32 @@ class TextMlSpec extends SparkSpec {
     assert(sizes == Map(0L -> 3L, 3L -> 3L))
   }
 
+  test("token-window chunking covers every token with stride overlap") {
+    val chunks = graft.text.Packing.tokenChunks(docs, "doc_id", "text", 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+    // doc 1 has 9 tokens -> starts 0,3,6 -> chunks of 4,4,3 tokens
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._3).toSeq == Seq(4, 4, 3))
+    assert(d1.head._4 == "the quick brown fox")
+    assert(d1(1)._4 == "fox jumps over the")       // stride-3 overlap
+    assert(d1(2)._4 == "the lazy dog")             // short tail window
+    // reconstruction: consecutive chunks overlap by chunkTokens - stride
+    chunks.groupBy(_._1).foreach { case (_, cs) =>
+      assert(cs.map(_._2).sorted.toSeq == (0L until cs.length).toSeq)
+    }
+  }
+
+  test("tfidf top terms rank distinctive words above corpus-wide ones") {
+    val top = graft.text.TextOps.tfidfTop(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    // doc 5's distinctive terms (sleepy/today appear nowhere else)
+    assert(top(5L) == Set("sleepy", "today"))
+    // doc 6 shares no terms with 1-5, so any of its words are distinctive
+    assert(top(6L).subsetOf(
+      "completely different content about spark engines and graphs".split(" ").toSet))
+  }
+
   test("decontamination flags train docs sharing held-out n-grams") {
     val s = spark
     import s.implicits._
