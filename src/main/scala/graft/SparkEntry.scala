@@ -712,6 +712,14 @@ object SparkEntry {
           Synth.transcripts(s, Synth.sfOfDir(dir)).toDF),
         "g.V().hasLabel('assistant').out('invoke').groupCount().by('oid')" +
           ".order().by(select(values), desc).by(select(keys), asc).limit(10)")),
+    // per-traverser multi-projection (TinkerPop ProjectStep): each
+    // assistant projected to (oid, distinct invoked tool count)
+    "tg_gremlin_project" -> ((s, dir) =>
+      graft.gie.Gremlin.run(
+        graft.graph.PropertyGraph.fromTranscripts(
+          Synth.transcripts(s, Synth.sfOfDir(dir)).toDF),
+        "g.V().hasLabel('assistant').project('oid','n_tools')" +
+          ".by(values('oid')).by(__.out('invoke').dedup().count())")),
     // if-then-else branch routing: assistants expand via invoke edges,
     // everyone else via reply edges (TinkerPop choose(pred, yes, no))
     "tg_gremlin_choose" -> ((s, dir) =>
@@ -1303,6 +1311,7 @@ object SparkEntry {
     "tg_gremlin_haslabel" -> graft.synth.SynthSql5.gieHasLabelSql(OracleSf),
     "tg_gremlin_ldbc_reach" -> graft.synth.SynthSql5.gieLdbcReachSql(OracleSf),
     "tg_gremlin_choose" -> graft.synth.SynthSql5.gieChooseSql(OracleSf),
+    "tg_gremlin_project" -> graft.synth.SynthSql5.gieProjectSql(OracleSf),
     "tg_gremlin_ldbc_top" -> graft.synth.SynthSql5.gieLdbcTopSql(OracleSf),
     "tg_gremlin_ldbc_filter" -> graft.synth.SynthSql5.gieLdbcFilterSql(OracleSf, 12, 3.0, 10.0),
     "tg_gremlin_edgelabel" -> graft.synth.SynthSql5.gieEdgeLabelSumSql(OracleSf),

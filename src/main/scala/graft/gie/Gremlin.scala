@@ -362,6 +362,40 @@ object Gremlin {
         // multi-tag Sink projection: one oid-decoded column per tag
         case ("select", tags) if tags.length > 1 && tags.forall(_.isInstanceOf[Lit]) =>
           st = Right(t.selectTags(tags.map { case Lit(s) => s }))
+        // project('k1','k2',…).by(m1).by(m2)… (TinkerPop ProjectStep —
+        // per-traverser multi-projection): by('prop') fetches a
+        // property, by(sub.[dedup().]count()) is a correlated count
+        // (absent origins project 0). Terminal — emits the keyed frame.
+        case ("project", keyArgs) if keyArgs.nonEmpty && keyArgs.forall(_.isInstanceOf[Lit]) =>
+          val ks = keyArgs.map { case Lit(v) => v }
+          var curT = t
+          ks.foreach { k =>
+            rest match {
+              case Step("by", List(Lit(f))) :: tl =>
+                val fetched = fetch(curT, f)
+                curT = fetched.mapFrame(_.withColumn(k, fieldColIn(fetched.df, f)))
+                rest = tl
+              // by(values('p')) — same property fetch as by('p')
+              case Step("by", List(Sub(List(Step("values", List(Lit(f))))))) :: tl =>
+                val fetched = fetch(curT, f)
+                curT = fetched.mapFrame(_.withColumn(k, fieldColIn(fetched.df, f)))
+                rest = tl
+              case Step("by", List(Sub(sub))) :: tl =>
+                val (body, distinct) = sub.reverse match {
+                  case Step("count", Nil) :: Step("dedup", Nil) :: b => (b.reverse, true)
+                  case Step("count", Nil) :: b => (b.reverse, false)
+                  case _ => throw new IllegalArgumentException(
+                    "project by-traversal must end with [dedup().]count()")
+                }
+                val cnts = curT.originCounts(vertexFn(body, "project()"), distinct)
+                curT = curT.mapFrame(_.join(cnts, Seq("__v"), "left")
+                  .withColumn(k, coalesce(col("__cnt"), lit(0L))).drop("__cnt"))
+                rest = tl
+              case _ => throw new IllegalArgumentException(
+                s"project('$k') needs a by() modulator per key")
+            }
+          }
+          st = Right(curT.df.select(ks.map(col): _*))
         // tag-comparison predicate (TinkerPop where('a', P.neq('b')) —
         // patmat's structural-distinctness filter): both operands are
         // tag columns on the traverser frame

@@ -62,6 +62,11 @@ private[gie] object GGraphOps {
 final class Traversal private[gie] (g: GGraph, val df: DataFrame) {
 
   private def next(d: DataFrame) = new Traversal(g, d)
+
+  /** Same-graph traversal over a transformed frame (front-end plumbing,
+    * e.g. the project() modulator chain).
+    */
+  private[gie] def mapFrame(f: DataFrame => DataFrame): Traversal = next(f(df))
   private def edges = g.edges
 
   /** Select/IndexPredicate on the oid property (`algebra.proto:42,162`):
@@ -257,12 +262,21 @@ final class Traversal private[gie] (g: GGraph, val df: DataFrame) {
     */
   def whereCountIs(
       f: Traversal => Traversal, distinctCount: Boolean, pred: Column): Traversal = {
-    val origin = next(df.select(col("__v")).distinct().withColumn("__origin", col("__v")))
-    val res = f(origin).df
-    val cnt = res.groupBy(col("__origin"))
-      .agg((if (distinctCount) countDistinct(col("__v")) else count(lit(1))).as("__cnt"))
-    val hits = cnt.where(pred).select(col("__origin").as("__v"))
+    val hits = originCounts(f, distinctCount).where(pred).select(col("__v"))
     next(df.join(hits, Seq("__v"), "left_semi"))
+  }
+
+  /** Per-origin result counts for a correlated sub-traversal — the
+    * shared lowering behind [[whereCountIs]] and the `project().by(
+    * sub.count())` modulator: (__v, __cnt), one partial+final aggregate
+    * over ONE run of the body on the distinct origin set. Origins with
+    * no results are absent (callers left-join + coalesce to 0).
+    */
+  def originCounts(f: Traversal => Traversal, distinctCount: Boolean): DataFrame = {
+    val origin = next(df.select(col("__v")).distinct().withColumn("__origin", col("__v")))
+    f(origin).df.groupBy(col("__origin"))
+      .agg((if (distinctCount) countDistinct(col("__v")) else count(lit(1))).as("__cnt"))
+      .select(col("__origin").as("__v"), col("__cnt"))
   }
 
   /** Boolean combinator OR (`OrTreeNode.java`): keep traversers

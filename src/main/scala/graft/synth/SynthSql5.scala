@@ -498,6 +498,17 @@ object SynthSql5 {
        |WHERE ${labelOf("src_oid")} = 'assistant'
        |GROUP BY 1 ORDER BY n DESC, oid ASC LIMIT $k""".stripMargin
 
+  /** Twin of the project() multi-projection: per assistant vertex, its
+    * oid and distinct invoked-tool count (0 when none).
+    */
+  def gieProjectSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT v.oid AS oid, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tools
+       |FROM vertices v
+       |LEFT JOIN (SELECT src_oid, count(DISTINCT dst_oid) AS n
+       |           FROM invoke GROUP BY 1) c ON c.src_oid = v.oid
+       |WHERE ${labelOf("v.oid")} = 'assistant'""".stripMargin
+
   /** Twin of the choose() branch routing: assistant-labeled vertices
     * expand over their distinct invoke pairs, all other vertices over
     * their distinct reply pairs; traverser counts per target oid.

@@ -533,6 +533,13 @@ class GremlinSpec extends SparkSpec {
       == Set("t0|tool"))
   }
 
+  test("project().by(prop).by(sub.count()) emits per-traverser columns") {
+    val got = Gremlin.run(pg,
+      "g.V().project('oid','n_out').by(values('oid')).by(__.out('reply').dedup().count())")
+    // distinct reply successors: u0->2, u1->1, a0->2, a1->0, t0->0
+    assert(rows(got) == Set("u0|2", "u1|1", "a0|2", "a1|0", "t0|0"))
+  }
+
   test("choose(pred, yes, no) routes branches by predicate") {
     val got = Gremlin.run(pg,
       "g.V().choose(__.hasLabel('assistant'), __.out('invoke'), __.out('reply'))" +
