@@ -156,6 +156,39 @@ object EventStream {
     (store.read(spark, table, version), version)
   }
 
+  final case class DegreeState(outDeg: Long, inDeg: Long)
+  final case class VertexDegree(oid: String, out_deg: Long, in_deg: Long)
+
+  /** Streaming per-vertex degree maintenance — the groot realtime write
+    * path's query-while-ingesting view (`interactive_engine/groot`
+    * realtime write → snapshot read): edge rows stream in as
+    * `(src_oid, dst_oid)`; each micro-batch folds its per-vertex
+    * contributions map-side, updates one small `(out, in)` counter per
+    * vertex in `mapGroupsWithState`, and emits the vertex's refreshed
+    * degree row (update mode). At scale the keyed state shards by
+    * vertex across executors — no global structure, no watermark needed
+    * (the counters are monotone).
+    */
+  def degreeStream(edges: DataFrame): org.apache.spark.sql.Dataset[VertexDegree] = {
+    import edges.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    edges
+      .select(explode(array(
+        struct(col("src_oid").as("oid"), lit(1L).as("outd"), lit(0L).as("ind")),
+        struct(col("dst_oid").as("oid"), lit(0L).as("outd"), lit(1L).as("ind")))).as("c"))
+      .select(col("c.oid"), col("c.outd"), col("c.ind"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[DegreeState, VertexDegree](GroupStateTimeout.NoTimeout) {
+        case (oid, rows, state) =>
+          val (o, i) = rows.foldLeft((0L, 0L))((acc, r) => (acc._1 + r._2, acc._2 + r._3))
+          val prev = state.getOption.getOrElse(DegreeState(0L, 0L))
+          val nxt = DegreeState(prev.outDeg + o, prev.inDeg + i)
+          state.update(nxt)
+          VertexDegree(oid, nxt.outDeg, nxt.inDeg)
+      }
+  }
+
   /** Rebuild the dense-id LinkGraph from a committed oid-edge snapshot
     * (incremental append + re-run, SURVEY.md §1.4).
     */

@@ -161,4 +161,37 @@ class StreamingSpec extends SparkSpec {
     assert(graft.algos.PageRank.run(g, graft.algos.PageRank.Config(0.85, 3)).count() == g.numVertices)
     all.unpersist()
   }
+
+  test("streaming degree maintenance: final state equals batch degrees across micro-batches") {
+    val s = spark
+    import s.implicits._
+    // two micro-batches of edge arrivals (maxFilesPerTrigger=1)
+    val b1 = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src_oid", "dst_oid")
+    val b2 = Seq(("c", "a"), ("a", "b"), ("d", "a")).toDF("src_oid", "dst_oid")
+    val stage = Files.createTempDirectory("graft-deg")
+    b1.coalesce(1).write.parquet(stage.resolve("f1").toString)
+    b2.coalesce(1).write.parquet(stage.resolve("f2").toString)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1)
+      .format("parquet").load(stage.toString + "/*/")
+    val q = EventStream.degreeStream(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("deg_stream")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // update mode re-emits a vertex's row each batch it changes; the
+    // counters are monotone, so max per vertex = final state
+    val got = spark.table("deg_stream")
+      .groupBy("oid").agg(max("out_deg").as("o"), max("in_deg").as("i"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = b1.unionAll(b2)
+    val expect = batch.select(col("src_oid").as("oid")).groupBy("oid").count()
+      .join(batch.select(col("dst_oid").as("oid")).groupBy("oid").count()
+        .withColumnRenamed("count", "ic"), Seq("oid"), "full_outer")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) 0L else r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))).toMap
+    assert(got == expect)
+    assert(got("a") == (3L, 2L) && got("c") == (1L, 2L))
+  }
 }
