@@ -355,6 +355,13 @@ object Gremlin {
         case ("out", List(Lit(l))) => st = Left(t.out(l))
         case ("in", List(Lit(l))) => st = Left(t.in(l))
         case ("both", List(Lit(l))) => st = Left(t.both(l))
+        // multi-label expand: QueryParams.tables is a label LIST
+        case ("out", ls) if ls.nonEmpty && ls.forall(_.isInstanceOf[Lit]) =>
+          val l = ls.map { case Lit(v) => v }; st = Left(t.out(l.head, l.tail: _*))
+        case ("in", ls) if ls.nonEmpty && ls.forall(_.isInstanceOf[Lit]) =>
+          val l = ls.map { case Lit(v) => v }; st = Left(t.in(l.head, l.tail: _*))
+        case ("both", ls) if ls.nonEmpty && ls.forall(_.isInstanceOf[Lit]) =>
+          val l = ls.map { case Lit(v) => v }; st = Left(t.both(l.head, l.tail: _*))
         case ("endV", Nil) => st = Left(t) // GetV after range expand — already vertex-positioned
         case ("dedup", Nil) => st = Left(t.dedup())
         case ("as", List(Lit(tag))) => st = Left(t.as_(tag))

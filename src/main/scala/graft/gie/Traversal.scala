@@ -115,15 +115,25 @@ final class Traversal private[gie] (g: GGraph, val df: DataFrame) {
     * label-partitioned edge table at scale), then the same single
     * equi-join. Requires a labeled graph.
     */
-  def out(label: String): Traversal = expand(labeledEdges(label), col("src"), col("dst"))
+  def out(label: String, more: String*): Traversal =
+    expand(labeledEdges(label +: more), col("src"), col("dst"))
 
-  def in(label: String): Traversal = expand(labeledEdges(label), col("dst"), col("src"))
+  def in(label: String, more: String*): Traversal =
+    expand(labeledEdges(label +: more), col("dst"), col("src"))
 
-  def both(label: String): Traversal = bothOver(labeledEdges(label))
+  def both(label: String, more: String*): Traversal =
+    bothOver(labeledEdges(label +: more))
 
-  private def labeledEdges(label: String): DataFrame = {
-    require(g.labeled, s"out/in/both/outE('$label') requires a labeled (property) graph")
-    edges.where(col("label") === label)
+  private def labeledEdges(label: String): DataFrame = labeledEdges(Seq(label))
+
+  /** The reference's QueryParams.tables is a label LIST — an expand over
+    * several labels is the union of the label tables, expressed as one
+    * IN predicate on the (label-partitioned at scale) edge scan.
+    */
+  private def labeledEdges(labels: Seq[String]): DataFrame = {
+    require(g.labeled,
+      s"out/in/both/outE(${labels.mkString("'", "','", "'")}) requires a labeled (property) graph")
+    edges.where(col("label").isin(labels: _*))
   }
 
   private def bothOver(e: DataFrame): Traversal = {

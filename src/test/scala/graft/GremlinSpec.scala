@@ -540,6 +540,13 @@ class GremlinSpec extends SparkSpec {
     assert(rows(got) == Set("u0|2", "u1|1", "a0|2", "a1|0", "t0|0"))
   }
 
+  test("multi-label expand unions the label tables") {
+    // a0 out: reply {a1, t0}, invoke {t0} -> union = 3 traversers
+    val got = Gremlin.run(pg,
+      "g.V().has('oid','a0').out('reply','invoke').groupCount().by('oid')")
+    assert(rows(got) == Set("a1|1", "t0|2"))
+  }
+
   test("choose(pred, yes, no) routes branches by predicate") {
     val got = Gremlin.run(pg,
       "g.V().choose(__.hasLabel('assistant'), __.out('invoke'), __.out('reply'))" +
