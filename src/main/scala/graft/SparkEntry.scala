@@ -53,6 +53,12 @@ object SparkEntry {
     Seq("u1", "assistant", "u1"),            // repeated vertex → false
     Seq("assistant", "system"))              // no such edge → false
 
+  /** Domain-mixture keep rates for `d_mixture_sample` (exact per-10000
+    * thresholds; sources not listed fall to the default).
+    */
+  private val MixtureRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
+  private val MixtureDefaultRate = 0.1
+
   private val graphCache = TrieMap.empty[(SparkSession, Double), LinkGraph]
 
   /** Transcript-derived graph for the given data dir (memoized per
@@ -824,6 +830,30 @@ object SparkEntry {
         numHashes = 16, bands = 8, shingleSize = 3, threshold = 0.5)),
     "d_simhash_pairs" -> ((s, dir) =>
       graft.text.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)),
+    // PII scrub: the corpus is PII-free, so a deterministic PII suffix is
+    // injected from doc_id (identically in the SQL twin) — the redaction
+    // regexes then have real matches to count and mask cross-engine
+    "d_pii_redact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val injected = docs.select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com call 555-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+          lit(" from 10.0."), pmod(col("doc_id"), lit(200L)).cast("string"),
+          lit(".7")).as("text"))
+      graft.text.TextOps.piiRedact(injected, "doc_id", "text")
+    }),
+    // Gopher-style repetition signals (dup/top 2-gram fractions)
+    "d_repetition" -> ((s, dir) =>
+      graft.text.TextOps.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")),
+    // corpus-unigram LM log-prob quality proxy (KenLM stand-in)
+    "d_unigram_lp" -> ((s, dir) =>
+      graft.text.TextOps.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
+    // deterministic domain-mixture resampling audit (hash-gated, no rand)
+    "d_mixture_sample" -> ((s, dir) =>
+      graft.text.TextOps.mixtureSample(t(s, dir, "documents"), "doc_id", "source",
+        MixtureRates, MixtureDefaultRate)),
     "s_cosine_topk" -> ((s, dir) =>
       graft.ml.Similarity.bruteForceTopK(
         t(s, dir, "embeddings"), "vec_id", "embedding", (0L until 10L).toSeq, 5)),
@@ -1380,6 +1410,11 @@ object SparkEntry {
     "d_minhash_groups" -> graft.synth.LshSql.minhashGroupsSql(
       numHashes = 16, bands = 8, shingleSize = 3, threshold = 0.5),
     "d_simhash_pairs" -> graft.synth.LshSql.simhashPairsSql(maxDist = 3),
+    "d_pii_redact" -> SynthSql2.piiRedactSql(
+      graft.text.TextOps.EmailRe, graft.text.TextOps.Ipv4Re, graft.text.TextOps.PhoneRe),
+    "d_repetition" -> SynthSql2.repetitionSql,
+    "d_unigram_lp" -> SynthSql2.unigramLogProbSql,
+    "d_mixture_sample" -> SynthSql2.mixtureSampleSql(MixtureRates, MixtureDefaultRate),
     "s_cosine_topk" -> SynthSql2.cosineTopKSql((0L until 10L).toSeq, 5),
     "s_lsh_topk" -> graft.synth.LshSql.lshTopKSql((0L until 10L).toSeq, 5),
     "s_ivf_topk" -> graft.synth.SynthSql5.ivfTopKSql((0L until 10L).toSeq, 5),

@@ -435,4 +435,76 @@ object SynthSql2 {
        |  FROM scored) z
        |WHERE rank <= $k""".stripMargin
   }
+
+  /** Twin of `TextOps.piiRedact` over the injected-PII driver query: the
+    * same deterministic PII suffix is appended in SQL (the corpus itself
+    * is PII-free, so the injection makes the cross-engine regex check
+    * real), then counted + masked with the identical regex constants
+    * (Java regex / RE2 common subset).
+    */
+  def piiRedactSql(emailRe: String, ipRe: String, phoneRe: String): String =
+    s"""WITH inj AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |    '@example.com call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+       |    ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7' AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$emailRe')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$ipRe')) AS INTEGER) AS n_ips,
+       |  CAST(len(regexp_extract_all(text, '$phoneRe')) AS INTEGER) AS n_phones,
+       |  regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+       |      '$ipRe', '<IP>', 'g'),
+       |    '$phoneRe', '<PHONE>', 'g') AS clean_text
+       |FROM inj""".stripMargin
+
+  /** Twin of `TextOps.repetitionSignals`: word-2-grams via 1-based list
+    * indexing over `range(1, len)`, then the same two-level aggregate.
+    * Docs with <2 tokens drop on both sides.
+    */
+  def repetitionSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |bg AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+       |  FROM t WHERE len(toks) >= 2),
+       |c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |  count(*) AS n_distinct_bigrams,
+       |  round(CAST(1 AS DOUBLE) - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS dup_bigram_frac,
+       |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS top_bigram_frac
+       |FROM c GROUP BY 1""".stripMargin
+
+  /** Twin of `TextOps.unigramLogProb`: corpus unigram LM p(term) =
+    * count/total, per-doc avg ln p rounded to 6 dp.
+    */
+  def unigramLogProbSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tok AS MATERIALIZED (SELECT doc_id, unnest(toks) AS term FROM t),
+       |tc AS MATERIALIZED (SELECT term, count(*) AS tc FROM tok GROUP BY 1),
+       |tot AS (SELECT CAST(sum(tc) AS DOUBLE) AS total FROM tc)
+       |SELECT doc_id,
+       |  round(avg(ln(CAST(tc AS DOUBLE) / (SELECT total FROM tot))), 6) AS avg_logprob,
+       |  count(*) AS n_tokens
+       |FROM tok JOIN tc USING (term) GROUP BY 1""".stripMargin
+
+  /** Twin of `TextOps.mixtureSample`: same portable hash of
+    * 'id:source', same integer per-10000 thresholds.
+    */
+  def mixtureSampleSql(rates: Map[String, Double], defaultRate: Double): String = {
+    val values = rates.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"('$k', ${math.round(v * 10000)})" }.mkString(", ")
+    s"""WITH r(source, thr) AS (VALUES $values),
+       |h AS (
+       |  SELECT d.source,
+       |    ${LshSql.phash("CAST(d.doc_id AS VARCHAR) || ':' || d.source")} % 10000 AS hh,
+       |    coalesce(r.thr, ${math.round(defaultRate * 10000)}) AS thr
+       |  FROM documents d LEFT JOIN r ON d.source = r.source)
+       |SELECT source, count(*) AS n_total,
+       |  CAST(sum(CASE WHEN hh < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM h GROUP BY 1""".stripMargin
+  }
 }

@@ -154,6 +154,112 @@ object TextOps {
       lit(0L), (acc, h) => (acc + h) % 1000000007L)
   }
 
+  /** PII regexes shared verbatim with the DuckDB twin — restricted to the
+    * dialect subset Java regex and RE2 interpret identically (char
+    * classes, `\d`, `\b`, bounded repetition; no backrefs/lookaround).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII scrub — the redaction pass a training-data pipeline runs before
+    * anything leaves the raw zone: counts then masks emails, IPv4s and
+    * phone-shaped digit runs (counted on the ORIGINAL text; masked in
+    * email → ip → phone order so replacement tokens can't be re-matched).
+    * Pure codegen'd `regexp_count`/`regexp_replace` — rides the scan, no
+    * shuffle, trivially 100 TB-parallel.
+    */
+  def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      regexp_count(t, lit(EmailRe)).cast("int").as("n_emails"),
+      regexp_count(t, lit(Ipv4Re)).cast("int").as("n_ips"),
+      regexp_count(t, lit(PhoneRe)).cast("int").as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("clean_text"))
+  }
+
+  /** Gopher-style repetition quality signals per document: word-2-gram
+    * totals, the duplicate-2-gram fraction (1 − distinct/total) and the
+    * top-2-gram fraction (most frequent 2-gram / total) — the cheap
+    * detectors for boilerplate/looping text. Bigrams are built with
+    * `zip_with` over two array slices (codegen'd, no UDF), then a
+    * two-level aggregate: (doc, bigram) counts partial-combine map-side,
+    * the per-doc rollup is a second partial+final agg — no window, no
+    * skew hazard. Documents with fewer than two tokens have no 2-grams
+    * and drop from the output (twin matches).
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val m = greatest(size(t) - 1, lit(0))
+    val bigrams = zip_with(slice(t, lit(1), m), slice(t, lit(2), m),
+      (a, b) => concat(a, lit(" "), b))
+    df.select(col(idCol), explode(bigrams).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum("c").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        round(lit(1.0) - count(lit(1)).cast("double") / sum("c").cast("double"), 4)
+          .as("dup_bigram_frac"),
+        round(max("c").cast("double") / sum("c").cast("double"), 4)
+          .as("top_bigram_frac"))
+  }
+
+  /** Per-document mean corpus-unigram log-probability — the cheap
+    * LM-quality proxy (KenLM stand-in): fit p(term) = count/total over
+    * the whole corpus, score each doc by avg ln p(term), rounded to 6 dp
+    * (project fp-rounding convention). The unigram table is a partial+
+    * final aggregate keyed by term; the corpus total rides a broadcast
+    * 1-row frame (`Engine.scalar` shape) — no driver collect, and the
+    * doc-side join is a plain term-keyed shuffle join that AQE can
+    * broadcast when the vocabulary is small.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tc = tok.groupBy(col("term")).agg(count(lit(1)).as("__tc"))
+    val total = tc.agg(sum("__tc").cast("double").as("__total"))
+    tok.join(tc, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        round(avg(log(col("__tc").cast("double") / col("__total"))), 6).as("avg_logprob"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  /** Deterministic domain-mixture resampling — the source-reweighting
+    * step of a pretraining mix (e.g. upsample curated sources, down-
+    * sample crawl): doc survives iff portableHash(id:domain) mod 10000
+    * falls under the domain's per-10000 keep threshold. Hash-based, NOT
+    * rand(): stage re-execution reproduces the sample exactly and the
+    * mix is stable across cluster sizes. Returns per-domain (n_total,
+    * n_kept) audit counts; the kept-row filter itself is the same
+    * predicate inline (see [[mixtureKeep]]).
+    */
+  def mixtureSample(
+      df: DataFrame, idCol: String, domainCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame =
+    df.withColumn("__keep", mixtureKeep(col(idCol), col(domainCol), rates, defaultRate))
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"))
+
+  /** Keep-predicate of [[mixtureSample]] (exposed so a pipeline can
+    * filter rows directly). Thresholds are exact integers per 10000 —
+    * no float compare crosses the engine boundary.
+    */
+  def mixtureKeep(
+      id: Column, domain: Column,
+      rates: Map[String, Double], defaultRate: Double): Column = {
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(lit(math.round(defaultRate * 10000))) {
+      case (acc, (k, v)) => when(domain === k, lit(math.round(v * 10000))).otherwise(acc)
+    }
+    pmod(portableHash(concat(id.cast("string"), lit(":"), domain)), lit(10000L)) < thr
+  }
+
   /** Top-`k` tf-idf terms per document (the keyword/topic signal a
     * corpus-analysis pass extracts): tf = in-doc term count, idf =
     * ln(N / doc-frequency), score rounded to 6 dp with ties to the

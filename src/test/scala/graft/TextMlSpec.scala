@@ -248,4 +248,68 @@ class TextMlSpec extends SparkSpec {
     val totDocs = packed.values.map(_._2).sum
     assert(totStats == totDocs)
   }
+
+  test("pii redaction counts and masks emails, ips, phones") {
+    val s = spark
+    import s.implicits._
+    val pii = Seq(
+      (1L, "write to alice.smith+x@corp.example.org or bob@ex.io from 192.168.1.42 call 555-0142 now"),
+      (2L, "no pii here at all"),
+      (3L, "edge 999.1.2.3 and 1-800 and a@b (not an email)")
+    ).toDF("doc_id", "text")
+    val out = TextOps.piiRedact(pii, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    val (e1, i1, p1, t1) = out(1L)
+    assert(e1 == 2 && i1 == 1 && p1 == 1, s"counts: $e1 $i1 $p1")
+    assert(t1 == "write to <EMAIL> or <EMAIL> from <IP> call <PHONE> now", t1)
+    assert(out(2L) == ((0, 0, 0, "no pii here at all")))
+    val (e3, i3, p3, t3) = out(3L)
+    // 999.1.2.3 still octet-shaped per the \d{1,3} heuristic; 1-800 and
+    // a@b (no TLD) are not
+    assert(e3 == 0 && i3 == 1 && p3 == 0 && t3 == "edge <IP> and 1-800 and a@b (not an email)")
+  }
+
+  test("repetition signals: dup/top 2-gram fractions on a crafted looper") {
+    val s = spark
+    import s.implicits._
+    val rep = Seq(
+      (1L, "a b a b a b"),           // bigrams: ab,ba,ab,ba,ab → 5 total, 2 distinct
+      (2L, "all distinct words here"), // 3 bigrams, all distinct
+      (3L, "solo")                     // <2 tokens → drops
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(rep, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((5L, 2L, 0.6, 0.6)), s"got ${out(1L)}")
+    assert(out(2L) == ((3L, 3L, 0.0, 0.3333)), s"got ${out(2L)}")
+    assert(!out.contains(3L))
+  }
+
+  test("unigram log-prob matches hand computation") {
+    val s = spark
+    import s.implicits._
+    val lm = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextOps.unigramLogProb(lm, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // counts: a=2, b=2, c=1, total=5
+    val exp1 = math.log(2.0 / 5)                         // avg of three ln(0.4)
+    val exp2 = (math.log(2.0 / 5) + math.log(1.0 / 5)) / 2
+    assert(math.abs(out(1L)._1 - exp1) < 1e-6 && out(1L)._2 == 3L)
+    assert(math.abs(out(2L)._1 - exp2) < 1e-6 && out(2L)._2 == 2L)
+  }
+
+  test("mixture sampling: rate 1 keeps all, rate 0 keeps none, deterministic") {
+    val s = spark
+    import s.implicits._
+    val d = (0L until 40L).map(i => (i, if (i % 2 == 0) "keep" else "drop"))
+      .toDF("doc_id", "source")
+    val rates = Map("keep" -> 1.0, "drop" -> 0.0)
+    val run1 = TextOps.mixtureSample(d, "doc_id", "source", rates, 0.5).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(run1("keep") == ((20L, 20L)) && run1("drop") == ((20L, 0L)))
+    // fractional rate: deterministic across runs (hash-gated, no rand)
+    val frac = Map("keep" -> 0.5, "drop" -> 0.5)
+    val a = TextOps.mixtureSample(d, "doc_id", "source", frac, 0.5).collect().toSeq.map(_.toString).sorted
+    val b = TextOps.mixtureSample(d, "doc_id", "source", frac, 0.5).collect().toSeq.map(_.toString).sorted
+    assert(a == b)
+  }
 }
