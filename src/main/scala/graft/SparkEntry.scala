@@ -898,6 +898,11 @@ object SparkEntry {
       graft.algos.Paths3.allSimplePaths(g, "system", "tool:t0", cutoff = 2)
         .select(concat_ws(">", col("path")).as("path_str"))
     }),
+    // nx all_simple_edge_paths: the same enumeration as edge tuples
+    "tg_simple_edge_paths" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      graft.algos.Paths3.allSimpleEdgePaths(g, "system", "tool:t0", cutoff = 2)
+    }),
     // multimodal plane: frame-sampling plumbing (flatMap/Unfold shape)
     // over the deterministic media table — per-media frame count + last
     // sampled timestamp have closed arithmetic forms, so even this plane
@@ -1385,6 +1390,7 @@ object SparkEntry {
     "tg_lpau2i" -> SynthSql3.lpau2iSql(OracleSf, rounds = 2),
     "tg_sampling" -> SynthSql3.samplingSql(OracleSf, Seq("system", "assistant", "tool:t0"), 3),
     "tg_simple_paths" -> SynthSql3.simplePathsSql(OracleSf, "system", "tool:t0"),
+    "tg_simple_edge_paths" -> SynthSql3.simpleEdgePathsSql(OracleSf, "system", "tool:t0"),
     "tg_hits" -> SynthSql2.hitsSql(OracleSf),
     "tg_degcent" -> SynthSql2.degCentralitySql(OracleSf),
     "tg_degcent_in" -> SynthSql2.degCentralitySql(OracleSf, "in"),

@@ -148,6 +148,24 @@ object Paths3 {
     found
   }
 
+  /** Edge-tuple form of [[allSimplePaths]] (reference nx builtin
+    * `all_simple_edge_paths`, python/graphscope/nx/algorithms/builtin.py:936):
+    * each simple path exploded into its consecutive (src_oid, dst_oid)
+    * edges with the hop position, keyed by the vertex-path string.
+    */
+  def allSimpleEdgePaths(g: LinkGraph, sourceOid: String, targetOid: String, cutoff: Int): DataFrame = {
+    val paths = allSimplePaths(g, sourceOid, targetOid, cutoff)
+    val m = greatest(size(col("path")) - 1, lit(0))
+    paths
+      .select(
+        array_join(col("path"), ">").as("path_str"),
+        posexplode(zip_with(
+          slice(col("path"), lit(1), m), slice(col("path"), lit(2), m),
+          (a, b) => struct(a.as("s"), b.as("d")))))
+      .select(col("path_str"), col("pos").cast("int").as("pos"),
+        col("col.s").as("src_oid"), col("col.d").as("dst_oid"))
+  }
+
   /** Deterministic random-path sampling (reference `gs::SamplingPath`):
     * from each start vertex walk `steps` hops, choosing at every step
     * the out-neighbor minimizing a hash of (seed, step, tip, dst) — a

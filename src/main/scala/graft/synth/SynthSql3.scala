@@ -407,6 +407,25 @@ object SynthSql3 {
        |WHERE e1.src_oid = '$src' AND e2.dst_oid = '$dst'
        |  AND e1.dst_oid <> '$src' AND e1.dst_oid <> '$dst'""".stripMargin
 
+  /** Twin of `Paths3.allSimpleEdgePaths` at cutoff 2: the same unrolled
+    * 1-hop/2-hop enumeration as [[simplePathsSql]], exploded into
+    * (path_str, pos, src_oid, dst_oid) edge rows.
+    */
+  def simpleEdgePathsSql(sf: Double, src: String, dst: String): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |p2 AS (
+       |  SELECT e1.dst_oid AS mid
+       |  FROM edges_oid e1 JOIN edges_oid e2 ON e2.src_oid = e1.dst_oid
+       |  WHERE e1.src_oid = '$src' AND e2.dst_oid = '$dst'
+       |    AND e1.dst_oid <> '$src' AND e1.dst_oid <> '$dst')
+       |SELECT '$src' || '>' || '$dst' AS path_str, 0 AS pos,
+       |       '$src' AS src_oid, '$dst' AS dst_oid
+       |FROM edges_oid WHERE src_oid = '$src' AND dst_oid = '$dst'
+       |UNION ALL
+       |SELECT '$src' || '>' || mid || '>' || '$dst', 0, '$src', mid FROM p2
+       |UNION ALL
+       |SELECT '$src' || '>' || mid || '>' || '$dst', 1, mid, '$dst' FROM p2""".stripMargin
+
   // ---- GIE traversal DSL twins (graft.gie.Traversal) ----
 
   /** 2-hop EdgeExpand chain with a mid-hop Select: user → agent → any,
