@@ -557,6 +557,16 @@ object SparkEntry {
     "tg_gremlin_both" -> ((s, dir) =>
       graft.gie.Gremlin.run(graphFor(s, dir),
         "g.V().has('oid', 'tool:t0').both('1..2').hops()")),
+    // edge-positioned BOTH expand + EdgeOtherVertex (TinkerPop
+    // bothE().otherV()): far endpoint per incident edge per direction
+    "tg_gremlin_bothe" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().has('oid', TextP.startingWith('u')).bothE().otherV().groupCount().by('oid')")),
+    // local-scope collection ops (CountLocal/RangeLocal family):
+    // fold to a sorted list, slice locally, explode back
+    "tg_gremlin_local" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().has('oid', 'assistant').out().values('oid').fold().limit(local, 3).unfold()")),
     // Union (algebra.proto:74): three branch sub-traversals merged with
     // bag semantics, then groupCount + ordered top-k
     "tg_gremlin_union" -> ((s, dir) =>
@@ -1337,6 +1347,8 @@ object SparkEntry {
     "tg_gremlin_topk" -> SynthSql3.gieTopkSql(OracleSf, 10),
     "tg_gremlin_union" -> SynthSql3.gieUnionSql(OracleSf, "system", 20),
     "tg_gremlin_both" -> SynthSql3.giePathExpandSql(OracleSf, "tool:t0", 1, 2, dir = "both"),
+    "tg_gremlin_bothe" -> graft.synth.SynthSql5.gieBothEOtherSql(OracleSf, "u%"),
+    "tg_gremlin_local" -> graft.synth.SynthSql5.gieFoldLocalSql(OracleSf, "assistant", 3),
     "tg_gie_paths" -> graft.synth.SynthSql4.giePathsSql(OracleSf, "system"),
     "tg_gremlin_paths" -> graft.synth.SynthSql4.giePathsTopSql(OracleSf, "system", 50),
     "tg_gremlin_repeat" -> graft.synth.SynthSql5.gieRepeatSql(OracleSf, "system", "tool:t0", 4),

@@ -325,8 +325,13 @@ object Gremlin {
         case ("both", Nil) => st = Left(t.both())
         case ("outE", Nil) => st = Left(t.outE())
         case ("outE", List(Lit(l))) => st = Left(t.outE(l))
+        case ("inE", Nil) => st = Left(t.inE())
+        case ("inE", List(Lit(l))) => st = Left(t.inE(l))
+        case ("bothE", Nil) => st = Left(t.bothE())
+        case ("bothE", List(Lit(l))) => st = Left(t.bothE(l))
         case ("inV", Nil) => st = Left(t.inV())
         case ("outV", Nil) => st = Left(t.outV())
+        case ("otherV", Nil) => st = Left(t.otherV())
         case (dir @ ("out" | "in" | "both"), List(Lit(RangeLit(lo, hi)))) =>
           // GIE path_opt: an immediately following simplePath() selects
           // SIMPLE walks; a following path() selects result_opt ALL_V
@@ -556,14 +561,19 @@ object Gremlin {
         // ConnectedComponentsStep/LabelPropagationStep/HitsStep.java):
         // whole-graph VertexProgram semantics, result annotated onto
         // the traverser; optional times(n) modulator bounds the rounds
-        case (a @ ("pageRank" | "labelPropagation" | "hits"), Nil) =>
+        // peerPressure() (TinkerPop PeerPressureVertexProgramStep;
+        // maxgraph routes it to the generic cluster program,
+        // PeerPressureVertexProgramTreeNode.java:62) — lowered to the
+        // same synchronous most-frequent-label propagation as
+        // labelPropagation() (the cluster-program family's semantics)
+        case (a @ ("pageRank" | "labelPropagation" | "hits" | "peerPressure"), Nil) =>
           val n = rest match {
             case Step("times", List(Num(k))) :: tl => rest = tl; Some(k.toInt)
             case _ => None
           }
           st = Left(a match {
             case "pageRank" => n.map(t.pageRankStep).getOrElse(t.pageRankStep())
-            case "labelPropagation" =>
+            case "labelPropagation" | "peerPressure" =>
               n.map(t.labelPropagationStep).getOrElse(t.labelPropagationStep())
             case _ => n.map(t.hitsStep).getOrElse(t.hitsStep())
           })
@@ -683,6 +693,28 @@ object Gremlin {
             case Left(tr) => Left(tr.limit(n.toInt))
             case Right(df) => Right(df.limit(n.toInt))
           }
+        // local-scope collection ops (TinkerPop CountLocalTreeNode /
+        // RangeLocalTreeNode / OrderLocalTreeNode): transform the
+        // folded-list column (the frame's last column after fold() or
+        // group().by().by(fold())) per row — array expressions, no
+        // shuffle
+        case ("count", List(Sym("local"))) =>
+          val last = d.columns.last
+          st = Right(d.withColumn(last, size(col(last)).cast("long"))
+            .withColumnRenamed(last, "n_local"))
+        case ("limit", List(Sym("local"), Num(n))) =>
+          val last = d.columns.last
+          st = Right(d.withColumn(last, slice(col(last), 1, n.toInt)))
+        case ("order", List(Sym("local"))) =>
+          val last = d.columns.last
+          st = Right(d.withColumn(last, sort_array(col(last))))
+        // ConstantTreeNode: map every traverser to a literal
+        case ("constant", List(Num(n))) =>
+          val base = st match { case Left(tr) => tr.df; case Right(d2) => d2 }
+          st = Right(base.select(lit(n).as("value")))
+        // BarrierTreeNode: a synchronization hint — Spark stage
+        // boundaries already barrier-synchronize, so this is a no-op
+        case ("barrier", Nil) => ()
         case other =>
           throw new IllegalArgumentException(s"unsupported gremlin step: $other")
       }

@@ -154,7 +154,7 @@ final class Traversal private[gie] (g: GGraph, val df: DataFrame) {
     */
   private def carried: DataFrame = {
     val stale = Seq("oid", "label", "__hops", "__path", "path_str",
-      "__src", "__w", "__elabel",
+      "__src", "__w", "__elabel", "__other",
       "pageRank", "component", "communityLabel", "auth", "hub")
       .filter(df.columns.contains)
     stale.foldLeft(df)((d, c) => d.drop(c))
@@ -178,17 +178,60 @@ final class Traversal private[gie] (g: GGraph, val df: DataFrame) {
       .join(e.withColumnRenamed("src", "__v"), Seq("__v"))
       .withColumn("__src", col("__v"))
       .withColumn("__v", col("dst")).drop("dst")
-      .withColumnRenamed("weight", "__w"))
+      .withColumnRenamed("weight", "__w")
+      .withColumn("__other", col("__v")))
   }
+
+  /** EdgeExpand IN keeping the edge position (Gremlin `inE()`): the
+    * traverser stays at the edge's END vertex (its own position) and
+    * carries `__src` = the in-neighbor (the edge's START), so
+    * `outV()`/`otherV()` jump upstream. Same representation as
+    * [[outE]]: `__v` is always the edge END.
+    */
+  def inE(): Traversal = inEOver(edges)
+
+  /** Label-filtered edge-positioned IN expand. */
+  def inE(label: String): Traversal = inEOver(labeledEdges(label))
+
+  private def inEOver(e0: DataFrame): Traversal = {
+    val e = if (e0.columns.contains("label"))
+      e0.withColumnRenamed("label", "__elabel") else e0
+    next(carried
+      .join(e.withColumnRenamed("dst", "__v"), Seq("__v"))
+      .withColumnRenamed("src", "__src")
+      .withColumnRenamed("weight", "__w")
+      .withColumn("__other", col("__src")))
+  }
+
+  /** EdgeExpand BOTH keeping the edge position (Gremlin `bothE()`):
+    * bag union of the OUT and IN edge frames — one traverser per
+    * incident edge, `__other` marking the far endpoint for
+    * [[otherV]] (TinkerPop `EdgeOtherVertexTreeNode`).
+    */
+  def bothE(): Traversal =
+    next(outEOver(edges).df.unionByName(inEOver(edges).df))
+
+  /** Label-filtered edge-positioned BOTH expand. */
+  def bothE(label: String): Traversal =
+    next(outEOver(labeledEdges(label)).df.unionByName(inEOver(labeledEdges(label)).df))
 
   /** GetV(END) from an edge-positioned traverser (Gremlin `inV()`): the
     * traverser already sits at the edge's end — drop the edge columns.
     */
-  def inV(): Traversal = next(df.drop("__src", "__w", "__elabel"))
+  def inV(): Traversal = next(df.drop("__src", "__w", "__elabel", "__other"))
 
   /** GetV(START) from an edge-positioned traverser (Gremlin `outV()`). */
   def outV(): Traversal =
-    next(df.withColumn("__v", col("__src")).drop("__src", "__w", "__elabel"))
+    next(df.withColumn("__v", col("__src")).drop("__src", "__w", "__elabel", "__other"))
+
+  /** GetV(OTHER) from an edge-positioned traverser (Gremlin `otherV()`,
+    * TinkerPop `EdgeOtherVertexTreeNode`): move to the endpoint the
+    * traverser did NOT come from — after `outE` that's the edge END,
+    * after `inE` the START, and after `bothE` whichever side is remote
+    * per edge (the `__other` marker laid down at expand time).
+    */
+  def otherV(): Traversal =
+    next(df.withColumn("__v", col("__other")).drop("__src", "__w", "__elabel", "__other"))
 
   /** SegmentApply (`algebra.proto:341`): apply a ranking/limit
     * sub-operation *per segment* of traversers sharing `segCol` —

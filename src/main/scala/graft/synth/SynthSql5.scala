@@ -541,4 +541,31 @@ object SynthSql5 {
        |FROM ip e JOIN hub h ON e.src_oid = h.src_oid
        |WHERE e.weight >= $wLo AND e.weight < $wHi
        |GROUP BY 1""".stripMargin
+
+  /** Twin of `bothE().otherV().groupCount().by('oid')` from the
+    * `srcLike` vertex set: one row per incident edge per direction,
+    * far endpoint counted (Traversal.bothE's OUT ∪ IN bag union).
+    */
+  def gieBothEOtherSql(sf: Double, srcLike: String): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |uo AS (SELECT id FROM vertices WHERE oid LIKE '$srcLike'),
+       |inc AS (
+       |  SELECT e.dst AS other FROM dedges e JOIN uo ON e.src = uo.id
+       |  UNION ALL
+       |  SELECT e.src AS other FROM dedges e JOIN uo ON e.dst = uo.id)
+       |SELECT v.oid AS oid, count(*) AS n
+       |FROM inc JOIN vertices v ON v.id = inc.other
+       |GROUP BY 1""".stripMargin
+
+  /** Twin of `out().values('oid').fold().limit(local, n).unfold()` from
+    * `srcOid`: sorted out-neighbor oid list (with multiplicity), first
+    * `n`, exploded back to rows.
+    */
+  def gieFoldLocalSql(sf: Double, srcOid: String, n: Int): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |a AS (SELECT id FROM vertices WHERE oid = '$srcOid'),
+       |nb AS (SELECT v.oid AS o
+       |       FROM dedges e JOIN a ON e.src = a.id
+       |       JOIN vertices v ON v.id = e.dst)
+       |SELECT unnest(list_slice(list_sort(list(o)), 1, $n)) AS value FROM nb""".stripMargin
 }

@@ -567,6 +567,46 @@ class GremlinSpec extends SparkSpec {
     assert(est.collect().head.getLong(0) == 4L) // distinct out-targets
   }
 
+  test("inE/bothE/otherV: edge-positioned expands agree with both()") {
+    // bothE().otherV() must land on exactly the endpoints both() visits
+    val viaBothE = Gremlin.run(g, "g.V().has('oid','a0').bothE().otherV().groupCount().by('oid')")
+    val viaBoth = Gremlin.run(g, "g.V().has('oid','a0').both().groupCount().by('oid')")
+    assert(rows(viaBothE) == rows(viaBoth))
+    assert(rows(viaBothE) == Set("u0|1", "u1|1", "t0|1", "a1|1"))
+    // inE().outV() walks upstream to in-neighbors
+    val up = Gremlin.run(g, "g.V().has('oid','t0').inE().outV().groupCount().by('oid')")
+    assert(rows(up) == Set("a0|1", "a1|1"))
+    // inE().inV() stays put (END = the origin)
+    val stay = Gremlin.run(g, "g.V().has('oid','t0').inE().inV().groupCount().by('oid')")
+    assert(rows(stay) == Set("t0|2"))
+    // otherV after outE = the END vertex
+    val dn = Gremlin.run(g, "g.V().has('oid','u0').outE().otherV().groupCount().by('oid')")
+    assert(rows(dn) == Set("a0|1", "a1|1"))
+  }
+
+  test("local-scope ops, constant, barrier, peerPressure") {
+    // fold → limit(local, 2) → unfold: first 2 of the sorted neighbor list
+    val lim = Gremlin.run(g,
+      "g.V().has('oid','u0').out().values('oid').fold().limit(local, 2).unfold()")
+    assert(lim.collect().map(_.getString(0)).toSeq.sorted == Seq("a0", "a1"))
+    // count(local) sizes the folded list
+    val cl = Gremlin.run(g, "g.V().out().values('oid').fold().count(local)")
+    assert(cl.collect().head.getLong(0) == 7L)
+    // order(local) is idempotent on our sorted fold
+    val ol = Gremlin.run(g,
+      "g.V().has('oid','u0').out().values('oid').fold().order(local).unfold()")
+    assert(ol.collect().map(_.getString(0)).toSeq == Seq("a0", "a1"))
+    // constant(n) maps every traverser to the literal; barrier is a no-op
+    val c = Gremlin.run(g, "g.V().has('oid','u0').out().barrier().constant(7).count()")
+    assert(c.collect().head.getLong(0) == 2L)
+    // peerPressure() lowers to the label-propagation cluster program
+    val pp = Gremlin.run(g,
+      "g.V().peerPressure().times(2).has('oid','u0').values('communityLabel')")
+    val lp = Gremlin.run(g,
+      "g.V().labelPropagation().times(2).has('oid','u0').values('communityLabel')")
+    assert(rows(pp) == rows(lp))
+  }
+
   test("parse errors are rejected with position info") {
     val e1 = intercept[IllegalArgumentException](Gremlin.run(g, "g.V().has('oid'"))
     assert(e1.getMessage.contains("parse error"))
