@@ -902,6 +902,12 @@ object SparkEntry {
       graft.algos.Paths3.samplingPaths(g, Seq("system", "assistant", "tool:t0"), steps = 3)
         .select(col("start_oid"), concat_ws(">", col("path")).as("path_str"))
     }),
+    // GNN mini-batch neighbor-fanout sampling (graphlearn k-hop sampler
+    // analog): 2 hops × fanout 2, seeded at the hub + two normal
+    // vertices — slot picks are map-side-combined min_by (hub-safe)
+    "tg_neighbor_sample" -> ((s, dir) =>
+      graft.ml.NeighborSample.sample(graphFor(s, dir),
+        Seq("system", "assistant", "u1"), Seq(2, 2))),
     // bounded all-simple-paths enumeration (gs::AllSimplePaths)
     "tg_simple_paths" -> ((s, dir) => {
       val g = graphFor(s, dir)
@@ -1401,6 +1407,8 @@ object SparkEntry {
     "tg_edge_boundary" -> SynthSql3.edgeBoundarySql(OracleSf),
     "tg_lpau2i" -> SynthSql3.lpau2iSql(OracleSf, rounds = 2),
     "tg_sampling" -> SynthSql3.samplingSql(OracleSf, Seq("system", "assistant", "tool:t0"), 3),
+    "tg_neighbor_sample" -> graft.synth.SynthSql5.neighborSampleSql(
+      OracleSf, Seq("system", "assistant", "u1"), Seq(2, 2)),
     "tg_simple_paths" -> SynthSql3.simplePathsSql(OracleSf, "system", "tool:t0"),
     "tg_simple_edge_paths" -> SynthSql3.simpleEdgePathsSql(OracleSf, "system", "tool:t0"),
     "tg_hits" -> SynthSql2.hitsSql(OracleSf),

@@ -1,0 +1,69 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.engine.Engine
+import graft.graph.LinkGraph
+
+/** GNN-style k-hop neighbor-fanout sampling — the learning plane's
+  * GraphSAGE/GCN mini-batch sampler (the reference's graphlearn
+  * neighbor sampler family, e.g. learning_engine's k-hop fanout
+  * samplers): per hop `h` with fanout `f`, every (seed, parent) pair
+  * fills `f` deterministic child *slots*; slot `j` takes the
+  * out-neighbor minimizing a portable pick hash salted by
+  * (pickSeed, h, j). Slot-hashing approximates sampling without
+  * replacement (two slots may collide on the same child — kept as
+  * distinct slots, like a with-replacement draw); the next hop's
+  * frontier dedups (seed, child).
+  *
+  * Scale shape: each slot pick is a map-side-combined `min_by` keyed by
+  * (seed, parent, slot) — NEVER a window over a parent's adjacency, so
+  * a mega-hub parent's fan-out reduces before the shuffle (the same
+  * hub-safety argument as `Paths3.samplingStep`). Candidates carry bare
+  * oids; the pick hash is `TextOps.portableHash` integer arithmetic, so
+  * the whole sample has an exact DuckDB twin
+  * (`SynthSql5.neighborSampleSql`).
+  */
+object NeighborSample {
+
+  /** Returns (seed_oid, hop, parent_oid, child_oid, slot) — hop is
+    * 1-based; dead-end parents simply contribute no rows.
+    */
+  def sample(
+      g: LinkGraph, seedOids: Seq[String], fanouts: Seq[Int],
+      pickSeed: Long = 42L): DataFrame = {
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val p = graft.text.TextOps.HashP
+    val oidEdges = g.edges.toDF
+      .join(g.vertices.toDF.select(col("id").as("src"), col("oid").as("parent")), "src")
+      .join(g.vertices.toDF.select(col("id").as("dst"), col("oid").as("child")), "dst")
+      .select("parent", "child")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = seedOids.toDF("seed").select(col("seed"), col("seed").as("parent"))
+    val hops = fanouts.zipWithIndex.map { case (f, h) =>
+      val salt = pickSeed * 1000003L + h * 7919L
+      val cand = frontier.join(oidEdges, Seq("parent"))
+        .select(col("seed"), col("parent"), col("child"),
+          explode(sequence(lit(0), lit(f - 1))).as("slot"))
+        .withColumn("__pick",
+          (graft.text.TextOps.portableHash(col("parent")) * 31L +
+            graft.text.TextOps.portableHash(col("child")) * 17L +
+            lit(salt) + col("slot").cast("long") * 104729L) % p)
+      // deterministic argmin per slot; ties on the raw hash break to the
+      // lexicographically smaller child (same portable tie rule as
+      // samplingStep / its row_number twin)
+      val picked = Engine.materialize(
+        cand.groupBy(col("seed"), col("parent"), col("slot"))
+          .agg(min_by(col("child"), struct(col("__pick"), col("child"))).as("child")))
+      frontier = picked.select(col("seed"), col("child").as("parent")).distinct()
+      picked.select(col("seed").as("seed_oid"), lit(h + 1).as("hop"),
+        col("parent").as("parent_oid"), col("child").as("child_oid"), col("slot"))
+    }
+    val out = hops.reduce(_ unionByName _)
+    oidEdges.unpersist()
+    out
+  }
+}

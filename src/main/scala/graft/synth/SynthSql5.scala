@@ -557,6 +557,43 @@ object SynthSql5 {
        |FROM inc JOIN vertices v ON v.id = inc.other
        |GROUP BY 1""".stripMargin
 
+  /** Twin of `NeighborSample.sample`: per hop, per (seed, parent, slot)
+    * the pick-hash argmin over the out-adjacency (row_number twin of the
+    * Spark side's map-side-combined min_by; ties pick, then child).
+    */
+  def neighborSampleSql(
+      sf: Double, seeds: Seq[String], fanouts: Seq[Int], pickSeed: Long = 42L): String = {
+    val p = graft.text.TextOps.HashP
+    val sv = seeds.map(s => s"('$s')").mkString(", ")
+    val body = fanouts.zipWithIndex.map { case (f, h) =>
+      val salt = pickSeed * 1000003L + h * 7919L
+      val slots = (0 until f).map(j => s"($j)").mkString(", ")
+      val prev = if (h == 0) "f0" else s"fr$h"
+      val pick = s"((${LshSql.phash("e.src_oid")} * 31 + ${LshSql.phash("e.dst_oid")} * 17 + " +
+        s"$salt + sl.slot * 104729) % $p)"
+      s"""sl$h(slot) AS (VALUES $slots),
+         |c$h AS (
+         |  SELECT fr.seed, e.src_oid AS parent, e.dst_oid AS child, sl.slot,
+         |         $pick AS pick
+         |  FROM $prev fr JOIN edges_oid e ON e.src_oid = fr.parent
+         |  CROSS JOIN sl$h sl),
+         |p$h AS MATERIALIZED (
+         |  SELECT seed, parent, slot, child FROM (
+         |    SELECT seed, parent, slot, child,
+         |           row_number() OVER (PARTITION BY seed, parent, slot ORDER BY pick, child) AS rn
+         |    FROM c$h) z WHERE rn = 1),
+         |fr${h + 1} AS (SELECT DISTINCT seed, child AS parent FROM p$h)""".stripMargin
+    }.mkString(",\n")
+    val sel = fanouts.indices.map(h =>
+      s"SELECT seed AS seed_oid, ${h + 1} AS hop, parent AS parent_oid, child AS child_oid, slot FROM p$h")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |sd(seed) AS (VALUES $sv),
+       |f0 AS (SELECT seed, seed AS parent FROM sd),
+       |$body
+       |$sel""".stripMargin
+  }
+
   /** Twin of `out().values('oid').fold().limit(local, n).unfold()` from
     * `srcOid`: sorted out-neighbor oid list (with multiplicity), first
     * `n`, exploded back to rows.

@@ -20,6 +20,27 @@ class Paths3Spec extends SparkSpec {
       assert(math.abs(got(i) - want(i)) < 1e-6, s"vertex $i: ${got(i)} vs ${want(i)}"))
   }
 
+  test("neighbor sampling: deterministic fanout slots over real edges") {
+    val seeds = Seq("v000000", "v000003")
+    val res = graft.ml.NeighborSample.sample(g, seeds, Seq(2, 2))
+    val rows = res.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    // one child per (seed, hop, parent, slot); <= fanout slots per parent
+    assert(rows.map(t => (t._1, t._2, t._3, t._5)).distinct.length == rows.length)
+    assert(rows.groupBy(t => (t._1, t._2, t._3)).values.forall(_.size <= 2))
+    // every sampled (parent, child) is a real edge
+    val eset = edges.map { case (a, b) => (f"v$a%06d", f"v$b%06d") }.toSet
+    assert(rows.forall(t => eset.contains((t._3, t._4))), "sampled a non-edge")
+    // hop-2 parents came from hop-1 children of the same seed
+    val h1c = rows.filter(_._2 == 1).map(t => (t._1, t._4)).toSet
+    assert(rows.filter(_._2 == 2).forall(t => h1c.contains((t._1, t._3))))
+    // hash-gated, not rand(): re-running reproduces the sample exactly
+    val again = graft.ml.NeighborSample.sample(g, seeds, Seq(2, 2))
+      .collect().map(_.toString).sorted.toSeq
+    assert(again == res.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("apsp lengths agree with per-source sssp") {
     val res = Paths3.apspLengths(g, Seq("v000000", "v000001")).collect()
     assert(res.nonEmpty)
