@@ -299,6 +299,13 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"),
           dec(sum(dec(col("value")))).cast("double").as("total"))),
+    // hopping (sliding) windows — Catalyst window() with slide < length,
+    // each event lands in length/slide = 2 overlapping windows
+    "q_event_hopping" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("win_start"), col("event_type"), col("n"))),
 
     // ---- graph plane, wave 2 (SURVEY.md §2.B table) ----
     "tg_sssp" -> ((s, dir) => {
@@ -864,6 +871,27 @@ object SparkEntry {
     "d_mixture_sample" -> ((s, dir) =>
       graft.text.TextOps.mixtureSample(t(s, dir, "documents"), "doc_id", "source",
         MixtureRates, MixtureDefaultRate)),
+    // ANN quality audit: recall@5 of the sign-LSH index vs the exact
+    // brute-force top-k, per query — the measurement a pipeline runs
+    // before trusting an approximate index
+    "s_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = (0L until 10L).toSeq
+      val bf = graft.ml.Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val ann = graft.ml.Similarity.lshTopK(e, "vec_id", "embedding", q, 5)
+        .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+      bf.join(ann, col("query_id") === col("aq") && col("neighbor_id") === col("an"), "left")
+        .groupBy(col("query_id"))
+        .agg(round(count(col("an")).cast("double") / 5.0, 4).as("recall5"))
+    }),
+    // fuzzy-dedup survivor selection: MinHash near-dup groups reduced to
+    // (group, canonical doc, size) — the keep-list step after grouping
+    "d_fuzzy_survivors" -> ((s, dir) =>
+      graft.text.Dedup.minhashGroups(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 16, bands = 8, shingleSize = 3, threshold = 0.5)
+        .groupBy(col("group_id"))
+        .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("group_size"))),
     "s_cosine_topk" -> ((s, dir) =>
       graft.ml.Similarity.bruteForceTopK(
         t(s, dir, "embeddings"), "vec_id", "embedding", (0L until 10L).toSeq, 5)),
@@ -1335,6 +1363,27 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // hopping windows: slide 1800s ⇒ event t belongs to starts
+    // {floor(t/1800)·1800, that − 1800} (Spark window() epoch alignment)
+    "q_event_hopping" ->
+      """WITH e AS (SELECT (epoch_ms(ts) // 1000) AS t, event_type FROM events),
+        |w AS (
+        |  SELECT ((t // 1800) * 1800) AS win_start, event_type FROM e
+        |  UNION ALL
+        |  SELECT ((t // 1800) * 1800 - 1800) AS win_start, event_type FROM e)
+        |SELECT win_start, event_type, count(*) AS n FROM w GROUP BY 1, 2""".stripMargin,
+    "s_ann_recall" ->
+      s"""SELECT bf.query_id AS query_id,
+         |       round(CAST(count(lsh.neighbor_id) AS DOUBLE) / 5, 4) AS recall5
+         |FROM (${SynthSql2.cosineTopKSql((0L until 10L).toSeq, 5)}) bf
+         |LEFT JOIN (${graft.synth.LshSql.lshTopKSql((0L until 10L).toSeq, 5)}) lsh
+         |  ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
+         |GROUP BY 1""".stripMargin,
+    "d_fuzzy_survivors" ->
+      s"""SELECT group_id, min(doc_id) AS survivor_id, count(*) AS group_size
+         |FROM (${graft.synth.LshSql.minhashGroupsSql(
+             numHashes = 16, bands = 8, shingleSize = 3, threshold = 0.5)}) g
+         |GROUP BY 1""".stripMargin,
     "tg_sssp" -> SynthSql2.ssspSql(OracleSf),
     "tg_bfs" -> SynthSql2.bfsSql(OracleSf),
     "tg_bfs_tree" -> SynthSql3.bfsTreeSql(OracleSf),
