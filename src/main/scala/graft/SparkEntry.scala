@@ -703,6 +703,13 @@ object SparkEntry {
         "g.V().has('oid','assistant').shortestPath('weight')" +
           ".has('oid', TextP.startingWith('tool:')).dist()")
     }),
+    // EstimateCountStep over the out-traverser stream — graft.ml.Hll's
+    // deterministic HyperLogLog (portable-hash registers), value-checked
+    // bit-for-bit by the DuckDB twin. ~16.6K distinct targets at sf0.01
+    // sit far above the 2.5·m linear-counting cutoff, so this exercises
+    // the raw harmonic-estimate branch
+    "tg_gremlin_hll" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir), "g.V().out().estimateCount()")),
     "tg_gremlin_hits_step" -> ((s, dir) => {
       val g = graphFor(s, dir)
       graft.gie.Gremlin.run(g, "g.V().hits().times(5)")
@@ -1425,6 +1432,7 @@ object SparkEntry {
     "tg_gremlin_shortest_step" -> SynthSql3.gieShortestSql(OracleSf, "tool:t0", 15, "tool:%"),
     "tg_gremlin_weighted_shortest_step" ->
       graft.synth.SynthSql5.gieWeightedShortestSql(OracleSf, "assistant", "tool:%"),
+    "tg_gremlin_hll" -> graft.synth.SynthSql5.hllEstimateCountSql(OracleSf),
     "tg_gremlin_select" -> graft.synth.SynthSql5.gieSelectSql(OracleSf, 50),
     "tg_gremlin_textp" -> graft.synth.SynthSql5.gieTextpSql(OracleSf),
     "tg_gremlin_subgraph" -> graft.synth.SynthSql5.gieSubgraphSql(OracleSf),

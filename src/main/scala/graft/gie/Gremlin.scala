@@ -590,12 +590,13 @@ object Gremlin {
           st = Right(t.auxilia().df
             .select(col("oid"), round(col("__dist"), 6).as("dist")))
         // EstimateCountStep (tinkerpop/steps/EstimateCountStep.java): an
-        // approximate distinct-vertex count — the Spark-native analog is
-        // the HyperLogLog++ sketch (approx_count_distinct), which unlike
-        // the reference's sampled estimate is mergeable across
-        // partitions with one tiny exchange
+        // approximate distinct-vertex count. Lowered to graft.ml.Hll —
+        // a deterministic HyperLogLog over the portable hash, mergeable
+        // across partitions with one ≤1024-row exchange (same shape as
+        // Spark's approx_count_distinct, but cross-engine reproducible
+        // so the DuckDB oracle can value-check the estimate)
         case ("estimateCount", Nil) =>
-          st = Right(t.df.agg(approx_count_distinct(col("__v")).as("n_estimate")))
+          st = Right(graft.ml.Hll.estimateOf(t.df, col("__v")))
         // id() intrinsic (`expr.proto:49-57` ID): the dense vertex id
         case ("id", Nil) => st = Right(t.df.select(col("__v").as("id")))
         // sample(n): deterministic portable-pick-hash sample (MetapathSample)

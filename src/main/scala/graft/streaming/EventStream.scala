@@ -189,6 +189,42 @@ object EventStream {
       }
   }
 
+  final case class DedupSurvivor(fp: String, doc_id: Long)
+
+  /** Streaming dedup at ingest — the data-prep counterpart of the groot
+    * realtime write path: document rows stream in, each micro-batch keys
+    * by the sorted-token fingerprint ([[graft.text.TextOps.normFingerprint]],
+    * the same canonicalization [[graft.text.Dedup.normalized]] uses), and
+    * a one-shot per-fingerprint state admits only the first-seen document
+    * (min doc_id inside a batch; earliest batch across batches). Later
+    * duplicates emit nothing, so the sink receives the deduplicated
+    * corpus incrementally. When arrival order respects doc_id the
+    * survivor set equals batch `Dedup.normalized`'s canonical set exactly
+    * (spec-checked); under out-of-order arrival the earlier ARRIVAL wins
+    * — the standard streaming-ingest semantics. At scale the keyed state
+    * shards by fingerprint across executors; state is one long per
+    * distinct document (bound it with a state-store TTL if the corpus is
+    * unbounded).
+    */
+  def dedupIngestStream(docs: DataFrame): Dataset[DedupSurvivor] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    docs
+      .select(graft.text.TextOps.normFingerprint(col("text")).as("fp"), col("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, DedupSurvivor](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (fp, rows, state) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = rows.map(_._2).min
+            state.update(first)
+            Iterator(DedupSurvivor(fp, first))
+          }
+      }
+  }
+
   /** Rebuild the dense-id LinkGraph from a committed oid-edge snapshot
     * (incremental append + re-run, SURVEY.md §1.4).
     */

@@ -605,4 +605,44 @@ object SynthSql5 {
        |       FROM dedges e JOIN a ON e.src = a.id
        |       JOIN vertices v ON v.id = e.dst)
        |SELECT unnest(list_slice(list_sort(list(o)), 1, $n)) AS value FROM nb""".stripMargin
+
+  /** Twin of `g.V().out().estimateCount()` — [[graft.ml.Hll]] restated in
+    * SQL: the same 30-bit avalanche hash (multiply-mask / xor-shift
+    * rounds unrolled as CTE stages), bucket = low 10 bits, rho from the
+    * bit length of the high 20 via a descending integer CASE chain, and
+    * a harmonic sum whose terms are exact powers of two — so the
+    * estimate is bit-identical to the Spark side. Any change to the
+    * sketch constants must be mirrored in `Hll` (and vice versa).
+    */
+  def hllEstimateCountSql(sf: Double): String = {
+    val m = graft.ml.Hll.M
+    val wb = graft.ml.Hll.WBits
+    val mm = graft.ml.Hll.Mask
+    // one Hll.fin avalanche pass (bijective on 30 bits), staged so each
+    // xor-shift input is evaluated once
+    def fin(p: String, from: String, keep: String): String =
+      s"""${p}1 AS (SELECT $keep((x * 2654435761) & $mm) AS x FROM $from),
+         |${p}2 AS (SELECT ${keep}xor(x, x >> 15) AS x FROM ${p}1),
+         |${p}3 AS (SELECT $keep((x * 2246822519) & $mm) AS x FROM ${p}2),
+         |${p}4 AS (SELECT ${keep}xor(x, x >> 13) AS x FROM ${p}3),
+         |${p}5 AS (SELECT $keep((x * 3266489917) & $mm) AS x FROM ${p}4),
+         |${p}6 AS (SELECT ${keep}xor(x, x >> 16) AS x FROM ${p}5)""".stripMargin
+    val bitlenCase = (wb to 1 by -1)
+      .map(k => s"WHEN w >= ${1L << (k - 1)} THEN $k").mkString(" ")
+    val alphaM2 = s"(0.7213 / (1.0 + 1.079 / $m)) * $m * $m"
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |h0 AS (SELECT dst AS i, (dst >> 30) & $mm AS x FROM dedges),
+       |${fin("ha", "h0", "i, ")},
+       |h1 AS (SELECT xor(i & $mm, x) AS x FROM ha6),
+       |${fin("hb", "h1", "")},
+       |rw AS (SELECT x & ${m - 1} AS b, x >> ${graft.ml.Hll.P} AS w FROM hb6),
+       |regs AS (SELECT b, max(${wb + 1} - (CASE $bitlenCase ELSE 0 END)) AS reg
+       |         FROM rw GROUP BY b),
+       |agg AS (SELECT coalesce(sum(1.0 / (CAST(1 AS BIGINT) << reg)), 0.0) AS zp,
+       |               count(*) AS nb FROM regs)
+       |SELECT round(CASE WHEN ($m - nb) > 0 AND $alphaM2 / (zp + ($m - nb)) <= 2.5 * $m
+       |  THEN $m * ln(CAST($m AS DOUBLE) / ($m - nb))
+       |  ELSE $alphaM2 / (zp + ($m - nb)) END, 4) AS n_estimate
+       |FROM agg""".stripMargin
+  }
 }

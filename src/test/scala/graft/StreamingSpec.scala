@@ -194,4 +194,39 @@ class StreamingSpec extends SparkSpec {
     assert(got == expect)
     assert(got("a") == (3L, 2L) && got("c") == (1L, 2L))
   }
+
+  test("streaming ingest dedup: survivors equal batch normalized dedup across micro-batches") {
+    val s = spark
+    import s.implicits._
+    val b1 = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "The QUICK brown fox!"), // norm dup of 1, same batch
+      (3L, "completely different text")
+    ).toDF("doc_id", "text")
+    val b2 = Seq(
+      (4L, "quick the fox brown"), // norm dup of 1, later batch
+      (5L, "completely different text"), // dup of 3, later batch
+      (6L, "a genuinely new document")
+    ).toDF("doc_id", "text")
+    val stage = Files.createTempDirectory("graft-dedup")
+    b1.coalesce(1).write.parquet(stage.resolve("f1").toString)
+    b2.coalesce(1).write.parquet(stage.resolve("f2").toString)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1)
+      .format("parquet").load(stage.toString + "/*/")
+    val q = EventStream.dedupIngestStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedup_stream").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // arrival order respects doc_id here, so the streaming survivor set
+    // is exactly the batch Dedup.normalized canonical set
+    val batchCanon = graft.text.Dedup.normalized(b1.unionAll(b2), "doc_id", "text")
+      .select("canonical_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(got == batchCanon)
+    assert(got == Set(1L, 3L, 6L))
+  }
 }

@@ -312,4 +312,25 @@ class TextMlSpec extends SparkSpec {
     val b = TextOps.mixtureSample(d, "doc_id", "source", frac, 0.5).collect().toSeq.map(_.toString).sorted
     assert(a == b)
   }
+
+  test("hll estimate: raw branch within error bound, deterministic, duplicate-blind") {
+    val s = spark
+    import s.implicits._
+    // 5000 distinct keys >> 2.5·m = 2560 → raw harmonic branch
+    val n = 5000
+    val keys = (0 until n).map(_.toLong).toDF("id")
+    val est = graft.ml.Hll.estimateOf(keys, col("id")).collect().head.getDouble(0)
+    assert(est > 0.85 * n && est < 1.15 * n, s"estimate $est vs true $n") // ~4.7σ at 3.2% std err
+    // multiplicity must not move the sketch (register max is idempotent)
+    val dup = keys.unionAll(keys).unionAll(keys)
+    val est2 = graft.ml.Hll.estimateOf(dup, col("id")).collect().head.getDouble(0)
+    assert(est2 == est)
+    // small-range linear counting recovers tiny cardinalities exactly
+    val tiny = (0 until 7).map(_.toLong).toDF("id")
+    val e3 = graft.ml.Hll.estimateOf(tiny, col("id")).collect().head.getDouble(0)
+    assert(math.round(e3) == 7L)
+    // empty stream → 0
+    val e4 = graft.ml.Hll.estimateOf(keys.where(col("id") < 0), col("id")).collect().head.getDouble(0)
+    assert(e4 == 0.0)
+  }
 }
