@@ -129,6 +129,21 @@ object PlanAudit {
         s"exchanges=${countOf(pairPlan, "Exchange")}")
     }
 
+    // HLL registers: the per-row register math must ride the scan and
+    // partial-aggregate (partial_max) BEFORE the exchange — the only
+    // shuffle may carry ≤ 1024 register rows, never the raw stream.
+    {
+      val spark2 = spark
+      import spark2.implicits._
+      val keys = (0L until 10000L).toDF("id").select(col("id").as("k"))
+      val plan = graft.ml.Hll.registers(keys).queryExecution.executedPlan.toString
+      println("==== hll_registers ====")
+      println(plan.take(2000))
+      println(s"---- hll_registers summary: partialMax=${plan.contains("partial_max")} " +
+        s"exchanges=${countOf(plan, "Exchange")} " +
+        s"window=${plan.contains("Window")}")
+    }
+
     // one PageRank superstep plan: build graph and show the gather job
     val g = SparkEntry.graphFor(spark, sfDir)
     graft.engine.Engine.withoutAQE(spark) {
