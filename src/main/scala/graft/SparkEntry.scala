@@ -335,6 +335,16 @@ object SparkEntry {
       val pr = PageRank.run(g, PageRank.Config(0.85, 100, Some(1e-6), tolTimesN = true))
       withOid(g, pr.select(col("id"), round(col("rank"), 6).as("pr")), "pr")
     }),
+    // personalized PageRank (nx pagerank personalization=, random walk
+    // with restart): teleport + dangling mass pinned to the mega-hub
+    // tool vertex; rank decays outward from the seed
+    "tg_ppr" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      val seed = g.vertices.toDF.where(col("oid") === "tool:t0")
+        .select(col("id")).head().getLong(0)
+      val pr = PageRank.personalized(g, seed, rounds = 10)
+      withOid(g, pr.select(col("id"), round(col("rank"), 6).as("ppr")), "ppr")
+    }),
     "tg_hits" -> ((s, dir) => {
       val g = graphFor(s, dir)
       withOid(g, graft.algos.HITS.run(g, maxIter = 5, tol = 0.0)
@@ -1433,6 +1443,7 @@ object SparkEntry {
     "tg_gremlin_weighted_shortest_step" ->
       graft.synth.SynthSql5.gieWeightedShortestSql(OracleSf, "assistant", "tool:%"),
     "tg_gremlin_hll" -> graft.synth.SynthSql5.hllEstimateCountSql(OracleSf),
+    "tg_ppr" -> graft.synth.SynthSql5.pprSql(OracleSf, "tool:t0", 10),
     "tg_gremlin_select" -> graft.synth.SynthSql5.gieSelectSql(OracleSf, 50),
     "tg_gremlin_textp" -> graft.synth.SynthSql5.gieTextpSql(OracleSf),
     "tg_gremlin_subgraph" -> graft.synth.SynthSql5.gieSubgraphSql(OracleSf),

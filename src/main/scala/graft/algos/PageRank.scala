@@ -196,4 +196,66 @@ object PageRank {
     e.unpersist()
     result
   }
+
+  /** Personalized PageRank — the `personalization=` mode of the
+    * reference's NetworkX-compatible pagerank (`pagerank_networkx.h`;
+    * `networkx.pagerank(G, personalization={seed: 1})`): the teleport
+    * vector AND the dangling redistribution concentrate on a single seed
+    * vertex instead of spreading uniformly, so rank mass decays outward
+    * from the seed (random walk with restart).
+    *
+    *   r_{k+1}(v) = d·Σ_{u→v} r_k(u)/od(u) + 1[v=s]·((1−d) + d·ds_k),
+    *   ds_k = Σ_{dangling u} r_k(u),   r_0 = 1[v=s].
+    *
+    * Fixed-round, full-rank state `(id, r)` — deliberately the same
+    * shape as the unrolled SQL twin (`SynthSql5.pprSql`) so both sides
+    * perform identical arithmetic per round. Per-superstep plan: one
+    * message exchange (state re-hashed to `src`, partial-summed by
+    * `dst`), the vertex join is co-partitioned with the gather output,
+    * the seed indicator is a round-invariant lit, and the per-round
+    * dangling scalar rides a broadcast 1-row frame (never a lit).
+    * Returns (id, rank).
+    */
+  def personalized(
+      g: LinkGraph, seedId: Long, rounds: Int, damping: Double = 0.85): DataFrame = {
+    val spark = g.vertices.sparkSession
+    Engine.withoutAQE(spark) {
+      val d = damping
+      val simpleEdges = g.edges.toDF.select(col("src"), col("dst"))
+      val outDeg = simpleEdges.groupBy("src").agg(count(lit(1)).as("od"))
+      val e = simpleEdges.join(outDeg, "src")
+        .select(col("src"), col("dst"), (lit(1.0) / col("od")).as("w"))
+        .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      val verts = g.vertices.toDF
+        .join(outDeg.select(col("src").as("id")).withColumn("__h", lit(true)), Seq("id"), "left")
+        .select(col("id"), (col("id") === seedId).as("p"), col("__h").isNull.as("dangling"))
+        .repartition(col("id")).persist(StorageLevel.MEMORY_AND_DISK)
+      verts.count()
+      var r = Engine.materialize(
+        verts.select(col("id"), when(col("p"), lit(1.0)).otherwise(lit(0.0)).as("r"),
+          col("dangling")))
+      (1 to rounds).foreach { _ =>
+        // dangling mass of the current state (flag baked into the frame —
+        // a straight aggregate, no join)
+        val dsRow = r.agg(sum(when(col("dangling"), col("r")))).head()
+        val b = (1.0 - d) + d * (if (dsRow.isNullAt(0)) 0.0 else dsRow.getDouble(0))
+        val contrib = e
+          .join(r.select(col("id").as("src"), col("r").as("rs")).hint("shuffle_hash"), Seq("src"))
+          .select(col("dst"), (col("w") * col("rs")).as("m"))
+          .groupBy(col("dst").as("id")).agg(sum(col("m")).as("c"))
+        val rNext = verts
+          .join(contrib.hint("shuffle_hash"), Seq("id"), "left")
+          .crossJoin(broadcast(Engine.scalar(spark, "__b", b)))
+          .select(col("id"),
+            (lit(d) * coalesce(col("c"), lit(0.0)) +
+              when(col("p"), col("__b")).otherwise(lit(0.0))).as("r"),
+            col("dangling"))
+        r = Engine.materialize(rNext)
+      }
+      val out = r.select(col("id"), col("r").as("rank"))
+      e.unpersist()
+      out
+    }
+  }
 }

@@ -35,6 +35,24 @@ object Oracle {
     rank
   }
 
+  /** Personalized PageRank with single-seed teleport + dangling
+    * redistribution (nx pagerank personalization={seed: 1}).
+    */
+  def personalizedPageRank(n: Int, edges: Seq[(Int, Int)], seed: Int,
+      damping: Double, rounds: Int): Array[Double] = {
+    val outDeg = new Array[Int](n)
+    edges.foreach { case (s, _) => outDeg(s) += 1 }
+    var rank = Array.tabulate(n)(i => if (i == seed) 1.0 else 0.0)
+    (1 to rounds).foreach { _ =>
+      val dsum = (0 until n).iterator.filter(outDeg(_) == 0).map(rank).sum
+      val next = new Array[Double](n)
+      next(seed) = (1.0 - damping) + damping * dsum
+      edges.foreach { case (s, d) => next(d) += damping * rank(s) / outDeg(s) }
+      rank = next
+    }
+    rank
+  }
+
   def pageRankIterations(n: Int, edges: Seq[(Int, Int)], damping: Double,
       maxIter: Int, tol: Double): Int = {
     val outDeg = new Array[Int](n)

@@ -606,6 +606,39 @@ object SynthSql5 {
        |       JOIN vertices v ON v.id = e.dst)
        |SELECT unnest(list_slice(list_sort(list(o)), 1, $n)) AS value FROM nb""".stripMargin
 
+  /** Twin of [[graft.algos.PageRank.personalized]] (fixed `rounds`):
+    * teleport + dangling mass concentrate on the seed vertex —
+    *   r_{k+1}(v) = d·Σ_{u→v} r_k(u)/od(u)
+    *                + 1[v=seed]·((1−d) + d·ds_k),  r_0 = 1[v=seed].
+    * Same round structure as `SynthSql.pageRankSql`, personalized base.
+    */
+  def pprSql(sf: Double, seedOid: String, rounds: Int, damping: Double = 0.85): String = {
+    val body = (1 to rounds).map { k =>
+      val p = s"r${k - 1}"
+      s"""d$k AS MATERIALIZED (
+         |  SELECT coalesce(sum(r), 0.0) AS ds FROM $p LEFT JOIN outd ON $p.id = outd.src
+         |  WHERE outd.src IS NULL
+         |),
+         |r$k AS MATERIALIZED (
+         |  SELECT v.id,
+         |         $damping*coalesce(m.s, 0.0)
+         |           + (CASE WHEN v.oid = '$seedOid'
+         |              THEN (1.0 - $damping) + $damping*(SELECT ds FROM d$k)
+         |              ELSE 0.0 END) AS r
+         |  FROM vertices v LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.r/o.od) AS s
+         |    FROM dedges e JOIN $p p ON e.src = p.id JOIN outd o ON o.src = e.src
+         |    GROUP BY e.dst) m ON v.id = m.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |outd AS MATERIALIZED (SELECT src, count(*) AS od FROM dedges GROUP BY src),
+       |r0 AS (SELECT id, CASE WHEN oid = '$seedOid' THEN 1.0 ELSE 0.0 END AS r FROM vertices),
+       |$body
+       |SELECT v.oid AS oid, round(r$rounds.r, 6) AS ppr
+       |FROM vertices v JOIN r$rounds ON v.id = r$rounds.id""".stripMargin
+  }
+
   /** Twin of `g.V().out().estimateCount()` — [[graft.ml.Hll]] restated in
     * SQL: the same 30-bit avalanche hash (multiply-mask / xor-shift
     * rounds unrolled as CTE stages), bucket = low 10 bits, rho from the

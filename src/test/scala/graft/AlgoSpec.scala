@@ -55,6 +55,21 @@ class AlgoSpec extends SparkSpec {
     (0 until tgN).foreach(i => assert(math.abs(got(i.toLong) - want(i)) < 1e-6))
   }
 
+  test("personalized pagerank matches oracle and conserves mass at the seed") {
+    val seed = 3
+    val got = PageRank.personalized(g, seed.toLong, rounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = Oracle.personalizedPageRank(n, edges, seed, 0.85, 10)
+    assert(got.size == n)
+    (0 until n).foreach { i =>
+      assert(math.abs(got(i.toLong) - want(i)) < 1e-9, s"vertex $i: ${got(i.toLong)} vs ${want(i)}")
+    }
+    // teleport + dangling mass both restart at the seed → total mass 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "ppr mass must be conserved")
+    // the teleport term alone guarantees the seed at least (1 - d)
+    assert(got(seed.toLong) >= 0.15, "seed rank must carry the teleport floor")
+  }
+
   test("wcc matches oracle exactly") {
     val got = WCC.run(g).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = Oracle.wcc(n, edges)
