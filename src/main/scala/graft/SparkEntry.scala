@@ -342,7 +342,18 @@ object SparkEntry {
       val g = graphFor(s, dir)
       val seed = g.vertices.toDF.where(col("oid") === "tool:t0")
         .select(col("id")).head().getLong(0)
-      val pr = PageRank.personalized(g, seed, rounds = 10)
+      val pr = PageRank.personalized(g, seed, rounds = 65)
+      withOid(g, pr.select(col("id"), round(col("rank"), 6).as("ppr")), "ppr")
+    }),
+    // frontier-sparse PPR: same recurrence and seed as tg_ppr but the
+    // state holds only touched vertices (messages track the frontier,
+    // not |V|) — green against the SAME full-rank twin proves
+    // sparse ≡ dense at 6 dp
+    "tg_ppr_sparse" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      val seed = g.vertices.toDF.where(col("oid") === "tool:t0")
+        .select(col("id")).head().getLong(0)
+      val pr = PageRank.personalizedSparse(g, seed, rounds = 65)
       withOid(g, pr.select(col("id"), round(col("rank"), 6).as("ppr")), "ppr")
     }),
     "tg_hits" -> ((s, dir) => {
@@ -768,6 +779,18 @@ object SparkEntry {
           Synth.transcripts(s, Synth.sfOfDir(dir)).toDF),
         "g.V().choose(__.hasLabel('assistant'), __.out('invoke'), __.out('reply'))" +
           ".groupCount().by('oid')")),
+    // value-routed branch (BranchTreeNode.java:49 / CaseWhenTreeNode):
+    // the router is the vertex LABEL column — pure map-side filters,
+    // zero joins before the option bodies run
+    "tg_gremlin_branch" -> ((s, dir) =>
+      graft.gie.Gremlin.run(
+        graft.graph.PropertyGraph.fromTranscripts(
+          Synth.transcripts(s, Synth.sfOfDir(dir)).toDF),
+        "g.V().branch(__.label())" +
+          ".option('user', __.out('reply'))" +
+          ".option('tool', __.in('invoke'))" +
+          ".option(none, __.identity())" +
+          ".groupCount().by('label')")),
     "tg_gremlin_ldbc_filter" -> ((s, dir) =>
       graft.gie.Gremlin.run(
         graft.graph.PropertyGraph.fromTranscripts(
@@ -775,6 +798,41 @@ object SparkEntry {
         "g.V().where(__.out('invoke').dedup().count().is(P.gte(12)))" +
           ".outE('invoke').has('weight', P.gte(3).and(P.lt(10)))" +
           ".inV().groupCount().by('oid')")),
+    // LDBC interactive-complex-1, shape-identical to the reference's
+    // published benchmark query (interactive_engine/benchmark/queries/
+    // interactive-complex-1.gremlin:1): 3-arg has() seed lookup,
+    // union(identity(), …)-nested 1..3-hop expansion, dedup().by('id')
+    // keeping the minimum-hop walk, property filter, step-level
+    // path().count(local) distance, tag-then-property ordering
+    // (select('b') then oid then id), paginated multi-tag select
+    "tg_gremlin_ldbc_cr1" -> ((s, dir) =>
+      graft.gie.Gremlin.run(
+        graft.graph.PropertyGraph.fromTranscripts(
+          Synth.transcripts(s, Synth.sfOfDir(dir)).toDF),
+        "g.V().has('user','oid','u1').out('reply')" +
+          ".union(identity(), out('reply').union(identity(), out('reply')))" +
+          ".dedup().by('id').has('oid', TextP.startingWith('u')).as('a')" +
+          ".path().count(local).as('b').select('a')" +
+          ".order().by(select('b'), incr).by('oid').by('id').limit(20)" +
+          ".select('a', 'b')")),
+    // g.E() edge-scan source (sourcestep/edge.rs:89; ScanOpt EDGE in
+    // algebra.proto:196): the weight predicate lands directly ON the
+    // edge scan (no vertex join before the filter), then GetV(START)
+    "tg_gremlin_esource" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.E().has('weight', P.gte(3)).outV().groupCount().by('oid')")),
+    // RangeGlobal pagination (RangeGlobalTreeNode.java:31; pegasus
+    // dedup.rs Range): ordered in-degree groupCount, page [5, 25)
+    "tg_gremlin_range" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().out().groupCount().by('oid')" +
+          ".order().by(select(values), desc).by(select(keys), asc).range(5, 25)")),
+    // math() per-traverser computed expression (MathTreeNode.java:36):
+    // IEEE-exact op subset (+ - * / sqrt abs) over the edge weight —
+    // bit-identical cross-engine, so no rounding needed
+    "tg_gremlin_math" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().outE().values('weight').math('sqrt(abs(_ - 3)) * 2 + 1 / (_ + 1)')")),
     // edge-label plane: outE() carries the edge label (__elabel);
     // group().by('label').by(values('weight').sum()) = total per-label
     // occurrence weight (reply vs invoke)
@@ -1079,6 +1137,32 @@ object SparkEntry {
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
       out
     }),
+    // Gremlin mutation plane (groot realtime write, record.py:22-82):
+    // addV + property, addE().to() with an explicit weight, and a
+    // vertex drop() — three write groups, three snapshot versions; the
+    // output re-reads the LATEST committed snapshot (read-your-writes)
+    "q_gremlin_mutate" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-gmut")
+      val store = new graft.ingest.SnapshotStore(root.toString)
+      val (g1, _) = graft.gie.Gremlin.mutate(g,
+        "g.addV().property('oid', 'added:x')", store, "gmut_vs", "gmut_es")
+      val (g2, _) = graft.gie.Gremlin.mutate(g1,
+        "g.V().has('oid', 'assistant').addE()" +
+          ".to(V().has('oid', 'added:x')).property('weight', 99)",
+        store, "gmut_vs", "gmut_es")
+      graft.gie.Gremlin.mutate(g2,
+        "g.V().has('oid', 'tool:t3').drop()", store, "gmut_vs", "gmut_es")
+      val vs = store.readLatest(s, "gmut_vs").get._2
+      val es = store.readLatest(s, "gmut_es").get._2
+      val out = es
+        .join(vs.select(col("id").as("src"), col("oid").as("src_oid")), "src")
+        .join(vs.select(col("id").as("dst"), col("oid").as("dst_oid")), "dst")
+        .select(col("src_oid"), col("dst_oid"), col("weight"))
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+      out
+    }),
     // CLEAR_EDGES (dag_utils.py:676): commit an empty edge snapshot,
     // REPORT_GRAPH the cleared graph (vertices survive, zero edges)
     "q_clear_edges" -> ((s, dir) => {
@@ -1283,7 +1367,11 @@ object SparkEntry {
         graft.synth.SynthSql5.gieWeightedShortestSql(OracleSf, "assistant", "tool:%", 26)),
       "tg_closeness_all" -> (
         graft.synth.SynthSql5.closenessTopSql(OracleSf, 128, 30),
-        graft.synth.SynthSql5.closenessTopSql(OracleSf, 128, 31))
+        graft.synth.SynthSql5.closenessTopSql(OracleSf, 128, 31)),
+      "tg_ppr" -> (graft.synth.SynthSql5.pprSql(OracleSf, "tool:t0", 65),
+        graft.synth.SynthSql5.pprSql(OracleSf, "tool:t0", 66)),
+      "tg_ppr_sparse" -> (graft.synth.SynthSql5.pprSql(OracleSf, "tool:t0", 65),
+        graft.synth.SynthSql5.pprSql(OracleSf, "tool:t0", 66))
     )
   }
 
@@ -1430,9 +1518,14 @@ object SparkEntry {
     "tg_gremlin_haslabel" -> graft.synth.SynthSql5.gieHasLabelSql(OracleSf),
     "tg_gremlin_ldbc_reach" -> graft.synth.SynthSql5.gieLdbcReachSql(OracleSf),
     "tg_gremlin_choose" -> graft.synth.SynthSql5.gieChooseSql(OracleSf),
+    "tg_gremlin_branch" -> graft.synth.SynthSql6.branchSql(OracleSf),
     "tg_gremlin_project" -> graft.synth.SynthSql5.gieProjectSql(OracleSf),
     "tg_gremlin_ldbc_top" -> graft.synth.SynthSql5.gieLdbcTopSql(OracleSf),
     "tg_gremlin_ldbc_filter" -> graft.synth.SynthSql5.gieLdbcFilterSql(OracleSf, 12, 3.0, 10.0),
+    "tg_gremlin_ldbc_cr1" -> graft.synth.SynthSql6.cr1Sql(OracleSf, "u1", 20),
+    "tg_gremlin_esource" -> graft.synth.SynthSql6.esourceSql(OracleSf, 3.0),
+    "tg_gremlin_range" -> graft.synth.SynthSql6.rangeSql(OracleSf, 5, 25),
+    "tg_gremlin_math" -> graft.synth.SynthSql6.mathSql(OracleSf),
     "tg_gremlin_edgelabel" -> graft.synth.SynthSql5.gieEdgeLabelSumSql(OracleSf),
     // algorithm-step bridges: same result contract as the direct apps
     "tg_gremlin_pagerank_step" -> SynthSql.pageRankSql(OracleSf, PrRounds),
@@ -1443,7 +1536,8 @@ object SparkEntry {
     "tg_gremlin_weighted_shortest_step" ->
       graft.synth.SynthSql5.gieWeightedShortestSql(OracleSf, "assistant", "tool:%"),
     "tg_gremlin_hll" -> graft.synth.SynthSql5.hllEstimateCountSql(OracleSf),
-    "tg_ppr" -> graft.synth.SynthSql5.pprSql(OracleSf, "tool:t0", 10),
+    "tg_ppr" -> graft.synth.SynthSql5.pprSql(OracleSf, "tool:t0", 65),
+    "tg_ppr_sparse" -> graft.synth.SynthSql5.pprSql(OracleSf, "tool:t0", 65),
     "tg_gremlin_select" -> graft.synth.SynthSql5.gieSelectSql(OracleSf, 50),
     "tg_gremlin_textp" -> graft.synth.SynthSql5.gieTextpSql(OracleSf),
     "tg_gremlin_subgraph" -> graft.synth.SynthSql5.gieSubgraphSql(OracleSf),
@@ -1463,6 +1557,8 @@ object SparkEntry {
     "tg_induce" -> graft.synth.SynthSql5.induceSql(OracleSf),
     "q_modify_vertices" -> graft.synth.SynthSql5.modifyVerticesSql(OracleSf, "tool:t0", "added:x"),
     "q_modify_edges" -> graft.synth.SynthSql5.modifyEdgesSql(OracleSf),
+    "q_gremlin_mutate" -> graft.synth.SynthSql6.gremlinMutateSql(
+      OracleSf, "tool:t3", "added:x", 99.0),
     "q_clear_edges" -> graft.synth.SynthSql5.clearEdgesSql(OracleSf),
     "q_project_view" -> graft.synth.SynthSql5.projectViewSql(OracleSf, 3.0),
     "tg_eigen" -> SynthSql3.eigenvectorSql(OracleSf, rounds = 15),

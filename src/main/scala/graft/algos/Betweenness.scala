@@ -29,10 +29,10 @@ object Betweenness {
     val spark = g.vertices.sparkSession
     Engine.withoutAQE(spark) {
       val e = g.edges.toDF.select(col("src"), col("dst"))
-        .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+        .repartition(col("src")).localCheckpoint(true)
       e.count()
       val srcIds = g.vertices.toDF.where(col("oid").isin(sourceOids: _*))
-        .select(col("id").as("s")).persist(StorageLevel.MEMORY_AND_DISK)
+        .select(col("id").as("s")).localCheckpoint(true)
       srcIds.count()
 
       // forward phase: per (source s, vertex v): level, sigma (#shortest
@@ -67,7 +67,7 @@ object Betweenness {
       }
 
       // backward phase: delta(v) = Σ_{w: v→w, level(w)=level(v)+1} σ(v)/σ(w)·(1+δ(w))
-      val all = settled.persist(StorageLevel.MEMORY_AND_DISK)
+      val all = settled // already a pinned checkpoint chain
       var delta = Engine.materialize(
         all.select(col("s"), col("id"), lit(0.0).as("delta")))
       var l = level
@@ -100,7 +100,7 @@ object Betweenness {
             .groupBy(col("id")).agg(sum(col("delta")).as("betweenness")),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("betweenness"), lit(0.0)).as("betweenness"))
-      e.unpersist(); all.unpersist(); srcIds.unpersist()
+      
       out
     }
   }

@@ -39,7 +39,7 @@ object CDLP {
     val nbrs = dirEdges.select(col("src").as("v"), col("dst").as("nbr"))
       .unionAll(dirEdges.select(col("dst").as("v"), col("src").as("nbr")))
       .repartition(col("nbr"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val nbrCount = nbrs.count()
 
     var labels = Engine.materialize(
@@ -65,7 +65,6 @@ object CDLP {
       log.record(IterationMetrics(iter, secs, 0.0, nbrCount))
       iter += 1
     }
-    nbrs.unpersist()
     labels
     }
   }

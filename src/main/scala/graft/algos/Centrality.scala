@@ -34,7 +34,7 @@ object Centrality {
   def eigenvector(g: LinkGraph, maxIter: Int = 100, tol: Double = 1e-6): DataFrame = {
     val e = g.edges.toDF.select(col("src"), col("dst"))
       .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     e.count()
     val n = g.numVertices
     var x = Engine.materialize(
@@ -62,7 +62,6 @@ object Centrality {
       x = nextM.select(col("id"), col("x"))
       iter += 1
     }
-    e.unpersist()
     x.withColumnRenamed("x", "centrality")
   }
 
@@ -75,7 +74,7 @@ object Centrality {
   ): DataFrame = {
     val e = g.edges.toDF.select(col("src"), col("dst"))
       .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     e.count()
     val n = g.numVertices
     var x = Engine.materialize(
@@ -98,7 +97,6 @@ object Centrality {
       x = nextM.select(col("id"), col("x"))
       iter += 1
     }
-    e.unpersist()
     val norm = {
       val r = x.agg(sum(col("x") * col("x"))).head()
       val v = if (r.isNullAt(0)) 0.0 else math.sqrt(r.getDouble(0))

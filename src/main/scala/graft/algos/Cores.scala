@@ -27,7 +27,7 @@ object Cores {
     while (peeled > 0) {
       val deg = edges.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
       val drop = deg.where(col("deg") < k).select(col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       peeled = drop.count()
       if (peeled > 0) {
         edges = Engine.materialize(
@@ -36,7 +36,6 @@ object Cores {
             .join(drop.select(col("id").as("b")), Seq("b"), "left_anti"))
         edges.count()
       }
-      drop.unpersist()
     }
     edges.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
   }

@@ -28,10 +28,10 @@ object HITS {
     // joins auths on dst — each stays exchange-free against its copy.
     val e = g.edges.toDF.select(col("src"), col("dst"))
       .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val eByDst = g.edges.toDF.select(col("src"), col("dst"))
       .repartition(col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     e.count(); eByDst.count()
     val n = g.numVertices
 
@@ -76,7 +76,6 @@ object HITS {
         .select(col("id"), col("auth"), (col("hraw") / col("__hsum")).as("hub"))
       iter += 1
     }
-    e.unpersist(); eByDst.unpersist()
     state
   }
 }

@@ -29,7 +29,7 @@ object LPAU2I {
   def run(g: LinkGraph, uLabels: DataFrame, propNum: Int, rounds: Int): DataFrame = {
     val spark = g.vertices.sparkSession
     Engine.withoutAQE(spark) {
-      val e = g.edges.toDF.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+      val e = g.edges.toDF.repartition(col("src")).localCheckpoint(true)
       e.count()
       val zero = array((0 until propNum).map(_ => lit(0.0)): _*)
       val uSide = uLabels.select(col("id"), col("labels"))
@@ -72,7 +72,6 @@ object LPAU2I {
         state.count()
         iter += 1
       }
-      e.unpersist()
       state.select(col("id"), col("labels"))
     }
   }

@@ -131,16 +131,15 @@ object Louvain {
   def run(g: LinkGraph, maxRounds: Int = 10, resolution: Double = 1.0): DataFrame = {
     val spark = g.vertices.sparkSession
     Engine.withoutAQE(spark) {
-      val und = symmetrize(g).repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+      val und = symmetrize(g).repartition(col("src")).localCheckpoint(true)
       val m2 = und.agg(sum(col("w"))).head() match {
         case r if r.isNullAt(0) => 1.0
         case r => r.getDouble(0)
       }
       val deg = und.groupBy(col("src").as("id")).agg(sum(col("w")).as("kdeg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       deg.count()
       val comm = sweep(g.vertices.toDF.select(col("id")), und, deg, m2, maxRounds, resolution)
-      und.unpersist(); deg.unpersist()
       comm
     }
   }
@@ -162,13 +161,13 @@ object Louvain {
   ): DataFrame = {
     val spark = g.vertices.sparkSession
     Engine.withoutAQE(spark) {
-      var und = symmetrize(g).repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+      var und = symmetrize(g).repartition(col("src")).localCheckpoint(true)
       val m2 = und.agg(sum(col("w"))).head() match {
         case r if r.isNullAt(0) => 1.0
         case r => r.getDouble(0)
       }
       var deg = und.groupBy(col("src").as("id")).agg(sum(col("w")).as("kdeg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       deg.count()
       var ids = g.vertices.toDF.select(col("id"))
       // orig vertex -> current community (composed across levels)
@@ -197,11 +196,9 @@ object Louvain {
             cassign.select(col("id").as("community"), col("community").as("cc")).hint("shuffle_hash"),
             Seq("community"))
             .select(col("id"), col("cc").as("community")))
-        und.unpersist(); deg.unpersist()
         und = cund; deg = cdeg
         level += 1
       }
-      und.unpersist(); deg.unpersist()
       assign
     }
   }
@@ -213,7 +210,7 @@ object Louvain {
       .unionAll(g.edges.toDF.where(col("src") =!= col("dst"))
         .select(col("dst").as("src"), col("src").as("dst"), col("weight")))
       .groupBy(col("src"), col("dst")).agg(sum(col("weight")).as("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val m2 = und.agg(sum(col("w"))).head().getDouble(0)
     val in = und
       .join(comm.select(col("id").as("src"), col("community").as("cs")), "src")
@@ -227,7 +224,6 @@ object Louvain {
     val totSq = comm.join(deg, Seq("id"), "left")
       .groupBy(col("community")).agg(sum(coalesce(col("kdeg"), lit(0.0))).as("tot"))
       .agg(sum((col("tot") / m2) * (col("tot") / m2))).head().getDouble(0)
-    und.unpersist()
     in / m2 - resolution * totSq
   }
 }

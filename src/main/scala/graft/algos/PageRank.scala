@@ -68,12 +68,13 @@ object PageRank {
     val simpleEdges = g.edges.toDF.select(col("src"), col("dst")) // distinct by construction
     val outDeg = simpleEdges.groupBy("src").agg(count(lit(1)).as("outdeg"))
 
-    // Static per-vertex facts: dangling = no out-edges.
-    val verts = g.vertices.toDF
+    // Static per-vertex facts: dangling = no out-edges. Pinned (private
+    // checkpoint, not persist) — see Engine.pin for the concurrent-
+    // driver rationale shared by every loop-invariant frame here.
+    val verts = Engine.pin(g.vertices.toDF
       .join(outDeg.select(col("src").as("id")).withColumn("__has_out", lit(true)), Seq("id"), "left")
       .select(col("id"), col("__has_out").isNull.as("dangling"))
-      .repartition(col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .repartition(col("id")))
     val danglingCount = verts.where(col("dangling")).count()
     // Vertices with no in-edges never receive a contribution row; their
     // rank is exactly `base` every round, so the tolerance check handles
@@ -84,12 +85,11 @@ object PageRank {
     // in; the flag rides the gather groupBy (same cardinality: dst →
     // (dst, dstDangling)) so fixed-round supersteps never touch the
     // vertex table.
-    val e = simpleEdges
+    val e = Engine.pin(simpleEdges
       .join(outDeg, "src")
       .join(verts.select(col("id").as("dst"), col("dangling").as("dstDangling")), "dst")
       .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"), col("dstDangling"))
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .repartition(col("src")))
     val edgeCount = e.count()
 
     val emptyC = spark.createDataFrame(
@@ -193,7 +193,6 @@ object PageRank {
       .join(cPrev.select(col("id"), col("c")), Seq("id"), "left")
       .crossJoin(broadcast(Engine.scalar(spark, "__base", base)))
       .select(col("id"), (col("__base") + lit(d) * coalesce(col("c"), lit(0.0))).as("rank"))
-    e.unpersist()
     result
   }
 
@@ -223,15 +222,17 @@ object PageRank {
       val d = damping
       val simpleEdges = g.edges.toDF.select(col("src"), col("dst"))
       val outDeg = simpleEdges.groupBy("src").agg(count(lit(1)).as("od"))
-      val e = simpleEdges.join(outDeg, "src")
+      // pinned, not persisted: tg_ppr and tg_ppr_sparse derive
+      // canonically-equal `e` frames — under the concurrent Verify
+      // driver a shared CacheManager entry would be unpersisted by
+      // whichever finishes first (see Engine.pin)
+      val e = Engine.pin(simpleEdges.join(outDeg, "src")
         .select(col("src"), col("dst"), (lit(1.0) / col("od")).as("w"))
-        .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-      e.count()
-      val verts = g.vertices.toDF
+        .repartition(col("src")))
+      val verts = Engine.pin(g.vertices.toDF
         .join(outDeg.select(col("src").as("id")).withColumn("__h", lit(true)), Seq("id"), "left")
         .select(col("id"), (col("id") === seedId).as("p"), col("__h").isNull.as("dangling"))
-        .repartition(col("id")).persist(StorageLevel.MEMORY_AND_DISK)
-      verts.count()
+        .repartition(col("id")))
       var r = Engine.materialize(
         verts.select(col("id"), when(col("p"), lit(1.0)).otherwise(lit(0.0)).as("r"),
           col("dangling")))
@@ -253,9 +254,79 @@ object PageRank {
             col("dangling"))
         r = Engine.materialize(rNext)
       }
-      val out = r.select(col("id"), col("r").as("rank"))
-      e.unpersist()
-      out
+      Engine.materialize(r.select(col("id"), col("r").as("rank")))
+    }
+  }
+
+  /** Frontier-sparse personalized PageRank — identical recurrence to
+    * [[personalized]] but the state holds only the TOUCHED vertices
+    * (those within k hops of the seed after k rounds); everything else
+    * is exactly 0 by construction (single-seed teleport: untouched rank
+    * = d·0 + 0). Per-round message volume tracks the frontier's
+    * out-adjacency, not |V| — the scale-correct shape for seed-pinned
+    * PPR on a 100 TB graph where a query's mass is localized (same
+    * sparse-state pattern as the weighted ShortestPathExpand). The
+    * output is re-densified ONCE at exit (left join against the vertex
+    * table, coalesce 0.0) so the contract matches [[personalized]].
+    *
+    * Arithmetic matches the dense form bit-for-bit modulo aggregation
+    * order: dropped terms are exact zeros (x + 0.0 = x for finite x),
+    * the seed's `d·c + b` is the same two-operand IEEE add, and both
+    * sides round to 6 dp at the driver query. Per-superstep plan: one
+    * message exchange (state re-hashed to src, partial-summed by dst);
+    * the dangling flag is carried ON the state rows (outDeg left join
+    * only for NEWLY touched ids), so the dangling-mass scalar is a
+    * straight aggregate over the (small) state.
+    */
+  def personalizedSparse(
+      g: LinkGraph, seedId: Long, rounds: Int, damping: Double = 0.85,
+      stateProbe: Option[(Int, Long) => Unit] = None): DataFrame = {
+    val spark = g.vertices.sparkSession
+    Engine.withoutAQE(spark) {
+      val d = damping
+      val simpleEdges = g.edges.toDF.select(col("src"), col("dst"))
+      val outDeg = Engine.pin(
+        simpleEdges.groupBy("src").agg(count(lit(1)).as("od")))
+      val e = Engine.pin(simpleEdges.join(outDeg, "src")
+        .select(col("src"), col("dst"), (lit(1.0) / col("od")).as("w"))
+        .repartition(col("src")))
+      // dangling(id) from the out-degree table: touched ids join it once
+      // when they ENTER the state, then carry the flag
+      def withDangling(ids: DataFrame): DataFrame = ids
+        .join(outDeg.select(col("src").as("id"), lit(true).as("__h")), Seq("id"), "left")
+        .select(ids.columns.map(col) :+ col("__h").isNull.as("dangling"): _*)
+      var r = Engine.materialize(
+        withDangling(spark.range(1).select(lit(seedId).as("id"), lit(1.0).as("r"))))
+      (1 to rounds).foreach { k =>
+        // opt-in state-size probe (PlanAudit's frontier-vs-|V| evidence);
+        // the count is an EXTRA action, so production paths leave it off
+        stateProbe.foreach(f => f(k, r.count()))
+        val dsRow = r.agg(sum(when(col("dangling"), col("r")))).head()
+        val b = (1.0 - d) + d * (if (dsRow.isNullAt(0)) 0.0 else dsRow.getDouble(0))
+        // scatter along the frontier's out-edges only — |messages| =
+        // Σ_{u∈state} od(u), never |E|
+        val contrib = e
+          .join(r.select(col("id").as("src"), col("r").as("rs")).hint("shuffle_hash"), Seq("src"))
+          .select(col("dst"), (col("w") * col("rs")).as("m"))
+          .groupBy(col("dst").as("id")).agg(sum(col("m")).as("c"))
+        // full-outer keeps contrib-only ids AND inserts the seed when
+        // its in-mass is zero (no broadcast hint: BHJ can't full-outer;
+        // the 1-row side is trivial either way)
+        val seedRow = Engine.scalar(spark, "__b", b)
+          .select(lit(seedId).as("id"), col("__b"))
+        val rNext = withDangling(contrib
+          .join(seedRow, Seq("id"), "full_outer")
+          .select(col("id"),
+            (lit(d) * coalesce(col("c"), lit(0.0)) +
+              coalesce(col("__b"), lit(0.0))).as("r")))
+        r = Engine.materialize(rNext)
+      }
+      // re-densify once at exit: the contract (and the full-rank twin)
+      // is a rank for every vertex; untouched vertices are exact 0
+      Engine.materialize(
+        g.vertices.toDF.select(col("id"))
+          .join(r.select(col("id"), col("r")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("r"), lit(0.0)).as("rank")))
     }
   }
 }

@@ -28,7 +28,7 @@ object SSSP {
   ): DataFrame = {
     val e = g.edges.toDF.select(col("src"), col("dst"), col("weight"))
       .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val eCount = e.count()
 
     val state0 = g.vertices.toDF
@@ -62,7 +62,6 @@ object SSSP {
       log.record(IterationMetrics(iter, (System.nanoTime() - t0) / 1e9, changed.toDouble, eCount))
       iter += 1
     }
-    e.unpersist()
     state
   }
 
@@ -94,7 +93,7 @@ object SSSP {
         e0.select(col("dst").as("src"), col("src").as("dst"), col("weight"))
       else e0.select(col("src"), col("dst"), col("weight")))
         .repartition(col("src"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val eCount = e.count()
       var state = Engine.materialize(
         sources.select(col("s"), col("s").as("id"), lit(0.0).as("dist")))
@@ -124,7 +123,6 @@ object SSSP {
         log.record(IterationMetrics(iter, (System.nanoTime() - t0) / 1e9, changed.toDouble, eCount))
         iter += 1
       }
-      e.unpersist()
       state
     }
   }
@@ -143,7 +141,7 @@ object BFSGeneric {
     */
   def tree(g: LinkGraph, sourceOid: String): DataFrame = {
     val lvl = BFS.run(g, sourceOid).where(col("level").isNotNull)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val parents = dagEdges(g, lvl)
       .groupBy(col("dst").as("id")).agg(min(col("src")).as("parent"))
     lvl.join(parents, Seq("id"), "left").select(col("id"), col("level"), col("parent"))
@@ -181,7 +179,7 @@ object BFS {
     val spark = g.vertices.sparkSession
     val e = g.edges.toDF.select(col("src"), col("dst"))
       .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     e.count()
 
     val state0 = g.vertices.toDF
@@ -216,7 +214,6 @@ object BFS {
       state = nextM.select(col("id"), col("level"))
       level = nextLevel
     }
-    e.unpersist()
     state
   }
 }

@@ -29,7 +29,7 @@ object Paths2 {
     * achieving the final distance (deterministic).
     */
   def withParents(g: LinkGraph, sourceOid: String): DataFrame = {
-    val dist = SSSP.run(g, sourceOid).persist(StorageLevel.MEMORY_AND_DISK)
+    val dist = SSSP.run(g, sourceOid).localCheckpoint(true)
     val e = g.edges.toDF
     val parents = e
       .join(dist.select(col("id").as("src"), col("dist").as("sd")), "src")
@@ -52,8 +52,8 @@ object Paths2 {
       g: LinkGraph, sourceOid: String, targetOid: String,
       maxHops: Int = 64, maxCollect: Long = 5000000L
   ): Option[Seq[String]] = {
-    val wp = withParents(g, sourceOid).persist(StorageLevel.MEMORY_AND_DISK)
-    try {
+    val wp = withParents(g, sourceOid).localCheckpoint(true)
+    locally {
       val endpoints = g.vertices.toDF.where(col("oid").isin(sourceOid, targetOid))
         .select("oid", "id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       for {
@@ -83,7 +83,7 @@ object Paths2 {
           .select("id", "oid").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
         path.map(oids)
       }
-    } finally wp.unpersist()
+    }
   }
 
   def hasPath(g: LinkGraph, sourceOid: String, targetOid: String): Boolean =

@@ -40,7 +40,7 @@ object Paths3 {
       .join(attr.select(col("id").as("src"), col("cat").as("ca")), "src")
       .join(attr.select(col("id").as("dst"), col("cat").as("cb")), "dst")
     val m = e.groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("n"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val total = m.agg(sum(col("n"))).head().getLong(0).toDouble
     val trace = m.where(col("ca") === col("cb")).agg(sum(col("n"))).head() match {
       case r if r.isNullAt(0) => 0.0
@@ -53,7 +53,6 @@ object Paths3 {
       case r if r.isNullAt(0) => 0.0
       case r => r.getDouble(0)
     }
-    m.unpersist()
     if (sumAb == 1.0) 1.0 else (trace - sumAb) / (1.0 - sumAb)
   }
 
@@ -130,7 +129,7 @@ object Paths3 {
       .join(g.vertices.toDF.select(col("id").as("src"), col("oid").as("a")), "src")
       .join(g.vertices.toDF.select(col("id").as("dst"), col("oid").as("b")), "dst")
       .select("a", "b")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var frontier = g.vertices.toDF.where(col("oid") === sourceOid)
       .select(array(col("oid")).as("path"), col("oid").as("tip"))
     var found = frontier.where(col("tip") === targetOid).select("path")
@@ -144,7 +143,6 @@ object Paths3 {
       found = found.unionAll(frontier.where(col("tip") === targetOid).select("path"))
       hops += 1
     }
-    oidEdges.unpersist()
     found
   }
 
@@ -180,14 +178,13 @@ object Paths3 {
       .join(g.vertices.toDF.select(col("id").as("src"), col("oid").as("a")), "src")
       .join(g.vertices.toDF.select(col("id").as("dst"), col("oid").as("b")), "dst")
       .select("a", "b")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     import spark.implicits._
     var walk = startOids.toDF("start")
       .select(col("start"), array(col("start")).as("path"), col("start").as("tip"))
     (0 until steps).foreach { step =>
       walk = Engine.materialize(samplingStep(walk, oidEdges, step, seed))
     }
-    oidEdges.unpersist()
     walk.select(col("start").as("start_oid"), col("path"))
   }
 

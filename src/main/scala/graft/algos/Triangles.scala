@@ -25,7 +25,7 @@ object Triangles {
 
   /** Returns (id: Long, triangles: Long) for every vertex. */
   def run(g: LinkGraph): DataFrame = {
-    val und = g.undirectedEdges.persist(StorageLevel.MEMORY_AND_DISK) // (a,b), a<b, distinct
+    val und = g.undirectedEdges.localCheckpoint(true) // (a,b), a<b, distinct
     val deg = und.select(col("a").as("v"))
       .unionAll(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
@@ -38,7 +38,7 @@ object Triangles {
       when(lowerFirst, col("a")).otherwise(col("b")).as("src"),
       when(lowerFirst, col("b")).otherwise(col("a")).as("dst"),
       when(lowerFirst, col("db")).otherwise(col("da")).as("dstDeg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     val e1 = ore.select(col("src"), col("dst").as("v"), col("dstDeg").as("vd"))
     val e2 = ore.select(col("src"), col("dst").as("w"), col("dstDeg").as("wd"))
@@ -57,7 +57,6 @@ object Triangles {
     val out = g.vertices.toDF
       .join(corners, Seq("id"), "left")
       .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
-    und.unpersist()
     out
   }
 

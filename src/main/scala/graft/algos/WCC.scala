@@ -42,7 +42,7 @@ object WCC {
         .select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val undCount = und.count()
 
     val state0 = g.vertices.toDF.select(col("id"), col("id").as("comp"))
@@ -89,7 +89,6 @@ object WCC {
       }
       iter += 1
     }
-    und.unpersist()
     state
     }
   }

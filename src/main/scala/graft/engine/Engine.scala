@@ -49,6 +49,27 @@ object Engine {
     */
   def materialize(df: DataFrame): DataFrame = df.localCheckpoint(false)
 
+  /** Pin a loop-invariant frame (edge/degree/neighbor tables a fixpoint
+    * loop reads every round) as an EAGER private checkpoint instead of
+    * `persist()`. Learned from the concurrent Verify driver (round 5):
+    * `persist()` entries live in the session-global CacheManager keyed
+    * by CANONICAL PLAN, so two concurrently-running queries that derive
+    * the same frame from the shared graph (tg_pagerank vs the Gremlin
+    * pageRank step; tg_ppr vs tg_ppr_sparse) SHARE one entry — the
+    * first to finish unpersists it out from under the survivor's loop
+    * (measured: four co-scheduled fixpoints took 812 s vs ~90 s
+    * standalone, each round recomputing its "cached" edges from
+    * source; one such race also over-peeled a kcore run to a wrong
+    * 2736-row core). A checkpoint is a private, content-immutable RDD:
+    * no cross-thread uncache can drop or swap it mid-loop, so the frame
+    * a loop counted is bit-identical to the frame its joins read.
+    * Partitioning survives (the LogicalRDD keeps outputPartitioning),
+    * so co-partitioned superstep joins still plan zero input exchanges.
+    * No unpersist needed — blocks are freed by the ContextCleaner once
+    * the frame is unreferenced.
+    */
+  def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
   /** [[materialize]] + stats reset, for superstep states the next
     * round's plan references MORE THAN ONCE (e.g. Louvain's community
     * frame rides four joins per sweep round). `localCheckpoint` seeds
@@ -77,8 +98,20 @@ object Engine {
     * barriers add ~0.1s of driver-serial latency per stage, which is pure
     * loss repeated every superstep. AQE stays on for the derivation and
     * the relational plane, where join-strategy/skew adaptivity does pay.
+    *
+    * `-Dgraft.aqe.freeze=true` turns the toggle into a no-op (AQE stays
+    * wherever the session left it). The concurrent Verify driver sets it:
+    * the session conf is SHARED across threads, so racing save/restore
+    * pairs from parallel queries would flip AQE at arbitrary points in
+    * other queries' planning — and a session whose graph cache
+    * materializes under AQE-off loses cached-plan substitution for the
+    * persist-chained fixed-round PageRank states (measured: every
+    * superstep re-derived the graph from the synth source; 19.5 s →
+    * 6+ min for tg_pagerank at sf0.01). At verify scale the forgone
+    * AQE-off saving is ~0.1 s per superstep — noise.
     */
   def withoutAQE[A](spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
+    if (sys.props.get("graft.aqe.freeze").contains("true")) return f
     val key = "spark.sql.adaptive.enabled"
     val old = spark.conf.get(key, "true")
     spark.conf.set(key, "false")

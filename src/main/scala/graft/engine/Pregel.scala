@@ -44,7 +44,7 @@ object Pregel {
   def run(g: LinkGraph, prog: Program): DataFrame = {
     val spark = g.vertices.sparkSession
     Engine.withoutAQE(spark) {
-      val e = g.edges.toDF.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+      val e = g.edges.toDF.repartition(col("src")).localCheckpoint(true)
       e.count()
       var state = Engine.materialize(
         g.vertices.toDF.select(col("id"), prog.init.as("state")).repartition(col("id")))
@@ -69,7 +69,6 @@ object Pregel {
         state = nextM.select(col("id"), col("__new").as("state"))
         iter += 1
       }
-      e.unpersist()
       state
     }
   }

@@ -227,10 +227,41 @@ object Gremlin {
 
   def run(g: GGraph, text: String): DataFrame = {
     val steps = new P(text).chain(anonymous = false)
-    eval(G.V(g), steps, sourceDone = false) match {
+    val (src, tl) = steps match {
+      // ScanOpt VERTEX or EDGE (`algebra.proto:196`; edge source
+      // `sourcestep/edge.rs:89`): a traversal roots at the vertex scan
+      // or — for edge-centric audit queries — directly at the edge scan
+      case Step("V", Nil) :: t => (G.V(g), t)
+      case Step("E", Nil) :: t => (G.E(g), t)
+      case _ => throw new IllegalArgumentException("traversal must start with g.V() or g.E()")
+    }
+    // step-level path() (PathTreeNode) needs the source switched into
+    // path-tracked mode before the first expansion
+    val src2 = if (needsTracking(tl)) {
+      require(steps.head.name == "V", "path tracking requires a V() source")
+      src.trackPaths()
+    } else src
+    eval(src2, tl, sourceDone = true) match {
       case Left(t) => t.df
       case Right(df) => df
     }
+  }
+
+  /** Does the top-level chain use `path()` as a STEP (vs the range-expand
+    * terminal form `out('1..2')[.simplePath()].path()`, which manages its
+    * own walk accumulation)?
+    */
+  private def needsTracking(steps: List[Step]): Boolean = {
+    @annotation.tailrec
+    def go(ss: List[Step], afterRange: Boolean): Boolean = ss match {
+      case Step("out" | "in" | "both", List(Lit(RangeLit(_, _)))) :: tl => go(tl, true)
+      case Step("out" | "in" | "both", List(Lit(RangeLit(_, _)), Lit(_))) :: tl => go(tl, true)
+      case Step("simplePath", Nil) :: tl => go(tl, afterRange)
+      case Step("path", Nil) :: tl => if (afterRange) go(tl, false) else true
+      case _ :: tl => go(tl, false)
+      case Nil => false
+    }
+    go(steps, afterRange = false)
   }
 
   /** Lower a has()/where() predicate over a concrete column. String
@@ -268,6 +299,69 @@ object Gremlin {
     */
   private def fieldCol(f: String): Column = if (f == "weight") col("__w") else col(f)
 
+  /** math('...') expression → Column (MathTreeNode.java:36 restated as a
+    * tiny recursive-descent grammar lowered to codegen'd column
+    * arithmetic): expr := term (('+'|'-') term)*; term := factor
+    * (('*'|'/') factor)*; factor := number | '_' | '(' expr ')' |
+    * ('sqrt'|'abs')'(' expr ')' | '-' factor. `_` is the traverser's
+    * incoming numeric value. log/exp deliberately excluded: JVM libm vs
+    * DuckDB libm are not bit-identical (same caveat as Hll's
+    * linear-counting branch), which would break full-value oracles.
+    */
+  private[gie] def mathCol(s: String, underscore: Column): Column = {
+    var i = 0
+    def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    def peek: Char = { ws(); if (i < s.length) s(i) else ' ' }
+    def fail(m: String): Nothing =
+      throw new IllegalArgumentException(s"math parse error at $i: $m in: $s")
+    def expr(): Column = {
+      var c = term()
+      var go = true
+      while (go) peek match {
+        case '+' => i += 1; c = c + term()
+        case '-' => i += 1; c = c - term()
+        case _ => go = false
+      }
+      c
+    }
+    def term(): Column = {
+      var c = factor()
+      var go = true
+      while (go) peek match {
+        case '*' => i += 1; c = c * factor()
+        case '/' => i += 1; c = c / factor()
+        case _ => go = false
+      }
+      c
+    }
+    def factor(): Column = peek match {
+      case '_' => i += 1; underscore
+      case '(' =>
+        i += 1; val c = expr(); if (peek != ')') fail("expected ')'"); i += 1; c
+      case '-' => i += 1; -factor()
+      case ch if ch.isDigit =>
+        val j = i
+        while (i < s.length && (s(i).isDigit || s(i) == '.')) i += 1
+        lit(s.substring(j, i).toDouble)
+      case ch if ch.isLetter =>
+        val j = i
+        while (i < s.length && s(i).isLetter) i += 1
+        val fn = s.substring(j, i)
+        if (peek != '(') fail(s"expected '(' after $fn")
+        i += 1; val c = expr(); if (peek != ')') fail("expected ')'"); i += 1
+        fn match {
+          case "sqrt" => sqrt(c)
+          case "abs" => abs(c)
+          case other => fail(s"unsupported math function: $other")
+        }
+      case _ => fail("unexpected token")
+    }
+    val c = expr()
+    ws()
+    if (i < s.length) fail("trailing input")
+    c
+  }
+
   /** Evaluate a step list. State is Left(traversal) while vertex-typed,
     * Right(frame) after a terminal aggregate (order/limit still apply).
     */
@@ -303,6 +397,9 @@ object Gremlin {
       if (f == "weight") col("__w")
       else if (f == "label" && d.columns.contains("__elabel")) col("__elabel")
       else col(f)
+    // tags bound to SCALAR values (path().count(local).as('b')) — the
+    // multi-tag select() projects them as-is instead of oid-decoding
+    var scalarTags = Set.empty[String]
     while (rest.nonEmpty) {
       val Step(name, args) = rest.head
       rest = rest.tail
@@ -317,6 +414,14 @@ object Gremlin {
             st = Left(t.where(predOn(fieldColIn(t.df, f), p)))
           else st = Left(t.has(predOn(col(f), p)))
         case ("has", List(Lit(f))) => st = Left(t.has(col(f).isNotNull))
+        // 3-arg has (TinkerPop has(label, prop, value) — the LDBC CR-1
+        // seed lookup `has('person','id',$id)`): label scan + property
+        // IndexPredicate, both pushed onto the vertex table
+        case ("has", List(Lit(lbl), Lit(prop), p)) =>
+          st = Left(t.hasLabel(lbl).has(predOn(col(prop), p)))
+        // IdentityTreeNode: the no-op step (union(identity(), ...) is the
+        // LDBC CR-1 1..3-hop union shape)
+        case ("identity", Nil) => st = Left(t)
         // hasLabel(l, …): per-label vertex scan (labeled graphs)
         case ("hasLabel", ls) if ls.nonEmpty && ls.forall(_.isInstanceOf[Lit]) =>
           st = Left(t.hasLabel(ls.map { case Lit(v) => v }: _*))
@@ -368,12 +473,60 @@ object Gremlin {
         case ("both", ls) if ls.nonEmpty && ls.forall(_.isInstanceOf[Lit]) =>
           val l = ls.map { case Lit(v) => v }; st = Left(t.both(l.head, l.tail: _*))
         case ("endV", Nil) => st = Left(t) // GetV after range expand — already vertex-positioned
-        case ("dedup", Nil) => st = Left(t.dedup())
+        // dedup().by(k) — dedup by property/id KEEPING the traverser
+        // (min-path survivor in tracked mode); plain dedup() otherwise
+        case ("dedup", Nil) => rest match {
+          case Step("by", List(Lit("id"))) :: tl =>
+            st = Left(t.dedupBy("__v")); rest = tl
+          case Step("by", List(Lit(f))) :: tl =>
+            st = Left(fetch(t, f).dedupBy(f)); rest = tl
+          case _ => st = Left(t.dedup())
+        }
+        // step-level path() (PathTreeNode.java:39): the tracked walk —
+        // count(local) projects its length, the LDBC CR-1 distance idiom
+        case ("path", Nil) =>
+          require(t.track, "step-level path() requires a tracked traversal")
+          rest match {
+            case Step("count", List(Sym("local"))) :: Step("as", List(Lit(tag))) :: tl =>
+              st = Left(t.mapFrame(_.withColumn(tag, size(col("__path")).cast("long"))))
+              scalarTags += tag
+              rest = tl
+            case Step("count", List(Sym("local"))) :: tl =>
+              st = Right(t.df.select(size(col("__path")).cast("long").as("n_local")))
+              rest = tl
+            case _ => throw new IllegalArgumentException(
+              "step-level path() must be followed by count(local)")
+          }
+        // RangeGlobal pagination (RangeGlobalTreeNode.java:31; pegasus
+        // dedup.rs Range): range(lo,hi) / skip(n) / tail(n) — compose
+        // after order() for a deterministic page
+        case ("range", List(Num(lo), Num(hi))) =>
+          st = st match {
+            case Left(tr) => Left(tr.range(lo.toInt, hi.toInt))
+            case Right(d2) => Right(d2.offset(lo.toInt).limit((hi - lo).toInt))
+          }
+        case ("skip", List(Num(n))) =>
+          st = st match {
+            case Left(tr) => Left(tr.skip(n.toInt))
+            case Right(d2) => Right(d2.offset(n.toInt))
+          }
+        case ("tail", List(Num(n))) =>
+          st = st match {
+            case Left(tr) => Left(tr.tail(n.toInt))
+            case Right(d2) =>
+              val total = d2.count()
+              Right(d2.offset(math.max(0L, total - n).toInt))
+          }
+        // math('...') (MathTreeNode.java:36): per-traverser computed
+        // numeric expression over the terminal value frame; `_` is the
+        // incoming value (grammar: + - * / parens, sqrt/abs, numbers)
+        case ("math", List(Lit(e))) =>
+          st = Right(d.select(mathCol(e, col(d.columns.last)).as("val")))
         case ("as", List(Lit(tag))) => st = Left(t.as_(tag))
         case ("select", List(Lit(tag))) => st = Left(t.back(tag))
         // multi-tag Sink projection: one oid-decoded column per tag
         case ("select", tags) if tags.length > 1 && tags.forall(_.isInstanceOf[Lit]) =>
-          st = Right(t.selectTags(tags.map { case Lit(s) => s }))
+          st = Right(t.selectTags(tags.map { case Lit(s) => s }, scalarTags))
         // project('k1','k2',…).by(m1).by(m2)… (TinkerPop ProjectStep —
         // per-traverser multi-projection): by('prop') fetches a
         // property, by(sub.[dedup().]count()) is a correlated count
@@ -460,6 +613,28 @@ object Gremlin {
         case ("choose", List(Sub(p), Sub(a), Sub(b))) =>
           st = Left(t.choose(vertexFn(p, "choose()"),
             vertexFn(a, "choose()"), vertexFn(b, "choose()")))
+        // value-routed branch (BranchTreeNode.java:49 / CaseWhenTreeNode):
+        // branch(values('f')|label()).option(v, sub)….option(none, sub) —
+        // the router is a property COLUMN, options are trailing steps
+        case (nm @ ("branch" | "choose"), List(Sub(keySteps))) =>
+          val (tr, key) = keySteps match {
+            case List(Step("values", List(Lit(f)))) =>
+              val tf = fetch(t, f); (tf, fieldColIn(tf.df, f))
+            case List(Step("label", Nil)) =>
+              val tf = fetch(t, "label"); (tf, fieldColIn(tf.df, "label"))
+            case _ => throw new IllegalArgumentException(
+              s"$nm() router must be values('field') or label()")
+          }
+          val opts = List.newBuilder[(Option[String], Traversal => Traversal)]
+          var more = true
+          while (more) rest match {
+            case Step("option", List(Lit(v), Sub(sub))) :: tl =>
+              opts += ((Some(v), vertexFn(sub, "option()"))); rest = tl
+            case Step("option", List(Sym("none"), Sub(sub))) :: tl =>
+              opts += ((None, vertexFn(sub, "option()"))); rest = tl
+            case _ => more = false
+          }
+          st = Left(tr.branchBy(key, opts.result()))
         // match (algebra.proto:350, patmat.rs NaiveStrategy): sentences
         // are as(a)…as(b) chains, joined left-deep on shared tags
         case ("match", subs) if subs.nonEmpty && subs.forall(_.isInstanceOf[Sub]) =>
@@ -652,20 +827,34 @@ object Gremlin {
           }
           st = Right(d.agg(agg.as(a)))
         case ("order", Nil) =>
-          // resolve by-fields against the actual frame: a literal match
-          // wins (e.g. "weight" after values('weight')), else the
-          // property mapping (weight → __w on an edge-positioned frame)
-          val frameDf = st match {
-            case Left(tr) => tr.df
-            case Right(d2) => d2
+          // collect the by-modulators first (asc/incr | desc/decr — the
+          // reference benchmark queries use TinkerPop's legacy
+          // incr/decr), then resolve against the frame: a vertex-typed
+          // frame fetches missing ordering properties (Auxilia) so
+          // tag-then-property chains like CR-1's
+          // order().by(select('b'),incr).by('lastName').by('id') lower;
+          // "id" maps to the current vertex; "weight" to __w
+          val byDesc = Set("desc", "decr")
+          val byDirs = Set("asc", "incr", "desc", "decr")
+          val specs = List.newBuilder[(Either[String, List[Step]], Boolean)]
+          var more = true
+          while (more) rest match {
+            case Step("by", List(Lit(f))) :: tl =>
+              specs += ((Left(f), false)); rest = tl
+            case Step("by", List(Lit(f), Sym(dn))) :: tl if byDirs.contains(dn) =>
+              specs += ((Left(f), byDesc.contains(dn))); rest = tl
+            case Step("by", List(Sub(sel))) :: tl =>
+              specs += ((Right(sel), false)); rest = tl
+            case Step("by", List(Sub(sel), Sym(dn))) :: tl if byDirs.contains(dn) =>
+              specs += ((Right(sel), byDesc.contains(dn))); rest = tl
+            case _ => more = false
           }
-          val frameCols = frameDf.columns.toSet
-          def oc(f: String): Column = if (frameCols.contains(f)) col(f) else fieldCol(f)
+          val sp = specs.result()
           // by(select(keys|values)[.values(f)]) — order a groupCount/
           // group frame by its key (first) or value (last) column, the
           // LDBC `order().by(select(values), desc)` idiom; by(select(t))
-          // orders by a tagged vertex
-          def selByCol(sel: List[Step]): Column = sel match {
+          // orders by a tagged column
+          def selByCol(sel: List[Step], frameDf: DataFrame): Column = sel match {
             case List(Step("select", List(Sym("values")))) => col(frameDf.columns.last)
             case List(Step("select", List(Sym("keys")))) => col(frameDf.columns.head)
             case List(Step("select", List(Sym("keys"))), Step("values", List(Lit(_)))) =>
@@ -674,20 +863,29 @@ object Gremlin {
             case other => throw new IllegalArgumentException(
               s"unsupported order().by sub-step: $other")
           }
-          val cols = List.newBuilder[Column]
-          var more = true
-          while (more) rest match {
-            case Step("by", List(Lit(f))) :: tl => cols += oc(f).asc; rest = tl
-            case Step("by", List(Lit(f), Sym("asc"))) :: tl => cols += oc(f).asc; rest = tl
-            case Step("by", List(Lit(f), Sym("desc"))) :: tl => cols += oc(f).desc; rest = tl
-            case Step("by", List(Sub(sel))) :: tl => cols += selByCol(sel).asc; rest = tl
-            case Step("by", List(Sub(sel), Sym("asc"))) :: tl => cols += selByCol(sel).asc; rest = tl
-            case Step("by", List(Sub(sel), Sym("desc"))) :: tl => cols += selByCol(sel).desc; rest = tl
-            case _ => more = false
-          }
-          st = st match {
-            case Left(tr) => Left(tr.ordered(cols.result(): _*))
-            case Right(df) => Right(df.orderBy(cols.result(): _*))
+          st match {
+            case Left(tr0) =>
+              val tr = sp.foldLeft(tr0) {
+                case (cur, (Left(f @ ("oid" | "label")), _))
+                    if !cur.df.columns.contains(f) => fetch(cur, f)
+                case (cur, _) => cur
+              }
+              val frameCols = tr.df.columns.toSet
+              def kc(k: Either[String, List[Step]]): Column = k match {
+                case Left("id") if !frameCols.contains("id") => col("__v")
+                case Left(f) => if (frameCols.contains(f)) col(f) else fieldCol(f)
+                case Right(sel) => selByCol(sel, tr.df)
+              }
+              st = Left(tr.ordered(
+                sp.map { case (k, dsc) => if (dsc) kc(k).desc else kc(k).asc }: _*))
+            case Right(d2) =>
+              def kc(k: Either[String, List[Step]]): Column = k match {
+                case Left(f) =>
+                  if (d2.columns.contains(f)) col(f) else fieldCol(f)
+                case Right(sel) => selByCol(sel, d2)
+              }
+              st = Right(d2.orderBy(
+                sp.map { case (k, dsc) => if (dsc) kc(k).desc else kc(k).asc }: _*))
           }
         case ("limit", List(Num(n))) =>
           st = st match {
@@ -721,5 +919,106 @@ object Gremlin {
       }
     }
     st
+  }
+
+  /** Gremlin mutation surface — the groot realtime-write analog
+    * (`python/graphscope/framework/record.py:22-82` insert_vertex /
+    * insert_edge / update / delete; `docs/persistent_graph_store.rst:
+    * 310-350` snapshot-per-write-group): each mutation traversal lowers
+    * onto the session plane ([[graft.graph.GraphOps.modifyVertices]] /
+    * [[graft.graph.GraphOps.modifyEdges]]) and commits a new
+    * [[graft.ingest.SnapshotStore]] version, so a reader at version v
+    * never sees a half-applied write group. Supported forms:
+    *
+    *  - `g.addV(['lbl']).property('oid', 'x')` — insert vertex; the new
+    *    dense id is max(id)+1 (the oid↔id bijection is asserted by the
+    *    session plane on commit);
+    *  - `g.V()…<filters>.property('oid', 'x')` — update the oid of the
+    *    selected vertices (add-batch-wins merge);
+    *  - `g.V()…<filters>.addE(['lbl']).to(V()…<filters>)
+    *    [.property('weight', n)]` — insert src×dst edges (weight
+    *    defaults to 1; an existing (src,dst) pair merges weights, the
+    *    same additive semantics as the derivation's count weights);
+    *  - `g.V()…<filters>.drop()` — delete vertices + incident edges;
+    *  - `g.E()…<filters>.drop()` — delete the selected edges.
+    *
+    * Returns (graph after commit, committed snapshot version — the
+    * vertex-plane version for vertex writes, edge-plane otherwise).
+    */
+  def mutate(
+      g: LinkGraph, text: String, store: graft.ingest.SnapshotStore,
+      vertexTable: String, edgeTable: String): (LinkGraph, Int) = {
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    import graft.schema.{Edge, Vertex}
+    val emptyVs = spark.emptyDataset[Vertex]
+    val emptyEs = spark.emptyDataset[Edge]
+    def vertexFrame(prefix: List[Step]): DataFrame =
+      eval(G.V(g), prefix, sourceDone = true) match {
+        case Left(tr) => tr.df.select(col("__v").as("id")).distinct()
+        case Right(_) => throw new IllegalArgumentException(
+          "mutation prefix must stay vertex-typed")
+      }
+    val steps = new P(text).chain(anonymous = false)
+    steps match {
+      // insert: g.addV().property('oid', 'x')
+      case Step("addV", _) :: Step("property", List(Lit("oid"), Lit(oid))) :: Nil =>
+        val newId = g.vertices.toDF.agg(max(col("id"))).head().getLong(0) + 1L
+        val (g2, vv, _) = graft.graph.GraphOps.modifyVertices(
+          g, Seq(Vertex(newId, oid)).toDS(), emptyVs, store, vertexTable, edgeTable)
+        (g2, vv)
+      case Step("V", Nil) :: body =>
+        body.splitAt(body.indexWhere(s =>
+          s.name == "drop" || s.name == "addE" || s.name == "property")) match {
+          // delete: g.V()…drop() — vertex + incident-edge delete
+          case (prefix, Step("drop", Nil) :: Nil) =>
+            val del = g.vertices.toDF.join(vertexFrame(prefix), Seq("id"), "left_semi")
+            val (g2, vv, _) = graft.graph.GraphOps.modifyVertices(
+              g, emptyVs, del.as[Vertex], store, vertexTable, edgeTable)
+            (g2, vv)
+          // update: g.V()…property('oid', 'x')
+          case (prefix, Step("property", List(Lit("oid"), Lit(oid))) :: Nil) =>
+            val add = vertexFrame(prefix).select(col("id"), lit(oid).as("oid"))
+            val (g2, vv, _) = graft.graph.GraphOps.modifyVertices(
+              g, add.as[Vertex], emptyVs, store, vertexTable, edgeTable)
+            (g2, vv)
+          // insert: g.V()…addE().to(V()…)[.property('weight', n)]
+          case (prefix, Step("addE", _) :: Step("to", List(Sub(sub))) :: tail) =>
+            val w = tail match {
+              case Step("property", List(Lit("weight"), Num(n))) :: Nil => n.toDouble
+              case Nil => 1.0
+              case other => throw new IllegalArgumentException(
+                s"unsupported addE modulators: $other")
+            }
+            val dst = sub match {
+              case Step("V", Nil) :: dtl => vertexFrame(dtl)
+              case _ => throw new IllegalArgumentException(
+                "addE().to() target must be a V()-rooted traversal")
+            }
+            val add = vertexFrame(prefix).select(col("id").as("src"))
+              .crossJoin(dst.select(col("id").as("dst")))
+              .select(col("src"), col("dst"), lit(w).as("weight"))
+            val (g2, ev) = graft.graph.GraphOps.modifyEdges(
+              g, add.as[Edge], emptyEs, store, edgeTable)
+            (g2, ev)
+          case other => throw new IllegalArgumentException(
+            s"unsupported mutation traversal: $other")
+        }
+      // delete: g.E()…drop() — edge delete by (src, dst)
+      case Step("E", Nil) :: body if body.lastOption.contains(Step("drop", Nil)) =>
+        eval(G.E(g), body.init, sourceDone = true) match {
+          case Left(tr) =>
+            val del = tr.df
+              .select(col("__src").as("src"), col("__v").as("dst"), col("__w").as("weight"))
+              .distinct()
+            val (g2, ev) = graft.graph.GraphOps.modifyEdges(
+              g, emptyEs, del.as[Edge], store, edgeTable)
+            (g2, ev)
+          case Right(_) => throw new IllegalArgumentException(
+            "E().drop() prefix must stay edge-positioned")
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported mutation traversal: $other")
+    }
   }
 }

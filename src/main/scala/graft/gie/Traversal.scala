@@ -59,9 +59,22 @@ private[gie] object GGraphOps {
   * Columns: `__v` = current vertex id; user tags via [[as_]]; `__hops`
   * after a path expansion; `oid` after [[auxilia]] (property fetch).
   */
-final class Traversal private[gie] (g: GGraph, val df: DataFrame) {
+final class Traversal private[gie] (
+    g: GGraph, val df: DataFrame, private[gie] val track: Boolean = false) {
 
-  private def next(d: DataFrame) = new Traversal(g, d)
+  private def next(d: DataFrame) = new Traversal(g, d, track)
+
+  /** Switch on step-level path tracking (TinkerPop `path()` used as a
+    * mid-chain step, reference `PathTreeNode.java:39`): `__path` starts
+    * as [current vertex] and every vertex expansion APPENDS the new
+    * position, so `path().count(local)` (the LDBC CR-1 distance idiom)
+    * reads `size(__path)` per traverser. Ids-only arrays ride the
+    * shuffles — the sink decodes ([[pathOids]] policy). Tracked
+    * expansions: out/in/both (vertex moves); edge-positioned and range
+    * expands manage their own path forms.
+    */
+  def trackPaths(): Traversal =
+    new Traversal(g, df.withColumn("__path", array(col("__v"))), true)
 
   /** Same-graph traversal over a transformed frame (front-end plumbing,
     * e.g. the project() modulator chain).
@@ -139,25 +152,32 @@ final class Traversal private[gie] (g: GGraph, val df: DataFrame) {
   private def bothOver(e: DataFrame): Traversal = {
     val sym = e.select(col("src"), col("dst"))
       .unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-    next(carried
+    next(pathAppend(carried
       .join(sym.withColumnRenamed("src", "__v"), Seq("__v"))
-      .withColumn("__v", col("dst")).drop("dst"))
+      .withColumn("__v", col("dst")).drop("dst")))
   }
 
   private def expand(e: DataFrame, from: Column, to: Column): Traversal =
-    next(carried
+    next(pathAppend(carried
       .join(e.select(from.as("__v"), to.as("__to")), Seq("__v"))
-      .withColumn("__v", col("__to")).drop("__to"))
+      .withColumn("__v", col("__to")).drop("__to")))
+
+  /** In tracked mode, append the post-move position to `__path`. */
+  private def pathAppend(d: DataFrame): DataFrame =
+    if (track && d.columns.contains("__path"))
+      d.withColumn("__path", concat(col("__path"), array(col("__v"))))
+    else d
 
   /** Traverser columns that survive an expansion (drop fetched props
-    * and any stale edge position).
+    * and any stale edge position; a tracked `__path` survives — the
+    * expansion appends to it).
     */
   private def carried: DataFrame = {
-    val stale = Seq("oid", "label", "__hops", "__path", "path_str",
+    val stale = Seq("oid", "label", "__hops", "path_str",
       "__src", "__w", "__elabel", "__other",
-      "pageRank", "component", "communityLabel", "auth", "hub")
-      .filter(df.columns.contains)
-    stale.foldLeft(df)((d, c) => d.drop(c))
+      "pageRank", "component", "communityLabel", "auth", "hub") ++
+      (if (track) Seq.empty else Seq("__path"))
+    stale.filter(df.columns.contains).foldLeft(df)((d, c) => d.drop(c))
   }
 
   /** EdgeExpand OUT keeping the edge position (`algebra.proto:254` with
@@ -278,6 +298,47 @@ final class Traversal private[gie] (g: GGraph, val df: DataFrame) {
     next(df.select(ks.map(col): _*).distinct())
   }
 
+  /** Dedup-by-key KEEPING the traverser row (TinkerPop `dedup().by(k)`,
+    * reference `DedupTreeNode` with a by-modulator): one traverser per
+    * distinct `k`, the survivor chosen deterministically — in tracked
+    * mode the (shortest, lexicographically-smallest) path (so the LDBC
+    * CR-1 `dedup().by('id')` keeps the MINIMUM-hop path per person,
+    * which is what `path().count(local)` must read as the distance),
+    * otherwise the minimum current vertex. Lowered as a groupBy+semi-join
+    * pair (hub-safe, never a window over the key's group).
+    */
+  def dedupBy(k: String): Traversal = {
+    val key =
+      if (track && df.columns.contains("__path"))
+        struct(size(col("__path")), col("__path"), col("__v"))
+      else struct(col("__v"))
+    val d2 = df.withColumn("__dk", key)
+    val mins = d2.groupBy(col(k)).agg(min(col("__dk")).as("__dk"))
+    next(d2.join(mins, Seq(k, "__dk"), "left_semi").drop("__dk").distinct())
+  }
+
+  /** RangeGlobal [lo, hi) over the (ordered) traverser stream
+    * (`RangeGlobalTreeNode.java:31`, pegasus `dedup.rs:33-253` Range):
+    * pagination — compose after [[ordered]] for a deterministic page.
+    * Lowers to Offset+Limit (Catalyst folds them over the Sort).
+    */
+  def range(lo: Int, hi: Int): Traversal = {
+    require(0 <= lo && lo < hi, "need 0 <= lo < hi")
+    next(df.offset(lo).limit(hi - lo))
+  }
+
+  /** Skip the first `n` traversers (Gremlin `skip(n)` = range(n, ∞)). */
+  def skip(n: Int): Traversal = next(df.offset(n))
+
+  /** Last `n` traversers of the ordered stream (Gremlin `tail(n)`).
+    * Needs the stream length — one count job (the reference's
+    * RangeGlobal equally global-barriers to find the tail).
+    */
+  def tail(n: Int): Traversal = {
+    val total = df.count()
+    next(df.offset(math.max(0, total - n).toInt))
+  }
+
   /** Apply-SEMI (`algebra.proto:330`): keep traversers whose current
     * vertex has at least one result under the sub-traversal. Correlated
     * on the current vertex; the sub-traversal runs once over the
@@ -354,8 +415,16 @@ final class Traversal private[gie] (g: GGraph, val df: DataFrame) {
     * double emission at exit, matching TinkerPop). Without `emit`,
     * output = the until-exits of each round plus the survivors when the
     * `times` bound is reached. The loop also ends when no traverser
-    * survives. Each round's frame is materialized (flat lineage); the
-    * per-round liveness count is the loop's only driver-side action.
+    * survives. Each round's frame is materialized (flat lineage).
+    *
+    * Per-round cost: the `until` sub-traversal is evaluated exactly ONCE
+    * — its hit set is materialized and BOTH the exit frame (semi-join)
+    * and the survivor frame (anti-join) derive from the checkpointed
+    * hits — and the survivor count is the round's only driver action
+    * (the lazy checkpoints of body output, hits, and survivors all
+    * compute under it). The pre-round-4 shape ran the until body twice
+    * (whereExists + whereNotExists) and spent three actions per round,
+    * roughly doubling the loop's join work at the times=50 guard bound.
     */
   def repeatUntil(
       body: Traversal => Traversal,
@@ -370,16 +439,22 @@ final class Traversal private[gie] (g: GGraph, val df: DataFrame) {
     while (round < times && live > 0) {
       round += 1
       cur = next(Engine.materialize(body(cur).df))
-      if (cur.df.isEmpty) { live = 0 }
-      else {
-        if (emit) outFrames += cur.df
-        else if (round == times) outFrames += cur.df // times reached: all exit
-        else until.foreach(u => outFrames += cur.whereExists(u).df)
-        cur = until match {
-          case Some(u) => next(Engine.materialize(cur.whereNotExists(u).df))
-          case None => cur
-        }
-        live = cur.df.count()
+      until match {
+        case Some(u) if round < times =>
+          val origin = next(
+            cur.df.select(col("__v")).distinct().withColumn("__origin", col("__v")))
+          val hits = Engine.materialize(
+            u(origin).df.select(col("__origin").as("__v")).distinct())
+          if (emit) outFrames += cur.df
+          else outFrames += cur.df.join(hits, Seq("__v"), "left_semi")
+          cur = next(Engine.materialize(cur.df.join(hits, Seq("__v"), "left_anti")))
+          live = cur.df.count()
+          if (live == 0 && !emit) () // exit frame already captured above
+        case _ =>
+          // final round (times reached: every survivor exits) or pure
+          // until-less emit loop — no split needed
+          live = cur.df.count()
+          if (live > 0 && (emit || round == times || until.isEmpty)) outFrames += cur.df
       }
     }
     if (outFrames.isEmpty) return next(df.limit(0).select(col("__v")))
@@ -533,6 +608,37 @@ final class Traversal private[gie] (g: GGraph, val df: DataFrame) {
     next(branches.map(_.select(cols: _*)).reduce(_ unionAll _))
   }
 
+  /** Value-routed branch (TinkerPop `branch(by).option(v, t)…` — also
+    * the `choose(values(k)).option(…)` spelling; reference
+    * `BranchTreeNode.java:49` and the CaseWhenTreeNode value router):
+    * the router is a per-traverser COLUMN (a property fetch, never a
+    * sub-traversal job), so the split is pure map-side filters — one
+    * predicate per option, zero joins, zero shuffles before the branch
+    * bodies run — and the branch outputs union with bag semantics on
+    * the columns common to every branch. An option keyed `None` is the
+    * TinkerPop `none` default: it takes every traverser matching no
+    * named value (nulls included).
+    */
+  def branchBy(
+      key: Column,
+      options: Seq[(Option[String], Traversal => Traversal)]): Traversal = {
+    require(options.nonEmpty, "branch() needs at least one option()")
+    val named = options.collect { case (Some(v), _) => v }
+    val keyed = df.withColumn("__route", key)
+    val branches = options.map {
+      case (Some(v), f) =>
+        f(next(keyed.where(col("__route") === lit(v)).drop("__route"))).df
+      case (None, f) =>
+        f(next(keyed.where(
+          col("__route").isNull || !col("__route").isin(named: _*))
+          .drop("__route"))).df
+    }
+    val common = branches.map(_.columns.toSet).reduce(_ intersect _)
+    require(common.contains("__v"), "branch options must stay vertex-typed")
+    val cols = branches.head.columns.filter(common.contains).toSeq.map(col)
+    next(branches.map(_.select(cols: _*)).reduce(_ unionAll _))
+  }
+
   /** Union (`algebra.proto:74,394`, Gremlin union()): run each branch
     * sub-traversal from the current traverser frame and merge the
     * outputs with bag semantics — traverser multiplicity preserved, as
@@ -670,12 +776,19 @@ final class Traversal private[gie] (g: GGraph, val df: DataFrame) {
     * policy as [[pathOids]] (ids ride every upstream shuffle; strings
     * exist only past this point).
     */
-  def selectTags(tags: Seq[String]): DataFrame = {
+  def selectTags(tags: Seq[String]): DataFrame = selectTags(tags, Set.empty)
+
+  /** [[selectTags]] with scalar tags: a tag in `scalar` (e.g. the
+    * `path().count(local).as('b')` distance of LDBC CR-1) is projected
+    * as-is instead of oid-decoded through the vertex table.
+    */
+  def selectTags(tags: Seq[String], scalar: Set[String]): DataFrame = {
     require(tags.nonEmpty, "select() needs at least one tag")
     val vs = g.vertices
-    tags.foldLeft(df)((d, tg) =>
+    tags.filterNot(scalar.contains).foldLeft(df)((d, tg) =>
       d.join(vs.select(col("id").as(tg), col("oid").as(s"__oid_$tg")), Seq(tg)))
-      .select(tags.map(tg => col(s"__oid_$tg").as(tg)): _*)
+      .select(tags.map(tg =>
+        (if (scalar.contains(tg)) col(tg) else col(s"__oid_$tg")).as(tg)): _*)
   }
 
   /** Gremlin `sample(n)` (MaxGraph `MetapathSample`, `unarystep/
@@ -808,6 +921,35 @@ object G {
   def V(g: LinkGraph, pred: Column): Traversal = V(GGraph(g), pred)
 
   def V(pg: PropertyGraph, pred: Column): Traversal = V(GGraph(pg), pred)
+
+  /** Edge-scan source (`g.E()` — the reference's first-class edge source,
+    * `SourceEdgeOperator` in `interactive_engine/executor/runtime/src/
+    * dataflow/operator/sourcestep/edge.rs:89`; ScanOpt EDGE in
+    * `research/query_service/ir/proto/algebra.proto:196`): one
+    * edge-positioned traverser per edge, in the same representation
+    * [[Traversal.outE]] produces (`__v` = END, `__src`, `__w`, and
+    * `__elabel` on labeled graphs), so the whole edge-step family
+    * (inV/outV/otherV, weight predicates, drop) composes unchanged. The
+    * optional predicate lands directly ON the edge scan — at scale,
+    * partition pruning on a label/weight-partitioned edge table.
+    */
+  def E(g: GGraph): Traversal = E(g, lit(true))
+
+  def E(g: GGraph, pred: Column): Traversal = {
+    val e0 = g.edges.where(pred)
+    val e = if (e0.columns.contains("label"))
+      e0.withColumnRenamed("label", "__elabel") else e0
+    val cols = Seq(col("dst").as("__v"), col("src").as("__src"),
+      col("weight").as("__w"), col("dst").as("__other")) ++
+      (if (g.labeled) Seq(col("__elabel")) else Seq.empty)
+    new Traversal(g, e.select(cols: _*))
+  }
+
+  def E(g: LinkGraph): Traversal = E(GGraph(g))
+
+  def E(g: LinkGraph, pred: Column): Traversal = E(GGraph(g), pred)
+
+  def E(pg: PropertyGraph): Traversal = E(GGraph(pg))
 
   /** Greedy cost-based match-sentence order (patmat.rs:76-889's
     * cost-scored sentence pick over the left-deep join shape): start

@@ -93,6 +93,14 @@ object Hll {
     * linear counting (m·ln(m/V)) applies below 2.5·m with empty
     * registers, exactly as in the HLL paper; above that the raw harmonic
     * estimate is exact-arithmetic all the way to the final division.
+    *
+    * Cross-engine caveat: the bit-identical guarantee holds only in the
+    * RAW harmonic branch (exact power-of-two adds + one division). The
+    * linear-counting branch calls `log()` (JVM libm) vs the twin's
+    * DuckDB `ln()` — last-ulp differences between libm implementations
+    * are possible, so a 4-dp round could flake near a rounding boundary.
+    * Driver-checked estimateCount queries must stay pinned to the raw
+    * regime (cardinality ≥ 2.5·m ≈ 2560), as `tg_gremlin_hll` is.
     */
   def estimate(keys: DataFrame): DataFrame = {
     registers(keys)

@@ -12,11 +12,13 @@ import graft.graph.LinkGraph
   * neighbor sampler family, e.g. learning_engine's k-hop fanout
   * samplers): per hop `h` with fanout `f`, every (seed, parent) pair
   * fills `f` deterministic child *slots*; slot `j` takes the
-  * out-neighbor minimizing a portable pick hash salted by
-  * (pickSeed, h, j). Slot-hashing approximates sampling without
-  * replacement (two slots may collide on the same child — kept as
-  * distinct slots, like a with-replacement draw); the next hop's
-  * frontier dedups (seed, child).
+  * out-neighbor minimizing an avalanche-mixed pick hash salted by
+  * (pickSeed, h, j). The composite (parent, child, salt, slot) value is
+  * passed through [[graft.ml.Hll.mix]] — a linear slot offset alone
+  * preserves the candidate ordering mod p (every slot would pick the
+  * same child; the avalanche makes slots genuinely diversify, like a
+  * with-replacement draw; two slots may still collide by chance — kept
+  * as distinct slots). The next hop's frontier dedups (seed, child).
   *
   * Scale shape: each slot pick is a map-side-combined `min_by` keyed by
   * (seed, parent, slot) — NEVER a window over a parent's adjacency, so
@@ -41,17 +43,19 @@ object NeighborSample {
       .join(g.vertices.toDF.select(col("id").as("src"), col("oid").as("parent")), "src")
       .join(g.vertices.toDF.select(col("id").as("dst"), col("oid").as("child")), "dst")
       .select("parent", "child")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var frontier = seedOids.toDF("seed").select(col("seed"), col("seed").as("parent"))
     val hops = fanouts.zipWithIndex.map { case (f, h) =>
       val salt = pickSeed * 1000003L + h * 7919L
       val cand = frontier.join(oidEdges, Seq("parent"))
         .select(col("seed"), col("parent"), col("child"),
           explode(sequence(lit(0), lit(f - 1))).as("slot"))
-        .withColumn("__pick",
+        // composite < p < 2^30, so Hll.mix degenerates to ONE fin pass —
+        // the SQL twin unrolls exactly that chain (SynthSql5.neighborSampleSql)
+        .withColumn("__pick", graft.ml.Hll.mix(
           (graft.text.TextOps.portableHash(col("parent")) * 31L +
             graft.text.TextOps.portableHash(col("child")) * 17L +
-            lit(salt) + col("slot").cast("long") * 104729L) % p)
+            lit(salt) + col("slot").cast("long") * 104729L) % p))
       // deterministic argmin per slot; ties on the raw hash break to the
       // lexicographically smaller child (same portable tie rule as
       // samplingStep / its row_number twin)
@@ -62,8 +66,10 @@ object NeighborSample {
       picked.select(col("seed").as("seed_oid"), lit(h + 1).as("hop"),
         col("parent").as("parent_oid"), col("child").as("child_oid"), col("slot"))
     }
-    val out = hops.reduce(_ unionByName _)
-    oidEdges.unpersist()
+    // force the lazy per-hop checkpoints while the pinned edge frame is
+    // hot, so the caller's first action is a checkpoint read
+    val out = Engine.materialize(hops.reduce(_ unionByName _))
+    out.count()
     out
   }
 }

@@ -559,29 +559,42 @@ object SynthSql5 {
 
   /** Twin of `NeighborSample.sample`: per hop, per (seed, parent, slot)
     * the pick-hash argmin over the out-adjacency (row_number twin of the
-    * Spark side's map-side-combined min_by; ties pick, then child).
+    * Spark side's map-side-combined min_by; ties pick, then child). The
+    * composite pick value goes through ONE `Hll.fin` avalanche pass,
+    * staged as chained CTEs — identical to the Spark side's `Hll.mix`
+    * because the composite is < HashP < 2^30 (the high-bits fold is a
+    * no-op). Without the avalanche a linear slot offset preserves the
+    * candidate ordering mod p and every slot picks the same child.
     */
   def neighborSampleSql(
       sf: Double, seeds: Seq[String], fanouts: Seq[Int], pickSeed: Long = 42L): String = {
     val p = graft.text.TextOps.HashP
+    val mm = graft.ml.Hll.Mask
     val sv = seeds.map(s => s"('$s')").mkString(", ")
     val body = fanouts.zipWithIndex.map { case (f, h) =>
       val salt = pickSeed * 1000003L + h * 7919L
       val slots = (0 until f).map(j => s"($j)").mkString(", ")
       val prev = if (h == 0) "f0" else s"fr$h"
-      val pick = s"((${LshSql.phash("e.src_oid")} * 31 + ${LshSql.phash("e.dst_oid")} * 17 + " +
+      val comp = s"((${LshSql.phash("e.src_oid")} * 31 + ${LshSql.phash("e.dst_oid")} * 17 + " +
         s"$salt + sl.slot * 104729) % $p)"
+      val keep = "seed, parent, child, slot"
       s"""sl$h(slot) AS (VALUES $slots),
          |c$h AS (
          |  SELECT fr.seed, e.src_oid AS parent, e.dst_oid AS child, sl.slot,
-         |         $pick AS pick
+         |         $comp AS v
          |  FROM $prev fr JOIN edges_oid e ON e.src_oid = fr.parent
          |  CROSS JOIN sl$h sl),
+         |x${h}1 AS (SELECT $keep, ((v * 2654435761) & $mm) AS v FROM c$h),
+         |x${h}2 AS (SELECT $keep, xor(v, v >> 15) AS v FROM x${h}1),
+         |x${h}3 AS (SELECT $keep, ((v * 2246822519) & $mm) AS v FROM x${h}2),
+         |x${h}4 AS (SELECT $keep, xor(v, v >> 13) AS v FROM x${h}3),
+         |x${h}5 AS (SELECT $keep, ((v * 3266489917) & $mm) AS v FROM x${h}4),
+         |x${h}6 AS (SELECT $keep, xor(v, v >> 16) AS pick FROM x${h}5),
          |p$h AS MATERIALIZED (
          |  SELECT seed, parent, slot, child FROM (
          |    SELECT seed, parent, slot, child,
          |           row_number() OVER (PARTITION BY seed, parent, slot ORDER BY pick, child) AS rn
-         |    FROM c$h) z WHERE rn = 1),
+         |    FROM x${h}6) z WHERE rn = 1),
          |fr${h + 1} AS (SELECT DISTINCT seed, child AS parent FROM p$h)""".stripMargin
     }.mkString(",\n")
     val sel = fanouts.indices.map(h =>

@@ -1,0 +1,111 @@
+package graft.synth
+
+/** DuckDB oracle SQL, wave 6: twins for the round-5 interactive-plane
+  * surface — the LDBC CR-1 step family (identity/dedup-by/step-level
+  * path + count(local)/tag-then-property ordering), the `g.E()` edge
+  * source, RangeGlobal pagination, `math()` per-traverser expressions,
+  * and the Gremlin mutation plane (addV/addE/drop over the versioned
+  * snapshot store).
+  */
+object SynthSql6 {
+
+  /** LDBC interactive-complex-1 twin (reference query shape
+    * `interactive_engine/benchmark/queries/interactive-complex-1
+    * .gremlin:1`): from `seed`, the 1..3-hop reply-neighborhood with
+    * `union(identity(), …)` nesting, deduped by vertex KEEPING the
+    * minimum-hop walk (`dedup().by('id')`), filtered to user vertices
+    * (`has('firstName', eq(…))` analog), with the walk length projected
+    * via `path().count(local)` (b = hops + 1 — the path array starts at
+    * the seed), ordered by (b, oid) and limited. Unrolled as three
+    * distinct-frontier hops; the min-b per vertex is exactly the
+    * min-size surviving walk the Spark side's dedup keeps.
+    */
+  def cr1Sql(sf: Double, seed: String, limit: Int): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |er AS MATERIALIZED (SELECT DISTINCT src_oid, dst_oid FROM reply),
+       |h1 AS MATERIALIZED (
+       |  SELECT DISTINCT dst_oid AS oid FROM er WHERE src_oid = '$seed'),
+       |h2 AS MATERIALIZED (
+       |  SELECT DISTINCT e.dst_oid AS oid FROM er e JOIN h1 f ON e.src_oid = f.oid),
+       |h3 AS MATERIALIZED (
+       |  SELECT DISTINCT e.dst_oid AS oid FROM er e JOIN h2 f ON e.src_oid = f.oid),
+       |d AS (SELECT oid, CAST(min(b) AS BIGINT) AS b FROM (
+       |  SELECT oid, 2 AS b FROM h1
+       |  UNION ALL SELECT oid, 3 AS b FROM h2
+       |  UNION ALL SELECT oid, 4 AS b FROM h3) z GROUP BY oid)
+       |SELECT oid AS a, b FROM d WHERE oid LIKE 'u%'
+       |ORDER BY b, oid LIMIT $limit""".stripMargin
+
+  /** `g.E()` edge-scan source twin (`sourcestep/edge.rs:89`, ScanOpt
+    * EDGE): weight predicate directly on the edge table, then
+    * GetV(START) + groupCount by source oid.
+    */
+  def esourceSql(sf: Double, minW: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT vs.oid AS oid, count(*) AS n
+       |FROM dedges e JOIN vertices vs ON vs.id = e.src
+       |WHERE e.weight >= $minW
+       |GROUP BY vs.oid""".stripMargin
+
+  /** RangeGlobal pagination twin (`RangeGlobalTreeNode.java:31`):
+    * in-degree groupCount ordered (n desc, oid asc) — a total order, so
+    * the [lo, hi) page is deterministic cross-engine.
+    */
+  def rangeSql(sf: Double, lo: Int, hi: Int): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |gc AS (SELECT vd.oid AS oid, count(*) AS n
+       |       FROM dedges e JOIN vertices vd ON vd.id = e.dst
+       |       GROUP BY vd.oid)
+       |SELECT oid, n FROM gc ORDER BY n DESC, oid ASC
+       |LIMIT ${hi - lo} OFFSET $lo""".stripMargin
+
+  /** `math()` twin (`MathTreeNode.java:36`): per-edge computed
+    * expression over the weight value. Only IEEE-correctly-rounded ops
+    * (+ - * / sqrt abs) — bit-identical across JVM and DuckDB, unlike
+    * log/exp (libm last-ulp drift), which the math() grammar therefore
+    * excludes.
+    */
+  def mathSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT sqrt(abs(weight - 3.0)) * 2.0 + 1.0 / (weight + 1.0) AS val
+       |FROM dedges""".stripMargin
+
+  /** Value-routed branch twin (`BranchTreeNode.java:49` /
+    * CaseWhenTreeNode): `g.V().branch(label()).option('user',
+    * out('reply')).option('tool', in('invoke')).option(none,
+    * identity()).groupCount().by('label')` — users route to their
+    * distinct reply-out neighbors, tools to their distinct invoke-in
+    * sources, everyone else passes through; counts by landing label.
+    */
+  def branchSql(sf: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |er AS (SELECT DISTINCT src_oid, dst_oid FROM reply),
+       |ei AS (SELECT DISTINCT src_oid, dst_oid FROM invoke),
+       |routed AS (
+       |  SELECT e.dst_oid AS oid FROM er e
+       |  WHERE ${SynthSql5.labelOf("e.src_oid")} = 'user'
+       |  UNION ALL
+       |  SELECT e.src_oid AS oid FROM ei e
+       |  WHERE ${SynthSql5.labelOf("e.dst_oid")} = 'tool'
+       |  UNION ALL
+       |  SELECT v.oid AS oid FROM vertices v
+       |  WHERE ${SynthSql5.labelOf("v.oid")} NOT IN ('user', 'tool')
+       |)
+       |SELECT ${SynthSql5.labelOf("oid")} AS label, count(*) AS n
+       |FROM routed GROUP BY 1""".stripMargin
+
+  /** Gremlin mutation-plane twin (groot realtime write,
+    * `record.py:22-82`): the base edge set after
+    * `g.addV().property('oid','$newOid')`, `g.V().has('oid',
+    * 'assistant').addE().to(V().has('oid','$newOid')).property('weight',
+    * $w)` and `g.V().has('oid','$dropOid').drop()` — the dropped
+    * vertex's incident edges are pruned, the inserted edge survives.
+    */
+  def gremlinMutateSql(sf: Double, dropOid: String, newOid: String, w: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |mut AS (
+       |  SELECT src_oid, dst_oid, weight FROM edges_oid
+       |  WHERE src_oid <> '$dropOid' AND dst_oid <> '$dropOid'
+       |  UNION ALL SELECT 'assistant', '$newOid', CAST($w AS DOUBLE))
+       |SELECT src_oid, dst_oid, weight FROM mut""".stripMargin
+}

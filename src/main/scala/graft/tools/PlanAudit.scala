@@ -42,6 +42,8 @@ object PlanAudit {
       "tg_gremlin_distinct", "tg_gremlin_sample",
       "tg_gremlin_haslabel", "tg_gremlin_edgelabel", "tg_salted_hub",
       "tg_gremlin_ldbc_top", "tg_gremlin_ldbc_filter", "tg_numeric_assort",
+      "tg_gremlin_ldbc_cr1", "tg_gremlin_esource", "tg_gremlin_range",
+      "tg_gremlin_math",
       "d_pack_chunks", "d_pack_stats").foreach(audit)
 
     // Sequence packing: the running-token-sum window must be partitioned
@@ -142,6 +144,91 @@ object PlanAudit {
       println(s"---- hll_registers summary: partialMax=${plan.contains("partial_max")} " +
         s"exchanges=${countOf(plan, "Exchange")} " +
         s"window=${plan.contains("Window")}")
+    }
+
+    // g.E() edge-scan source: the weight predicate must land directly ON
+    // the edge scan (PushedFilters on a parquet-backed graph — at scale,
+    // partition pruning on a label/weight-partitioned edge table), never
+    // behind a vertex join.
+    {
+      val gm = SparkEntry.graphFor(spark, sfDir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-audit-e").toString
+      gm.vertices.write.mode("overwrite").parquet(s"$tmp/v")
+      gm.edges.write.mode("overwrite").parquet(s"$tmp/e")
+      import spark.implicits._
+      val gp = graft.graph.LinkGraph(
+        spark.read.parquet(s"$tmp/v").as[graft.schema.Vertex],
+        spark.read.parquet(s"$tmp/e").as[graft.schema.Edge])
+      val plan = graft.gie.G.E(gp, col("weight") >= lit(3.0)).df
+        .queryExecution.executedPlan.toString
+      println("==== gremlin_esource ====")
+      println(plan.take(2000))
+      println(s"---- gremlin_esource summary: " +
+        s"weightPushedToScan=${"PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(weight".r.findFirstIn(plan).isDefined} " +
+        s"joinsBelowFilter=${countOf(plan, "Join")} " +
+        s"exchanges=${countOf(plan, "Exchange")}")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+
+    // repeat().until() loop: the until sub-traversal must be evaluated
+    // exactly ONCE per round (the round-4 shape ran it twice — once for
+    // the exit semi-join, once for the survivor anti-join; both now
+    // derive from one materialized hit set).
+    {
+      val gm = SparkEntry.graphFor(spark, sfDir)
+      var untilEvals = 0
+      var rounds = 0
+      val out = graft.gie.G.V(gm).repeatUntil(
+        body = t => { rounds += 1; t.out() },
+        until = Some { t => untilEvals += 1; t.out() },
+        emit = false, times = 5)
+      out.df.count()
+      println("==== repeat_until ====")
+      println(s"---- repeat_until summary: rounds=$rounds untilEvals=$untilEvals " +
+        s"oncePerRound=${untilEvals <= rounds}")
+    }
+
+    // frontier-sparse PPR: per-round state rows must track the touched
+    // set (growing from 1), never start at |V| — the dense twin touches
+    // all |V| rows every round by construction.
+    {
+      val gm = SparkEntry.graphFor(spark, sfDir)
+      val nV = gm.numVertices
+      val seed = gm.vertices.toDF.where(col("oid") === "tool:t0")
+        .select(col("id")).head().getLong(0)
+      val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      graft.algos.PageRank.personalizedSparse(gm, seed, rounds = 6,
+        stateProbe = Some((_, n) => sizes += n)).count()
+      println("==== ppr_sparse ====")
+      println(s"---- ppr_sparse summary: nV=$nV stateRowsPerRound=${sizes.mkString(",")} " +
+        s"startsAtSeed=${sizes.headOption.contains(1L)} " +
+        s"sparseFirstRounds=${sizes.take(3).forall(_ < nV)}")
+    }
+
+    // pinned-edge superstep (Engine.pin = eager localCheckpoint): the
+    // checkpointed LogicalRDD must RETAIN hashpartitioning(src) so the
+    // co-partitioned shuffle_hash join still plans zero input exchanges
+    // — if pin dropped partitioning this plan would show 3 exchanges,
+    // not 1, and every superstep would re-shuffle the edge table.
+    {
+      val gm = SparkEntry.graphFor(spark, sfDir)
+      graft.engine.Engine.withoutAQE(spark) {
+        val e = graft.engine.Engine.pin(
+          gm.edges.toDF.select(col("src"), col("dst"), lit(1.0).as("w"))
+            .repartition(col("src")))
+        val cPrev = graft.engine.Engine.pin(
+          gm.vertices.toDF.select(col("id"), lit(0.0).as("c"))
+            .repartition(col("id")))
+        val superstep = e
+          .join(cPrev.select(col("id").as("src"), col("c")).hint("shuffle_hash"), Seq("src"), "left")
+          .select(col("dst"), (col("w") * col("c")).as("m"))
+          .groupBy(col("dst")).agg(sum(col("m")).as("c"))
+        val plan = superstep.queryExecution.executedPlan.toString
+        println("==== pagerank_superstep_pinned ====")
+        println(plan.take(1500))
+        println(s"---- pagerank_superstep_pinned summary: exchanges=${countOf(plan, "Exchange")} " +
+          s"shuffleHash=${countOf(plan, "ShuffledHashJoin")}")
+      }
     }
 
     // one PageRank superstep plan: build graph and show the gather job

@@ -70,6 +70,21 @@ class AlgoSpec extends SparkSpec {
     assert(got(seed.toLong) >= 0.15, "seed rank must carry the teleport floor")
   }
 
+  test("frontier-sparse personalized pagerank equals the dense form") {
+    val seed = 3
+    val dense = PageRank.personalized(g, seed.toLong, rounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sparse = PageRank.personalizedSparse(g, seed.toLong, rounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // identical recurrence, dropped terms are exact zeros — the only
+    // divergence channel is fp aggregation order, so the bound is tight
+    assert(sparse.size == n, "sparse PPR must re-densify to full rank at exit")
+    (0 until n).foreach { i =>
+      assert(math.abs(dense(i.toLong) - sparse(i.toLong)) < 1e-12,
+        s"vertex $i: dense ${dense(i.toLong)} vs sparse ${sparse(i.toLong)}")
+    }
+  }
+
   test("wcc matches oracle exactly") {
     val got = WCC.run(g).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = Oracle.wcc(n, edges)

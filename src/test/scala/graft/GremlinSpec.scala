@@ -458,6 +458,26 @@ class GremlinSpec extends SparkSpec {
     assert(replyW.collect().map(_.getDouble(0)).sorted.toSeq == Seq(1.0, 1.0))
   }
 
+  test("value-routed branch(): label router, named options, none default") {
+    // users expand via reply, assistants via invoke, the rest (t0) pass
+    // through: 3 reply landings (assistant) + 2 invoke landings + t0
+    val got = Gremlin.run(pg,
+      "g.V().branch(__.label())" +
+        ".option('user', __.out('reply'))" +
+        ".option('assistant', __.out('invoke'))" +
+        ".option(none, __.identity())" +
+        ".groupCount().by('label')")
+    assert(rows(got) == Set("assistant|3", "tool|3"))
+    // choose(values(k)).option(…) is the same value router (TinkerPop
+    // spells both; the reference lowers both through CaseWhenTreeNode)
+    val oidRouted = Gremlin.run(pg,
+      "g.V().choose(__.values('oid'))" +
+        ".option('a0', __.out('invoke'))" +
+        ".option(none, __.identity())" +
+        ".values('oid')")
+    assert(rows(oidRouted) == Set("u0", "u1", "a1", "t0"))
+  }
+
   test("label steps require a labeled graph; ranges still parse as expands") {
     intercept[IllegalArgumentException](
       Gremlin.run(g, "g.V().hasLabel('user').values('oid')"))
@@ -606,6 +626,97 @@ class GremlinSpec extends SparkSpec {
     val lp = Gremlin.run(g,
       "g.V().labelPropagation().times(2).has('oid','u0').values('communityLabel')")
     assert(rows(pp) == rows(lp))
+  }
+
+  test("g.E() edge-scan source composes with the edge-step family") {
+    // one traverser per edge; outV = edge START → out-degree counts
+    val deg = Gremlin.run(g, "g.E().outV().groupCount().by('oid')")
+    assert(rows(deg) == Set("u0|2", "u1|1", "a0|2", "a1|1", "t0|1"))
+    // the weight predicate lands on the edge scan (all fixture weights
+    // are 1.0: gte keeps everything, gt drops everything)
+    assert(Gremlin.run(g, "g.E().has('weight', P.gte(1)).count()")
+      .collect().head.getLong(0) == 7L)
+    assert(Gremlin.run(g, "g.E().has('weight', P.gt(1)).count()")
+      .collect().head.getLong(0) == 0L)
+  }
+
+  test("LDBC CR-1 step family: identity/dedup-by-id/path count(local)/ordered page") {
+    val got = Gremlin.run(g,
+      "g.V().has('oid', 'u0').out()" +
+        ".union(identity(), out().union(identity(), out()))" +
+        ".dedup().by('id').as('a').path().count(local).as('b').select('a')" +
+        ".order().by(select('b'), incr).by('oid').limit(10).select('a', 'b')")
+    // min-hop walk per vertex: a0/a1 at 1 hop (b=2), t0 at 2 (b=3,
+    // via either a0 or a1 — dedup keeps exactly one), u1 at 3 (b=4)
+    assert(rows(got) == Set("a0|2", "a1|2", "t0|3", "u1|4"))
+    // dedup().by(prop): one traverser per distinct oid value
+    val byProp = Gremlin.run(g,
+      "g.V().out().dedup().by('oid').values('oid')")
+    assert(byProp.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("a0", "a1", "t0", "u1"))
+  }
+
+  test("range/skip/tail paginate an ordered traverser stream") {
+    def page(q: String): Seq[String] =
+      Gremlin.run(g, q).collect().map(_.getString(0)).toSeq
+    assert(page("g.V().order().by('oid').range(1, 3).values('oid')") == Seq("a1", "t0"))
+    assert(page("g.V().order().by('oid').skip(3).values('oid')") == Seq("u0", "u1"))
+    assert(page("g.V().order().by('oid').tail(2).values('oid')") == Seq("u0", "u1"))
+    // terminal-frame pagination (after groupCount/order)
+    val gc = Gremlin.run(g,
+      "g.V().out().groupCount().by('oid')" +
+        ".order().by(select(values), desc).by(select(keys), asc).range(1, 3)")
+    assert(rows(gc) == Set("a1|2", "t0|2")) // in-deg: a0:2, a1:2, t0:2, u1:1
+  }
+
+  test("math() computes a per-traverser expression with correct precedence") {
+    val vals = Gremlin.run(g,
+      "g.V().outE().values('weight').math('(_ + 1) * 2 + 1 / (_ + 3)')")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(vals.size == 7 && vals.forall(v => math.abs(v - 4.25) < 1e-15))
+    // sqrt/abs and unary minus; _ = 1.0 → sqrt(abs(1 - 5)) - 1 = 1
+    val v2 = Gremlin.run(g,
+      "g.V().outE().values('weight').math('sqrt(abs(_ - 5)) - 1')")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(v2.forall(v => math.abs(v - 1.0) < 1e-15))
+    intercept[IllegalArgumentException](
+      Gremlin.run(g, "g.V().outE().values('weight').math('log(_)')"))
+  }
+
+  test("mutation plane: addV/property/addE/drop commit snapshot versions") {
+    val root = java.nio.file.Files.createTempDirectory("graft-gmut-spec")
+    try {
+      val store = new graft.ingest.SnapshotStore(root.toString)
+      val (g1, v1) = Gremlin.mutate(g,
+        "g.addV().property('oid', 'x0')", store, "vs", "es")
+      assert(g1.vertices.count() == 6)
+      val (g2, _) = Gremlin.mutate(g1,
+        "g.V().has('oid', 'a0').addE().to(V().has('oid', 'x0')).property('weight', 5)",
+        store, "vs", "es")
+      assert(g2.edges.count() == 8)
+      val (g3, v3) = Gremlin.mutate(g2,
+        "g.V().has('oid', 't0').drop()", store, "vs", "es")
+      // t0's three incident edges pruned with it
+      assert(g3.vertices.count() == 5 && g3.edges.count() == 5)
+      assert(v3 > v1, "each write group must commit a NEW snapshot version")
+      val (g4, _) = Gremlin.mutate(g3,
+        "g.E().has('weight', P.gte(5)).drop()", store, "vs", "es")
+      val left = g4.edges.toDF
+        .join(g4.vertices.toDF.select(col("id").as("src"), col("oid").as("s")), "src")
+        .join(g4.vertices.toDF.select(col("id").as("dst"), col("oid").as("d")), "dst")
+        .select(col("s"), col("d"))
+      assert(rows(left) == Set("u0|a0", "u0|a1", "u1|a0", "a0|a1"))
+      // property update: oid rename rides the add-batch-wins merge
+      val (g5, _) = Gremlin.mutate(g4,
+        "g.V().has('oid', 'x0').property('oid', 'x1')", store, "vs", "es")
+      assert(g5.vertices.toDF.where(col("oid") === "x1").count() == 1)
+      assert(g5.vertices.toDF.where(col("oid") === "x0").count() == 0)
+      // read-your-writes: the latest snapshot IS the returned graph
+      val (latestV, latestVs) = store.readLatest(spark, "vs").get
+      assert(latestV >= v3 && latestVs.count() == g5.vertices.count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
   }
 
   test("parse errors are rejected with position info") {

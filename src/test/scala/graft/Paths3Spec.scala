@@ -35,6 +35,17 @@ class Paths3Spec extends SparkSpec {
     // hop-2 parents came from hop-1 children of the same seed
     val h1c = rows.filter(_._2 == 1).map(t => (t._1, t._4)).toSet
     assert(rows.filter(_._2 == 2).forall(t => h1c.contains((t._1, t._3))))
+    // slot diversification: with the avalanche-mixed pick, the two slots
+    // of a parent with out-degree >= 2 usually choose DIFFERENT children
+    // (a linear slot offset preserved the candidate ordering mod p, so
+    // every slot picked the same child ~99.9% of the time)
+    val odeg = edges.groupBy(_._1).map { case (a, es) =>
+      (f"v$a%06d", es.map(_._2).distinct.size) }
+    val eligible = rows.groupBy(t => (t._1, t._2, t._3)).values.toSeq
+      .filter(grp => grp.size == 2 && odeg.getOrElse(grp.head._3, 0) >= 2)
+    val diverse = eligible.count(grp => grp.map(_._4).distinct.size == 2)
+    assert(eligible.nonEmpty && diverse * 2 > eligible.size,
+      s"slots rarely diversify: $diverse of ${eligible.size}")
     // hash-gated, not rand(): re-running reproduces the sample exactly
     val again = graft.ml.NeighborSample.sample(g, seeds, Seq(2, 2))
       .collect().map(_.toString).sorted.toSeq
