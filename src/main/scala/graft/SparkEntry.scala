@@ -833,6 +833,14 @@ object SparkEntry {
     "tg_gremlin_math" -> ((s, dir) =>
       graft.gie.Gremlin.run(graphFor(s, dir),
         "g.V().outE().values('weight').math('sqrt(abs(_ - 3)) * 2 + 1 / (_ + 1)')")),
+    // sack() traverser-local accumulator: per 2-edge walk from the
+    // assistant hub, sack = w1 + w2 (integer-valued doubles — exact);
+    // the sack is a plain column riding the traverser, zero shuffles
+    "tg_gremlin_sack" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.withSack(0).V().has('oid', 'assistant')" +
+          ".outE().sack(sum).by('weight')" +
+          ".inV().outE().sack(sum).by('weight').sack()")),
     // edge-label plane: outE() carries the edge label (__elabel);
     // group().by('label').by(values('weight').sum()) = total per-label
     // occurrence weight (reply vs invoke)
@@ -1526,6 +1534,7 @@ object SparkEntry {
     "tg_gremlin_esource" -> graft.synth.SynthSql6.esourceSql(OracleSf, 3.0),
     "tg_gremlin_range" -> graft.synth.SynthSql6.rangeSql(OracleSf, 5, 25),
     "tg_gremlin_math" -> graft.synth.SynthSql6.mathSql(OracleSf),
+    "tg_gremlin_sack" -> graft.synth.SynthSql6.sackSql(OracleSf, "assistant"),
     "tg_gremlin_edgelabel" -> graft.synth.SynthSql5.gieEdgeLabelSumSql(OracleSf),
     // algorithm-step bridges: same result contract as the direct apps
     "tg_gremlin_pagerank_step" -> SynthSql.pageRankSql(OracleSf, PrRounds),

@@ -233,7 +233,11 @@ object Gremlin {
       // or — for edge-centric audit queries — directly at the edge scan
       case Step("V", Nil) :: t => (G.V(g), t)
       case Step("E", Nil) :: t => (G.E(g), t)
-      case _ => throw new IllegalArgumentException("traversal must start with g.V() or g.E()")
+      // g.withSack(n).V()… — traverser-local accumulator init
+      case Step("withSack", List(Num(n))) :: Step("V", Nil) :: t =>
+        (G.V(g).withSack(n.toDouble), t)
+      case _ => throw new IllegalArgumentException(
+        "traversal must start with g.V(), g.E() or g.withSack(n).V()")
     }
     // step-level path() (PathTreeNode) needs the source switched into
     // path-tracked mode before the first expansion
@@ -522,6 +526,15 @@ object Gremlin {
         // incoming value (grammar: + - * / parens, sqrt/abs, numbers)
         case ("math", List(Lit(e))) =>
           st = Right(d.select(mathCol(e, col(d.columns.last)).as("val")))
+        // sack fold: sack(sum|minus|mult|div|assign).by('field');
+        // bare sack() is the terminal accumulator projection
+        case ("sack", List(Sym(op))) => rest match {
+          case Step("by", List(Lit(f))) :: tl =>
+            st = Left(t.sackBy(op, f)); rest = tl
+          case _ => throw new IllegalArgumentException(
+            "sack(op) needs a .by('field') modulator")
+        }
+        case ("sack", Nil) => st = Right(t.sackValue())
         case ("as", List(Lit(tag))) => st = Left(t.as_(tag))
         case ("select", List(Lit(tag))) => st = Left(t.back(tag))
         // multi-tag Sink projection: one oid-decoded column per tag

@@ -80,6 +80,36 @@ final class Traversal private[gie] (
     * e.g. the project() modulator chain).
     */
   private[gie] def mapFrame(f: DataFrame => DataFrame): Traversal = next(f(df))
+
+  /** Initialize the per-traverser sack (TinkerPop `withSack(init)`; the
+    * reference's traverser-local accumulator plane). The sack rides the
+    * traverser as a plain `__sack` column — it survives every expansion
+    * ([[carried]] drops only stale fetched properties), costs zero
+    * shuffles, and folds via codegen'd column arithmetic.
+    */
+  def withSack(init: Double): Traversal =
+    next(df.withColumn("__sack", lit(init)))
+
+  /** Fold a value into the sack (`sack(Operator.X).by(field)`):
+    * `sum`/`minus`/`mult`/`div`/`assign` over the traverser's current
+    * field (edge-positioned `weight` = `__w`). Pure row-local math.
+    */
+  def sackBy(op: String, field: String): Traversal = {
+    require(df.columns.contains("__sack"), "sack() requires withSack(init)")
+    val v = if (field == "weight" && df.columns.contains("__w")) col("__w") else col(field)
+    val folded = op match {
+      case "sum" => col("__sack") + v
+      case "minus" => col("__sack") - v
+      case "mult" => col("__sack") * v
+      case "div" => col("__sack") / v
+      case "assign" => v
+      case other => throw new IllegalArgumentException(s"unsupported sack operator: $other")
+    }
+    next(df.withColumn("__sack", folded))
+  }
+
+  /** Terminal `sack()`: project the accumulated sack per traverser. */
+  def sackValue(): DataFrame = df.select(col("__sack").as("sack"))
   private def edges = g.edges
 
   /** Select/IndexPredicate on the oid property (`algebra.proto:42,162`):

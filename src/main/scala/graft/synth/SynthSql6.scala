@@ -70,6 +70,20 @@ object SynthSql6 {
        |SELECT sqrt(abs(weight - 3.0)) * 2.0 + 1.0 / (weight + 1.0) AS val
        |FROM dedges""".stripMargin
 
+  /** sack() twin: `g.withSack(0).V().has('oid', seed).outE()
+    * .sack(sum).by('weight').inV().outE().sack(sum).by('weight')
+    * .sack()` — one row per 2-edge walk from `seed`, sack = w1 + w2.
+    * Weights are integer-valued doubles, so the sums are exact on both
+    * engines.
+    */
+  def sackSql(sf: Double, seed: String): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT e1.weight + e2.weight AS sack
+       |FROM dedges e1
+       |JOIN vertices vs ON vs.id = e1.src
+       |JOIN dedges e2 ON e2.src = e1.dst
+       |WHERE vs.oid = '$seed'""".stripMargin
+
   /** Value-routed branch twin (`BranchTreeNode.java:49` /
     * CaseWhenTreeNode): `g.V().branch(label()).option('user',
     * out('reply')).option('tool', in('invoke')).option(none,

@@ -478,6 +478,21 @@ class GremlinSpec extends SparkSpec {
     assert(rows(oidRouted) == Set("u0", "u1", "a1", "t0"))
   }
 
+  test("sack(): per-traverser accumulator folds along the walk") {
+    // u0 --2.0--> a0 --{a1:1, t0:1(reply), t0:3(invoke)}, u0 --1.0--> a1 --1.0--> t0
+    val got = Gremlin.run(pg,
+      "g.withSack(0).V().has('oid', 'u0').outE().sack(sum).by('weight')" +
+        ".inV().outE().sack(sum).by('weight').sack()")
+    assert(got.collect().map(_.getDouble(0)).sorted.toSeq == Seq(2.0, 3.0, 3.0, 5.0))
+    // minus from a non-zero init; assign overwrites
+    val minus = Gremlin.run(pg,
+      "g.withSack(10).V().has('oid', 'a1').outE().sack(minus).by('weight').sack()")
+    assert(minus.collect().map(_.getDouble(0)).toSeq == Seq(9.0))
+    val assign = Gremlin.run(pg,
+      "g.withSack(0).V().has('oid', 'a1').outE().sack(assign).by('weight').sack()")
+    assert(assign.collect().map(_.getDouble(0)).toSeq == Seq(1.0))
+  }
+
   test("label steps require a labeled graph; ranges still parse as expands") {
     intercept[IllegalArgumentException](
       Gremlin.run(g, "g.V().hasLabel('user').values('oid')"))
