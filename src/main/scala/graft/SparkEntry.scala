@@ -841,6 +841,30 @@ object SparkEntry {
         "g.withSack(0).V().has('oid', 'assistant')" +
           ".outE().sack(sum).by('weight')" +
           ".inV().outE().sack(sum).by('weight').sack()")),
+    // aggregate(tag) side-effect barrier + where(P.without(tag))
+    // membership anti-join (MaxGraph FoldStore, aggregate.rs:29-815):
+    // 2-hop walks from the hub whose endpoint is NOT a 1-hop neighbor —
+    // the classic visited-set expansion idiom
+    "tg_gremlin_aggregate" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().has('oid', 'system').out().aggregate('x')" +
+          ".out().where(P.without('x')).groupCount().by('oid')")),
+    // cap(tag): the collected bulk set emitted as (oid, n)
+    "tg_gremlin_cap" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().has('oid', TextP.startingWith('u')).out().aggregate('x').cap('x')")),
+    // step-form cyclicPath() over a tracked 2-hop walk (complement of
+    // the SimplePath filter, filter.rs:36-362): walks that return to a
+    // visited vertex, counted per landing oid
+    "tg_gremlin_cyclic" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().has('oid', TextP.startingWith('u')).out().out()" +
+          ".cyclicPath().groupCount().by('oid')")),
+    // tree() sink: the 2-hop traverser histories from the hub merged by
+    // shared prefix — one row per distinct prefix (depth, path_str)
+    "tg_gremlin_tree" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().has('oid', 'system').out().out().tree()")),
     // edge-label plane: outE() carries the edge label (__elabel);
     // group().by('label').by(values('weight').sum()) = total per-label
     // occurrence weight (reply vs invoke)
@@ -1535,6 +1559,10 @@ object SparkEntry {
     "tg_gremlin_range" -> graft.synth.SynthSql6.rangeSql(OracleSf, 5, 25),
     "tg_gremlin_math" -> graft.synth.SynthSql6.mathSql(OracleSf),
     "tg_gremlin_sack" -> graft.synth.SynthSql6.sackSql(OracleSf, "assistant"),
+    "tg_gremlin_aggregate" -> graft.synth.SynthSql7.aggregateSql(OracleSf, "system"),
+    "tg_gremlin_cap" -> graft.synth.SynthSql7.capSql(OracleSf, "u"),
+    "tg_gremlin_cyclic" -> graft.synth.SynthSql7.cyclicSql(OracleSf, "u"),
+    "tg_gremlin_tree" -> graft.synth.SynthSql7.treeSql(OracleSf, "system"),
     "tg_gremlin_edgelabel" -> graft.synth.SynthSql5.gieEdgeLabelSumSql(OracleSf),
     // algorithm-step bridges: same result contract as the direct apps
     "tg_gremlin_pagerank_step" -> SynthSql.pageRankSql(OracleSf, PrRounds),

@@ -260,8 +260,9 @@ object Gremlin {
     def go(ss: List[Step], afterRange: Boolean): Boolean = ss match {
       case Step("out" | "in" | "both", List(Lit(RangeLit(_, _)))) :: tl => go(tl, true)
       case Step("out" | "in" | "both", List(Lit(RangeLit(_, _)), Lit(_))) :: tl => go(tl, true)
-      case Step("simplePath", Nil) :: tl => go(tl, afterRange)
+      case Step("simplePath", Nil) :: tl => if (afterRange) go(tl, afterRange) else true
       case Step("path", Nil) :: tl => if (afterRange) go(tl, false) else true
+      case Step("cyclicPath" | "tree", Nil) :: _ => true
       case _ :: tl => go(tl, false)
       case Nil => false
     }
@@ -585,16 +586,19 @@ object Gremlin {
               s"unsupported tag predicate: $other")
           }
           st = Left(t.where(c))
-        // single-predicate where: compare the CURRENT vertex to a tagged
-        // one (LDBC q5's `where(eq('p'))`)
+        // single-predicate where: membership in an aggregate(tag) side
+        // effect (`where(P.without('x'))` — the visited-set idiom), or
+        // compare the CURRENT vertex to a tagged one (LDBC q5's
+        // `where(eq('p'))`)
         case ("where", List(Pred(fn, Seq(tag)))) =>
-          val c = fn match {
-            case "eq" => col("__v") === col(tag)
-            case "neq" => col("__v") =!= col(tag)
+          st = fn match {
+            case "within" if t.sideEffects.contains(tag) => Left(t.whereWithinSet(tag))
+            case "without" if t.sideEffects.contains(tag) => Left(t.whereWithoutSet(tag))
+            case "eq" => Left(t.where(col("__v") === col(tag)))
+            case "neq" => Left(t.where(col("__v") =!= col(tag)))
             case other => throw new IllegalArgumentException(
               s"unsupported where predicate: $other")
           }
-          st = Left(t.where(c))
         case ("where", List(Sub(sub))) =>
           // a sub-traversal ending in [dedup().]count().is(<p>) is the
           // correlated count predicate (LDBC q3); otherwise Apply-SEMI
@@ -745,6 +749,20 @@ object Gremlin {
             .join(vs.select(col("id").as("src"), col("oid").as("src_oid")), Seq("src"))
             .join(vs.select(col("id").as("dst"), col("oid").as("dst_oid")), Seq("dst"))
             .select(col("src_oid"), col("dst_oid"), col("weight")))
+        // side-effect collection (TinkerPop aggregate/cap; MaxGraph
+        // FoldStore, aggregate.rs:29-815): aggregate(tag) is an eager
+        // barrier folding the traverser bag into a bulk set; cap(tag)
+        // (reaching here = not a subgraph cap, which is consumed above)
+        // emits it as (oid, n)
+        case ("aggregate", List(Lit(tag))) => st = Left(t.aggregateTag(tag))
+        case ("cap", List(Lit(tag))) => st = Right(t.capSet(tag))
+        // path-distinctness filters over a tracked walk (step forms of
+        // MaxGraph SimplePath, filter.rs:36-362, and its complement)
+        case ("cyclicPath", Nil) => st = Left(t.cyclicPath())
+        case ("simplePath", Nil) => st = Left(t.simplePathStep())
+        // tree() sink: traverser histories merged by shared prefix —
+        // one row per distinct prefix (depth, path_str)
+        case ("tree", Nil) => st = Right(t.tree())
         // graph-algorithm step bridges (tinkerpop/steps/PageRankStep/
         // ConnectedComponentsStep/LabelPropagationStep/HitsStep.java):
         // whole-graph VertexProgram semantics, result annotated onto

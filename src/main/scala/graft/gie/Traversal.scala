@@ -60,9 +60,10 @@ private[gie] object GGraphOps {
   * after a path expansion; `oid` after [[auxilia]] (property fetch).
   */
 final class Traversal private[gie] (
-    g: GGraph, val df: DataFrame, private[gie] val track: Boolean = false) {
+    g: GGraph, val df: DataFrame, private[gie] val track: Boolean = false,
+    private[gie] val sideEffects: Map[String, DataFrame] = Map.empty) {
 
-  private def next(d: DataFrame) = new Traversal(g, d, track)
+  private def next(d: DataFrame) = new Traversal(g, d, track, sideEffects)
 
   /** Switch on step-level path tracking (TinkerPop `path()` used as a
     * mid-chain step, reference `PathTreeNode.java:39`): `__path` starts
@@ -74,7 +75,7 @@ final class Traversal private[gie] (
     * expands manage their own path forms.
     */
   def trackPaths(): Traversal =
-    new Traversal(g, df.withColumn("__path", array(col("__v"))), true)
+    new Traversal(g, df.withColumn("__path", array(col("__v"))), true, sideEffects)
 
   /** Same-graph traversal over a transformed frame (front-end plumbing,
     * e.g. the project() modulator chain).
@@ -110,6 +111,43 @@ final class Traversal private[gie] (
 
   /** Terminal `sack()`: project the accumulated sack per traverser. */
   def sackValue(): DataFrame = df.select(col("__sack").as("sack"))
+
+  /** Eager side-effect collection (TinkerPop `aggregate(tag)`; the
+    * MaxGraph FoldStore accumulator, `unarystep/aggregate.rs:29-815`):
+    * the current traverser positions fold into a BULK SET — one
+    * materialized `(id, bulk)` row per distinct vertex, so the step is
+    * a barrier exactly as in the reference — keyed by `tag` for later
+    * steps: `where(P.within/without(tag))` prunes by membership,
+    * `cap(tag)` emits the set. Only bare ids cross the barrier; at any
+    * scale the set is ≤|V| rows regardless of traverser multiplicity.
+    */
+  def aggregateTag(tag: String): Traversal = {
+    val bulk = Engine.materialize(
+      df.groupBy(col("__v").as("__agg_v")).agg(count(lit(1)).as("__bulk")))
+    new Traversal(g, df, track, sideEffects + (tag -> bulk))
+  }
+
+  /** `where(P.within(tag))` / `where(P.without(tag))` against an
+    * [[aggregateTag]] side-effect set: a membership semi-/anti-join on
+    * the bare vertex id (the classic visited-set expansion idiom
+    * `out().aggregate('x').out().where(without('x'))`).
+    */
+  def whereWithinSet(tag: String): Traversal = setFilter(tag, "left_semi")
+  def whereWithoutSet(tag: String): Traversal = setFilter(tag, "left_anti")
+  private def setFilter(tag: String, how: String): Traversal =
+    next(df.join(sideEffect(tag).select(col("__agg_v").as("__v")), Seq("__v"), how))
+
+  /** Terminal `cap(tag)`: the collected side effect as `(oid, n)` — the
+    * TinkerPop BulkSet rendered relationally (element + bulk).
+    */
+  def capSet(tag: String): DataFrame =
+    sideEffect(tag)
+      .join(g.vertices.select(col("id").as("__agg_v"), col("oid")), Seq("__agg_v"))
+      .select(col("oid"), col("__bulk").as("n"))
+
+  private def sideEffect(tag: String): DataFrame =
+    sideEffects.getOrElse(tag, throw new IllegalArgumentException(
+      s"no aggregate('$tag') side effect collected before use"))
   private def edges = g.edges
 
   /** Select/IndexPredicate on the oid property (`algebra.proto:42,162`):
@@ -789,6 +827,46 @@ final class Traversal private[gie] (
     * path, so equal walks share one decode). Ids-only paths ride every
     * upstream shuffle; strings exist only past this point.
     */
+  /** Step-form `cyclicPath()` / `simplePath()` over a TRACKED walk (the
+    * complement pair of MaxGraph's SimplePath filter, `unarystep/
+    * filter.rs:36-362`; TinkerPop CyclicPathStep): keep traversers whose
+    * `__path` revisits / never revisits a vertex. A pure map-side array
+    * predicate — no shuffle, rides whole-stage codegen.
+    */
+  def cyclicPath(): Traversal = pathDistinctness(cyclic = true)
+  def simplePathStep(): Traversal = pathDistinctness(cyclic = false)
+  private def pathDistinctness(cyclic: Boolean): Traversal = {
+    require(track && df.columns.contains("__path"),
+      "cyclicPath()/simplePath() step form requires tracked paths")
+    val distinctLen = size(array_distinct(col("__path")))
+    next(df.where(
+      if (cyclic) distinctLen < size(col("__path"))
+      else distinctLen === size(col("__path"))))
+  }
+
+  /** Terminal `tree()` (TinkerPop TreeStep; the reference compiler's
+    * tree sink over traverser histories — same path plane as
+    * `PathTreeNode.java:39`): the tracked walks merged by shared prefix,
+    * rendered relationally as one row per DISTINCT path prefix
+    * `(depth, path_str)` — i.e. the nodes of the aggregated tree in
+    * root-to-node order. Prefix expansion and dedup happen on ids-only
+    * arrays; oids decode once at the sink ([[pathOids]] policy).
+    */
+  def tree(sep: String = ">"): DataFrame = {
+    require(track && df.columns.contains("__path"), "tree() requires tracked paths")
+    val prefixes = df.select(col("__path")).distinct()
+      .select(explode(expr(
+        "transform(sequence(1, size(__path)), k -> slice(__path, 1, k))")).as("__path"))
+      .distinct()
+    prefixes
+      .select(col("__path"), posexplode(col("__path")).as(Seq("__pos", "__pv")))
+      .join(g.vertices.select(col("id").as("__pv"), col("oid").as("__poid")), Seq("__pv"))
+      .groupBy(col("__path"))
+      .agg(expr(s"concat_ws('$sep', transform(array_sort(collect_list(struct(__pos, __poid))), x -> x.__poid))")
+        .as("path_str"))
+      .select(size(col("__path")).cast("long").as("depth"), col("path_str"))
+  }
+
   def pathOids(sep: String = ">"): Traversal = {
     val mapping = df.select(col("__path")).distinct()
       .select(col("__path"), posexplode(col("__path")).as(Seq("__pos", "__pv")))

@@ -1,0 +1,85 @@
+package graft.synth
+
+/** DuckDB oracle SQL, wave 7: twins for the TinkerPop side-effect and
+  * path-shape steps — `aggregate(tag)` / `where(P.without(tag))` /
+  * `cap(tag)` (MaxGraph FoldStore, `unarystep/aggregate.rs:29-815`),
+  * step-form `cyclicPath()` (complement of the SimplePath filter,
+  * `unarystep/filter.rs:36-362`), and the `tree()` sink (traverser
+  * histories merged by shared prefix).
+  */
+object SynthSql7 {
+
+  /** Visited-set expansion twin: `g.V().has('oid', seed).out()
+    * .aggregate('x').out().where(P.without('x')).groupCount().by('oid')`
+    * — walks of length 2 from the seed whose endpoint is NOT a 1-hop
+    * neighbor, counted per landing oid. The side-effect set is the
+    * DISTINCT 1-hop frontier (membership semantics of the bulk set).
+    */
+  def aggregateSql(sf: Double, seed: String): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |s AS (SELECT id FROM vertices WHERE oid = '$seed'),
+       |h1 AS MATERIALIZED (SELECT DISTINCT e.dst FROM dedges e JOIN s ON e.src = s.id),
+       |walks AS (
+       |  SELECT e2.dst AS v FROM dedges e1
+       |  JOIN s ON e1.src = s.id
+       |  JOIN dedges e2 ON e2.src = e1.dst
+       |  WHERE e2.dst NOT IN (SELECT dst FROM h1))
+       |SELECT vd.oid AS oid, count(*) AS n
+       |FROM walks JOIN vertices vd ON vd.id = walks.v
+       |GROUP BY vd.oid""".stripMargin
+
+  /** `cap(tag)` twin: `g.V().has('oid', TextP.startingWith(prefix))
+    * .out().aggregate('x').cap('x')` — the collected bulk set rendered
+    * as (oid, n): each landing vertex with the number of traversers
+    * (distinct (src,dst) edge rows from the seed set) that reached it.
+    */
+  def capSql(sf: Double, prefix: String): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT vd.oid AS oid, count(*) AS n
+       |FROM dedges e
+       |JOIN vertices vs ON vs.id = e.src
+       |JOIN vertices vd ON vd.id = e.dst
+       |WHERE vs.oid LIKE '$prefix%'
+       |GROUP BY vd.oid""".stripMargin
+
+  /** `cyclicPath()` twin: 2-hop walks (v0, v1, v2) from the seed set
+    * whose path revisits a vertex (v2 = v0, v1 = v0 or v2 = v1 — the
+    * latter two only fire on self-loops, kept for generality), counted
+    * per landing oid.
+    */
+  def cyclicSql(sf: Double, prefix: String): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |walks AS (
+       |  SELECT e2.dst AS v FROM dedges e1
+       |  JOIN vertices vs ON vs.id = e1.src
+       |  JOIN dedges e2 ON e2.src = e1.dst
+       |  WHERE vs.oid LIKE '$prefix%'
+       |    AND (e2.dst = e1.src OR e1.dst = e1.src OR e2.dst = e2.src))
+       |SELECT vd.oid AS oid, count(*) AS n
+       |FROM walks JOIN vertices vd ON vd.id = walks.v
+       |GROUP BY vd.oid""".stripMargin
+
+  /** `tree()` twin: the distinct path prefixes of the COMPLETED 2-hop
+    * walks from the seed (TinkerPop tree() aggregates only traversers
+    * that reach the step — a 1-hop neighbor with no out-edge contributes
+    * no prefix), as (depth, path_str) rows in root-to-node order.
+    */
+  def treeSql(sf: Double, seed: String): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |s AS (SELECT id FROM vertices WHERE oid = '$seed'),
+       |live1 AS MATERIALIZED (
+       |  SELECT DISTINCT e1.dst FROM dedges e1
+       |  JOIN s ON e1.src = s.id
+       |  WHERE EXISTS (SELECT 1 FROM dedges e2 WHERE e2.src = e1.dst)),
+       |p2 AS (SELECT DISTINCT '$seed' || '>' || va.oid AS path_str
+       |       FROM live1 JOIN vertices va ON va.id = live1.dst),
+       |p3 AS (SELECT DISTINCT '$seed' || '>' || va.oid || '>' || vb.oid AS path_str
+       |       FROM live1
+       |       JOIN dedges e2 ON e2.src = live1.dst
+       |       JOIN vertices va ON va.id = live1.dst
+       |       JOIN vertices vb ON vb.id = e2.dst)
+       |SELECT CAST(1 AS BIGINT) AS depth, '$seed' AS path_str
+       |WHERE EXISTS (SELECT 1 FROM live1)
+       |UNION ALL SELECT CAST(2 AS BIGINT), path_str FROM p2
+       |UNION ALL SELECT CAST(3 AS BIGINT), path_str FROM p3""".stripMargin
+}

@@ -734,6 +734,44 @@ class GremlinSpec extends SparkSpec {
     }
   }
 
+  test("aggregate(tag) side-effect barrier: where(without/within) and cap") {
+    // u0.out() = {a0, a1} collects into x; 2-hop bag = {t0, a1, t0}
+    val without = Gremlin.run(g,
+      "g.V().has('oid', 'u0').out().aggregate('x')" +
+        ".out().where(P.without('x')).groupCount().by('oid')")
+    assert(rows(without) == Set("t0|2"))
+    val within = Gremlin.run(g,
+      "g.V().has('oid', 'u0').out().aggregate('x')" +
+        ".out().where(P.within('x')).groupCount().by('oid')")
+    assert(rows(within) == Set("a1|1"))
+    // cap emits the bulk set: a0 reached from u0 and u1, a1 from u0 only
+    val cap = Gremlin.run(g,
+      "g.V().has('oid', TextP.startingWith('u')).out().aggregate('x').cap('x')")
+    assert(rows(cap) == Set("a0|2", "a1|1"))
+    // P.without with literal VALUES (no side effect of that name) still
+    // routes to the value predicate, not the set filter
+    val literal = Gremlin.run(g,
+      "g.V().has('oid', P.without('u0', 'u1')).values('oid')")
+    assert(rows(literal) == Set("a0", "a1", "t0"))
+  }
+
+  test("cyclicPath()/simplePath() step forms partition tracked walks") {
+    // 3-hop walks: exactly a0→t0→u1→a0, u1→a0→t0→u1, t0→u1→a0→t0 revisit
+    val cyc = Gremlin.run(g,
+      "g.V().out().out().out().cyclicPath().groupCount().by('oid')")
+    assert(rows(cyc) == Set("a0|1", "u1|1", "t0|1"))
+    val simple = Gremlin.run(g,
+      "g.V().out().out().out().simplePath().count()")
+    assert(simple.collect().head.getLong(0) == 7L)
+  }
+
+  test("tree() merges traverser histories into distinct prefixes") {
+    val tr = Gremlin.run(g, "g.V().has('oid', 'u0').out().out().tree()")
+    assert(rows(tr) == Set(
+      "1|u0", "2|u0>a0", "2|u0>a1",
+      "3|u0>a0>t0", "3|u0>a0>a1", "3|u0>a1>t0"))
+  }
+
   test("parse errors are rejected with position info") {
     val e1 = intercept[IllegalArgumentException](Gremlin.run(g, "g.V().has('oid'"))
     assert(e1.getMessage.contains("parse error"))

@@ -1,12 +1,17 @@
 import duckdb, json, glob, os, sys
 sfdir = "/root/testdata/sf0.01"
-out = "/tmp/verify_out"
+out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
+# with an explicit outdir (dev subset runs), only check queries whose
+# dump exists instead of erroring on the full oracle map
+subset = len(sys.argv) > 1
 con = duckdb.connect()
 for f in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(f)[:-8]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 for name, sql in sorted(oracle.items()):
+    if subset and not os.path.isdir(f"{out}/{name}"):
+        continue
     try:
         o = con.execute(sql).fetchdf()
     except Exception as e:
