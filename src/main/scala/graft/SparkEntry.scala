@@ -865,6 +865,27 @@ object SparkEntry {
     "tg_gremlin_tree" -> ((s, dir) =>
       graft.gie.Gremlin.run(graphFor(s, dir),
         "g.V().has('oid', 'system').out().out().tree()")),
+    // g.V(ids) point lookup (GlobalIdsScan / id IndexPredicate): the
+    // explicit oid set lands ON the vertex scan; an unknown id matches
+    // nothing
+    "tg_gremlin_vids" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V('assistant', 'tool:t0', 'nosuch:x').out().groupCount().by('oid')")),
+    // store(tag): the lazy sibling of aggregate — collected set read at
+    // the cap sink
+    "tg_gremlin_store" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().has('oid', TextP.startingWith('a')).out().store('x').out().cap('x')")),
+    // deterministic coin(p): portable-hash per-10000 gate on the vertex
+    // oid (resume-safe — never rand()), composed with an expansion
+    "tg_gremlin_coin" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().coin(0.37).out().groupCount().by('oid')")),
+    // profile(): per-step traverser counts (diagnostics sink — counts
+    // only, never wall time, so the result is oracle-checkable)
+    "tg_gremlin_profile" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().has('oid', TextP.startingWith('u')).out().out().profile()")),
     // edge-label plane: outE() carries the edge label (__elabel);
     // group().by('label').by(values('weight').sum()) = total per-label
     // occurrence weight (reply vs invoke)
@@ -1563,6 +1584,11 @@ object SparkEntry {
     "tg_gremlin_cap" -> graft.synth.SynthSql7.capSql(OracleSf, "u"),
     "tg_gremlin_cyclic" -> graft.synth.SynthSql7.cyclicSql(OracleSf, "u"),
     "tg_gremlin_tree" -> graft.synth.SynthSql7.treeSql(OracleSf, "system"),
+    "tg_gremlin_vids" -> graft.synth.SynthSql7.vidsSql(OracleSf,
+      Seq("assistant", "tool:t0", "nosuch:x")),
+    "tg_gremlin_store" -> graft.synth.SynthSql7.capSql(OracleSf, "a"),
+    "tg_gremlin_coin" -> graft.synth.SynthSql7.coinSql(OracleSf, 0.37),
+    "tg_gremlin_profile" -> graft.synth.SynthSql7.profileSql(OracleSf, "u"),
     "tg_gremlin_edgelabel" -> graft.synth.SynthSql5.gieEdgeLabelSumSql(OracleSf),
     // algorithm-step bridges: same result contract as the direct apps
     "tg_gremlin_pagerank_step" -> SynthSql.pageRankSql(OracleSf, PrRounds),

@@ -64,6 +64,8 @@ object Gremlin {
   private sealed trait Arg
   private case class Lit(s: String) extends Arg
   private case class Num(n: Long) extends Arg
+  // bare fractional literal (coin(0.37)); integers stay Num
+  private case class Frac(d: Double) extends Arg
   private case class Pred(fn: String, args: Seq[String]) extends Arg
   // predicate connective tree: P.gt(a).and(P.lt(b)) / eq(x).or(eq(y))
   private case class PredComb(op: String, a: Arg, b: Arg) extends Arg
@@ -156,7 +158,10 @@ object Gremlin {
       ws()
       val c = peek
       if (c == '\'' || c == '"') Lit(stringLit())
-      else if (c.isDigit) Num(numLit())
+      else if (c.isDigit) {
+        val raw = numberLit()
+        if (raw.contains('.')) Frac(raw.toDouble) else Num(raw.toLong)
+      }
       else {
         // identifier: predicate fn, TextP.xxx, bare symbol, or sub-traversal
         val save = i
@@ -232,6 +237,19 @@ object Gremlin {
       // `sourcestep/edge.rs:89`): a traversal roots at the vertex scan
       // or — for edge-centric audit queries — directly at the edge scan
       case Step("V", Nil) :: t => (G.V(g), t)
+      // g.V(id, id, …) point lookup (the reference's Scan with a
+      // global-id IndexPredicate, `algebra.proto:162` — GlobalIdsScan):
+      // the id set lands ON the vertex scan as an IN predicate, so at
+      // scale it prunes to the matching row groups instead of scanning
+      // all vertices. Ids here are the external oids (the user-visible
+      // identifier plane).
+      case Step("V", args) :: t if args.nonEmpty =>
+        val oids = args.map {
+          case Lit(v) => v
+          case other => throw new IllegalArgumentException(
+            s"g.V(ids) takes oid string literals, got $other")
+        }
+        (G.V(g, col("oid").isin(oids: _*)), t)
       case Step("E", Nil) :: t => (G.E(g), t)
       // g.withSack(n).V()… — traverser-local accumulator init
       case Step("withSack", List(Num(n))) :: Step("V", Nil) :: t =>
@@ -245,10 +263,38 @@ object Gremlin {
       require(steps.head.name == "V", "path tracking requires a V() source")
       src.trackPaths()
     } else src
-    eval(src2, tl, sourceDone = true) match {
-      case Left(t) => t.df
-      case Right(df) => df
+    tl.lastOption match {
+      case Some(Step("profile", Nil)) =>
+        profile(src2, steps.head.name, tl.init)
+      case _ =>
+        eval(src2, tl, sourceDone = true) match {
+          case Left(t) => t.df
+          case Right(df) => df
+        }
     }
+  }
+
+  /** `profile()` terminal (TinkerPop ProfileStep; the reference's
+    * gremlin query-profiling plane): the traverser COUNT after the
+    * source and after each step, as `(step_idx, step, traversers)`.
+    * Implemented as prefix re-evaluation — each prefix is one counted
+    * Spark job — so it is a DIAGNOSTICS mode, not a production path;
+    * per-step wall time is deliberately not emitted (non-deterministic,
+    * would break result oracles). Prefixes that cut a step from its
+    * by()-modulators are the caller's responsibility, exactly as a
+    * TinkerPop profile over a half-built traversal would be.
+    */
+  private def profile(src: Traversal, srcName: String, init: List[Step]): DataFrame = {
+    val spark = src.df.sparkSession
+    val rows = (0 to init.length).map { i =>
+      val n = eval(src, init.take(i), sourceDone = true) match {
+        case Left(tr) => tr.df.count()
+        case Right(d) => d.count()
+      }
+      (i.toLong, if (i == 0) srcName else init(i - 1).name, n)
+    }
+    import spark.implicits._
+    rows.toDF("step_idx", "step", "traversers")
   }
 
   /** Does the top-level chain use `path()` as a STEP (vs the range-expand
@@ -755,7 +801,12 @@ object Gremlin {
         // (reaching here = not a subgraph cap, which is consumed above)
         // emits it as (oid, n)
         case ("aggregate", List(Lit(tag))) => st = Left(t.aggregateTag(tag))
+        // store(tag): the LAZY sibling (StoreStep) — no barrier
+        case ("store", List(Lit(tag))) => st = Left(t.storeTag(tag))
         case ("cap", List(Lit(tag))) => st = Right(t.capSet(tag))
+        // deterministic coin(p) — portable-hash gate, never rand()
+        case ("coin", List(Frac(p))) => st = Left(t.coin(p))
+        case ("coin", List(Num(n))) => st = Left(t.coin(n.toDouble))
         // path-distinctness filters over a tracked walk (step forms of
         // MaxGraph SimplePath, filter.rs:36-362, and its complement)
         case ("cyclicPath", Nil) => st = Left(t.cyclicPath())

@@ -127,6 +127,35 @@ final class Traversal private[gie] (
     new Traversal(g, df, track, sideEffects + (tag -> bulk))
   }
 
+  /** Lazy side-effect collection (TinkerPop `store(tag)` — the
+    * unbarriered sibling of [[aggregateTag]], StoreStep): the bulk set
+    * is recorded as a LAZY plan and only evaluated when `cap(tag)`
+    * reads it. That matches store's lazy-visibility contract at the
+    * supported read point (the cap sink, where lazy and eager
+    * coincide); a mid-traversal `where(P.within(tag))` over a store
+    * tag sees the full set here where TinkerPop would see a partial
+    * one — documented subset, same family as the match() binding note.
+    */
+  def storeTag(tag: String): Traversal =
+    new Traversal(g, df, track, sideEffects +
+      (tag -> df.groupBy(col("__v").as("__agg_v")).agg(count(lit(1)).as("__bulk"))))
+
+  /** Deterministic `coin(p)` (TinkerPop CoinStep): keep a traverser iff
+    * the portable hash of its vertex oid falls under the integer
+    * per-10000 threshold — the same resume-safe gate as
+    * `TextOps.mixtureKeep`, never `rand()` (stage re-execution and
+    * cluster size cannot change the draw). Co-located traversers share
+    * fate (the gate is per-ELEMENT, not per-traverser — the
+    * deterministic rendering of a sampling filter, like `sample(n)`'s
+    * portable-pick policy).
+    */
+  def coin(p: Double): Traversal = {
+    val aux = auxilia()
+    next(aux.df.where(
+      pmod(graft.text.TextOps.portableHash(col("oid")), lit(10000L)) <
+        lit(math.round(p * 10000))))
+  }
+
   /** `where(P.within(tag))` / `where(P.without(tag))` against an
     * [[aggregateTag]] side-effect set: a membership semi-/anti-join on
     * the bare vertex id (the classic visited-set expansion idiom

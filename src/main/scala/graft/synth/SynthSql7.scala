@@ -59,6 +59,48 @@ object SynthSql7 {
        |FROM walks JOIN vertices vd ON vd.id = walks.v
        |GROUP BY vd.oid""".stripMargin
 
+  /** `g.V(ids)` point-lookup twin: 1-hop walks from an explicit oid set
+    * (GlobalIdsScan / id IndexPredicate), counted per landing oid.
+    * Unknown ids simply match nothing, as in TinkerPop.
+    */
+  def vidsSql(sf: Double, oids: Seq[String]): String = {
+    val in = oids.map(o => s"'$o'").mkString(", ")
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |s AS (SELECT id FROM vertices WHERE oid IN ($in))
+       |SELECT vd.oid AS oid, count(*) AS n
+       |FROM dedges e JOIN s ON e.src = s.id
+       |JOIN vertices vd ON vd.id = e.dst
+       |GROUP BY vd.oid""".stripMargin
+  }
+
+  /** Deterministic `coin(p)` twin: source vertices pass iff
+    * portableHash(oid) % 10000 falls under round(p·10000) — the exact
+    * integer gate of `Traversal.coin` / `TextOps.mixtureKeep` — then
+    * 1-hop walks counted per landing oid.
+    */
+  def coinSql(sf: Double, p: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |kept AS (SELECT id FROM vertices WHERE ${LshSql.phash("oid")} % 10000 < ${math.round(p * 10000)}),
+       |walks AS (SELECT e.dst AS v FROM dedges e JOIN kept ON e.src = kept.id)
+       |SELECT vd.oid AS oid, count(*) AS n
+       |FROM walks JOIN vertices vd ON vd.id = walks.v
+       |GROUP BY vd.oid""".stripMargin
+
+  /** `profile()` twin for the fixed chain `g.V().has('oid',
+    * TextP.startingWith(prefix)).out().out().profile()`: the traverser
+    * count after the source and after each step.
+    */
+  def profileSql(sf: Double, prefix: String): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |src AS MATERIALIZED (SELECT id FROM vertices WHERE oid LIKE '$prefix%'),
+       |h1 AS MATERIALIZED (SELECT e.dst FROM dedges e JOIN src ON e.src = src.id)
+       |SELECT CAST(0 AS BIGINT) AS step_idx, 'V' AS step,
+       |       (SELECT count(*) FROM vertices) AS traversers
+       |UNION ALL SELECT 1, 'has', (SELECT count(*) FROM src)
+       |UNION ALL SELECT 2, 'out', (SELECT count(*) FROM h1)
+       |UNION ALL SELECT 3, 'out',
+       |  (SELECT count(*) FROM h1 JOIN dedges e2 ON e2.src = h1.dst)""".stripMargin
+
   /** `tree()` twin: the distinct path prefixes of the COMPLETED 2-hop
     * walks from the seed (TinkerPop tree() aggregates only traversers
     * that reach the step — a 1-hop neighbor with no out-edge contributes

@@ -772,6 +772,33 @@ class GremlinSpec extends SparkSpec {
       "3|u0>a0>t0", "3|u0>a0>a1", "3|u0>a1>t0"))
   }
 
+  test("g.V(ids) point lookup seeds from the explicit oid set") {
+    // u0.out() = {a0, a1}; t0.out() = {u1}; unknown id matches nothing
+    val r = Gremlin.run(g, "g.V('u0', 't0', 'zz').out().groupCount().by('oid')")
+    assert(rows(r) == Set("a0|1", "a1|1", "u1|1"))
+  }
+
+  test("store(tag) lazily collects; cap reads the full set") {
+    val r = Gremlin.run(g, "g.V('u0').out().store('x').out().cap('x')")
+    assert(rows(r) == Set("a0|1", "a1|1"))
+  }
+
+  test("coin(p) is a deterministic per-element gate") {
+    val all = Gremlin.run(g, "g.V().coin(1.0).count()").collect().head.getLong(0)
+    assert(all == 5L)
+    val none = Gremlin.run(g, "g.V().coin(0.0).count()").collect().head.getLong(0)
+    assert(none == 0L)
+    // a mid threshold is deterministic (two runs agree) and a subset
+    val a = rows(Gremlin.run(g, "g.V().coin(0.5).values('oid')"))
+    val b = rows(Gremlin.run(g, "g.V().coin(0.5).values('oid')"))
+    assert(a == b && a.subsetOf(Set("u0", "u1", "a0", "a1", "t0")))
+  }
+
+  test("profile() reports per-step traverser counts") {
+    val r = Gremlin.run(g, "g.V().has('oid', 'u0').out().out().profile()")
+    assert(rows(r) == Set("0|V|5", "1|has|1", "2|out|2", "3|out|3"))
+  }
+
   test("parse errors are rejected with position info") {
     val e1 = intercept[IllegalArgumentException](Gremlin.run(g, "g.V().has('oid'"))
     assert(e1.getMessage.contains("parse error"))
