@@ -992,6 +992,10 @@ object SparkEntry {
     // Gopher-style repetition signals (dup/top 2-gram fractions)
     "d_repetition" -> ((s, dir) =>
       graft.text.TextOps.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")),
+    // Gopher §A1.1 rule battery: word-count bounds, mean word length,
+    // symbol ratio, alpha-word fraction, stopword floor + keep flag
+    "d_gopher_rules" -> ((s, dir) =>
+      graft.text.TextOps.gopherRules(t(s, dir, "documents"), "doc_id", "text")),
     // corpus-unigram LM log-prob quality proxy (KenLM stand-in)
     "d_unigram_lp" -> ((s, dir) =>
       graft.text.TextOps.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
@@ -1666,6 +1670,7 @@ object SparkEntry {
     "d_pii_redact" -> SynthSql2.piiRedactSql(
       graft.text.TextOps.EmailRe, graft.text.TextOps.Ipv4Re, graft.text.TextOps.PhoneRe),
     "d_repetition" -> SynthSql2.repetitionSql,
+    "d_gopher_rules" -> SynthSql2.gopherSql(),
     "d_unigram_lp" -> SynthSql2.unigramLogProbSql,
     "d_mixture_sample" -> SynthSql2.mixtureSampleSql(MixtureRates, MixtureDefaultRate),
     "s_cosine_topk" -> SynthSql2.cosineTopKSql((0L until 10L).toSeq, 5),

@@ -226,6 +226,42 @@ object SynthSql2 {
        |  FROM documents)
        |SELECT min(doc_id) OVER (PARTITION BY f) AS canonical_id, doc_id FROM fp""".stripMargin
 
+  /** Twin of `TextOps.gopherRules` (Gopher §A1.1 battery): word count
+    * bounds, mean word length, '#'/'...'-symbol ratio, alpha-word
+    * fraction, distinct-stopword count, and the conjunction. Integer
+    * truncation goes through floor() (DuckDB CAST rounds; Spark's
+    * truncates — values are nonnegative so floor == truncate).
+    */
+  def gopherSql(minWords: Int = 50, maxWords: Int = 100000): String = {
+    val stopCase = graft.text.TextOps.GopherStopwords
+      .map(w => s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |st AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(coalesce(list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0) AS BIGINT) AS sum_len,
+       |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+       |    CAST(floor((length(text) - length(replace(text, '#', ''))) +
+       |               (length(text) - length(replace(text, '...', ''))) / 3) AS BIGINT) AS n_sym,
+       |    CAST($stopCase AS BIGINT) AS n_stopwords
+       |  FROM t),
+       |m AS (
+       |  SELECT doc_id, n_words,
+       |    CASE WHEN n_words > 0 THEN round(CAST(sum_len AS DOUBLE) / n_words, 6) ELSE 0.0 END AS mean_word_len,
+       |    CASE WHEN n_words > 0 THEN round(CAST(n_alpha AS DOUBLE) / n_words, 6) ELSE 0.0 END AS frac_alpha,
+       |    CASE WHEN n_words > 0 THEN round(CAST(n_sym AS DOUBLE) / n_words, 6) ELSE 0.0 END AS symbol_ratio,
+       |    n_stopwords
+       |  FROM st)
+       |SELECT doc_id, n_words, mean_word_len, frac_alpha, symbol_ratio, n_stopwords,
+       |  (n_words BETWEEN $minWords AND $maxWords
+       |   AND mean_word_len BETWEEN 3.0 AND 10.0
+       |   AND symbol_ratio <= 0.1
+       |   AND frac_alpha >= 0.8
+       |   AND n_stopwords >= 2) AS keep
+       |FROM m""".stripMargin
+  }
+
   /** Shared packing derivation for the concat-and-chunk twins (matches
     * `Packing.packChunks(docs, maxTokens, buckets)` exactly: portable-
     * hash bucketing, doc_id-ordered per-bucket running token sum).

@@ -209,6 +209,56 @@ object TextOps {
           .as("top_bigram_frac"))
   }
 
+  /** The Gopher rule battery's stopword set (Rae et al. 2021, §A1.1 —
+    * "contains at least 2 of a predefined set of stop words").
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rule battery (Rae et al. 2021
+    * §A1.1, the published rule set behind MassiveText; also the
+    * reference point for most later corpus-filtering stacks): per doc,
+    * word count in [minWords, maxWords], mean word length in [3, 10],
+    * symbol-to-word ratio ('#' and '...') ≤ 0.1, ≥ 80% of words contain
+    * an alphabetic character, and ≥ 2 distinct stopwords present; plus
+    * the conjunction as `keep`. Everything is per-row codegen'd array
+    * arithmetic over one tokenization — zero shuffles, zero UDFs; at
+    * 100 TB this is a pure map stage that fuses with the scan.
+    * Ratios round to 6 dp (project fp convention).
+    */
+  def gopherRules(
+      df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nWords = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, x) => acc + length(x))
+    val meanLen = when(nWords > 0, round(sumLen.cast("double") / nWords, 6))
+      .otherwise(lit(0.0))
+    val nAlpha = size(filter(toks, x => x.rlike("[a-z]"))).cast("long")
+    val fracAlpha = when(nWords > 0, round(nAlpha.cast("double") / nWords, 6))
+      .otherwise(lit(0.0))
+    val raw = col(textCol)
+    val nSym = ((length(raw) - length(replace(raw, lit("#"), lit("")))) +
+      (length(raw) - length(replace(raw, lit("..."), lit("")))) / 3).cast("long")
+    val symRatio = when(nWords > 0, round(nSym.cast("double") / nWords, 6))
+      .otherwise(lit(0.0))
+    val nStop = GopherStopwords
+      .map(w => when(array_contains(toks, w), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.select(
+      col(idCol),
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      fracAlpha.as("frac_alpha"),
+      symRatio.as("symbol_ratio"),
+      nStop.as("n_stopwords"),
+      (nWords.between(minWords, maxWords) &&
+        meanLen.between(3.0, 10.0) &&
+        symRatio <= 0.1 &&
+        fracAlpha >= 0.8 &&
+        nStop >= 2).as("keep"))
+  }
+
   /** Per-document mean corpus-unigram log-probability — the cheap
     * LM-quality proxy (KenLM stand-in): fit p(term) = count/total over
     * the whole corpus, score each doc by avg ln p(term), rounded to 6 dp

@@ -284,6 +284,30 @@ class TextMlSpec extends SparkSpec {
     assert(!out.contains(3L))
   }
 
+  test("gopher rule battery matches hand computation") {
+    val s = spark
+    import s.implicits._
+    // doc 1: 6 words incl. 2 stopwords, mean len (3+3+3+2+4+4)/6 — fails
+    //        only the 50-word floor
+    // doc 2: short words (mean < 3) and no stopwords
+    // doc 3: empty text
+    val docs = Seq(
+      (1L, "the cat sat of good mats"),
+      (2L, "a b c d"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(docs, "doc_id", "text", minWords = 5).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5), r.getBoolean(6)))).toMap
+    assert(out(1L) == ((6L, round6(19.0 / 6), 1.0, 0.0, 2L, true)), s"got ${out(1L)}")
+    assert(out(2L) == ((4L, 1.0, 1.0, 0.0, 0L, false)), s"got ${out(2L)}")
+    assert(out(3L) == ((0L, 0.0, 0.0, 0.0, 0L, false)), s"got ${out(3L)}")
+  }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("unigram log-prob matches hand computation") {
     val s = spark
     import s.implicits._
