@@ -43,8 +43,9 @@ object PlanAudit {
       "tg_gremlin_haslabel", "tg_gremlin_edgelabel", "tg_salted_hub",
       "tg_gremlin_ldbc_top", "tg_gremlin_ldbc_filter", "tg_numeric_assort",
       "tg_gremlin_ldbc_cr1", "tg_gremlin_esource", "tg_gremlin_range",
-      "tg_gremlin_math",
-      "d_pack_chunks", "d_pack_stats").foreach(audit)
+      "tg_gremlin_math", "tg_gremlin_aggregate", "tg_gremlin_cyclic",
+      "tg_gremlin_coin",
+      "d_pack_chunks", "d_pack_stats", "d_gopher_rules").foreach(audit)
 
     // Sequence packing: the running-token-sum window must be partitioned
     // by the hash bucket (parallelism = buckets), NEVER a single global
@@ -167,6 +168,16 @@ object PlanAudit {
         s"weightPushedToScan=${"PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(weight".r.findFirstIn(plan).isDefined} " +
         s"joinsBelowFilter=${countOf(plan, "Join")} " +
         s"exchanges=${countOf(plan, "Exchange")}")
+      // g.V(ids) point lookup: the explicit id set must land ON the
+      // vertex scan as an In() pushed filter (GlobalIdsScan analog) —
+      // at scale, row-group pruning instead of a full vertex scan.
+      val vplan = graft.gie.G.V(gp, col("oid").isin("assistant", "tool:t0")).df
+        .queryExecution.executedPlan.toString
+      println("==== gremlin_vids ====")
+      println(vplan.take(1200))
+      println(s"---- gremlin_vids summary: " +
+        s"idsPushedToScan=${"PushedFilters: \\[[^\\]]*In\\(oid".r.findFirstIn(vplan).isDefined} " +
+        s"joins=${countOf(vplan, "Join")} exchanges=${countOf(vplan, "Exchange")}")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
 
