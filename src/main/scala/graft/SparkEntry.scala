@@ -1037,6 +1037,10 @@ object SparkEntry {
     // rounded-mean updates — the domain-balancing cluster step)
     "s_kmeans" -> ((s, dir) =>
       graft.ml.KMeans.assignments(t(s, dir, "embeddings"), "vec_id", "embedding", 8, 2)),
+    // int8 scalar quantization audit (FAISS SQ8 analog): per-dim corpus
+    // bounds → 1-row broadcast → pure map stage; order-free outputs
+    "s_quantize" -> ((s, dir) =>
+      graft.ml.Quantize.scalarQuantizeAudit(t(s, dir, "embeddings"), "vec_id", "embedding")),
     "s_ivf_topk" -> ((s, dir) =>
       graft.ml.Similarity.ivfTopK(
         t(s, dir, "embeddings"), "vec_id", "embedding", (0L until 10L).toSeq, 5)),
@@ -1677,6 +1681,7 @@ object SparkEntry {
     "s_lsh_topk" -> graft.synth.LshSql.lshTopKSql((0L until 10L).toSeq, 5),
     "s_ivf_topk" -> graft.synth.SynthSql5.ivfTopKSql((0L until 10L).toSeq, 5),
     "s_kmeans" -> graft.synth.SynthSql5.kmeansSql(8, 2, 64),
+    "s_quantize" -> graft.synth.LshSql.quantizeSql,
     "s_cosine_pairs" -> graft.synth.LshSql.cosinePairsSql(0.35),
     "tg_bfs_preds" -> SynthSql3.bfsPredsSql(OracleSf),
     "tg_bfs_succs" -> SynthSql3.bfsSuccsSql(OracleSf),

@@ -1,0 +1,60 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Int8 scalar quantization of an embedding column — the compression
+  * pass a 100 TB embedding pipeline runs before ANN indexing (the SQ8
+  * scheme of FAISS/IVF engines, restated relationally; the reference's
+  * vector plane stores float vectors raw, so this is a forward-looking
+  * training-pipeline op like the dedup/ANN family).
+  *
+  * Scheme: per-DIMENSION global [lo, hi] over the corpus;
+  * `code_i = clamp(floor((x_i - lo_i) / (hi_i - lo_i) * 255 + 0.5), 0, 255)`;
+  * dequant `x̂_i = lo_i + code_i/255 · (hi_i - lo_i)`.
+  *
+  * Scale shape: the stats pass is a posexplode + partial-aggregated
+  * `groupBy(pos)` (map-side combine reduces each task to d rows, so the
+  * only exchange carries d·tasks rows); the d-row result folds into ONE
+  * broadcast row of `lo[]`/`hi[]` arrays, and the quantization itself is
+  * a pure map stage over the vectors — zero joins, zero shuffles on the
+  * n·d payload.
+  *
+  * Cross-engine determinism (the DuckDB twin mirrors every expression):
+  * per-element arithmetic is IEEE-exact double ops in both engines;
+  * the audit outputs are ORDER-FREE — `sum_codes` is an integer sum,
+  * `max_abs_err` is a max — so float summation order never crosses the
+  * engine boundary (the same policy as the HLL register math).
+  */
+object Quantize {
+
+  /** Per-vector quantization audit: `(id, sum_codes, max_abs_err, n_dims)`.
+    * `sum_codes` = Σ codes (integer); `max_abs_err` = max_i |x_i − x̂_i|
+    * rounded to 9 dp; constant dimensions (hi == lo) code to 0 with
+    * exact reconstruction.
+    */
+  def scalarQuantizeAudit(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val stats = df.select(posexplode(v).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val bounds = stats.agg(
+      expr("transform(array_sort(collect_list(struct(pos, lo))), s -> s.lo)").as("__los"),
+      expr("transform(array_sort(collect_list(struct(pos, hi))), s -> s.hi)").as("__his"))
+    val code =
+      s"""CASE WHEN __his[i-1] > __los[i-1]
+         | THEN CAST(least(greatest(floor(((CAST(__v[i-1] AS DOUBLE) - __los[i-1]) / (__his[i-1] - __los[i-1])) * 255.0 + 0.5), 0.0), 255.0) AS BIGINT)
+         | ELSE CAST(0 AS BIGINT) END""".stripMargin.replace("\n", " ")
+    val err =
+      s"""abs(CAST(__v[i-1] AS DOUBLE) - (__los[i-1] + (CAST(($code) AS DOUBLE) / 255.0) * (__his[i-1] - __los[i-1])))"""
+    df.select(col(idCol), v.as("__v"))
+      .crossJoin(broadcast(bounds))
+      .select(
+        col(idCol),
+        expr(s"aggregate(transform(sequence(1, size(__v)), i -> $code), CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("sum_codes"),
+        round(expr(s"array_max(transform(sequence(1, size(__v)), i -> $err))"), 9)
+          .as("max_abs_err"),
+        size(col("__v")).cast("long").as("n_dims"))
+  }
+}

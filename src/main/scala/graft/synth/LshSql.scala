@@ -180,6 +180,30 @@ object LshSql {
        |  FROM cand JOIN e a ON a.vec_id = cand.id_a JOIN e b ON b.vec_id = cand.id_b) z
        |WHERE cos_sim >= $threshold""".stripMargin
 
+  /** Twin of `Quantize.scalarQuantizeAudit` (int8 scalar quantization
+    * audit): per-dimension corpus [lo, hi], clamp-floor codes, and the
+    * ORDER-FREE outputs (integer code sum + max |x − x̂| to 9 dp) — so
+    * no float summation order crosses the engine boundary; every
+    * per-element double expression mirrors the Spark side
+    * parenthesis-for-parenthesis.
+    */
+  def quantizeSql: String = {
+    val code = """CASE WHEN his[i] > los[i]
+      | THEN CAST(least(greatest(floor(((CAST(embedding[i] AS DOUBLE) - los[i]) / (his[i] - los[i])) * 255.0 + 0.5), 0.0), 255.0) AS BIGINT)
+      | ELSE CAST(0 AS BIGINT) END""".stripMargin.replace("\n", " ")
+    val err = s"""abs(CAST(embedding[i] AS DOUBLE) - (los[i] + (CAST(($code) AS DOUBLE) / 255.0) * (his[i] - los[i])))"""
+    s"""WITH ex AS (SELECT vec_id, unnest(embedding) AS x,
+       |            unnest(generate_series(1, len(embedding))) AS pos FROM embeddings),
+       |stats AS (SELECT pos, min(CAST(x AS DOUBLE)) AS lo, max(CAST(x AS DOUBLE)) AS hi
+       |          FROM ex GROUP BY pos),
+       |b AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his FROM stats)
+       |SELECT vec_id,
+       |  CAST(list_aggregate(list_transform(generate_series(1, len(embedding)), i -> $code), 'sum') AS BIGINT) AS sum_codes,
+       |  round(list_max(list_transform(generate_series(1, len(embedding)), i -> $err)), 9) AS max_abs_err,
+       |  CAST(len(embedding) AS BIGINT) AS n_dims
+       |FROM embeddings, b""".stripMargin
+  }
+
   /** Benchmark decontamination twin (matches `Dedup.decontaminate` over
     * a `TextOps.hashSplit(buckets=10, train=8, valid=1)` split): train
     * docs sharing >= `minShared` distinct word `n`-grams (portable-hash

@@ -284,6 +284,25 @@ class TextMlSpec extends SparkSpec {
     assert(!out.contains(3L))
   }
 
+  test("scalar quantization audit matches hand computation") {
+    val s = spark
+    import s.implicits._
+    // dim0 range [0,1]: codes round((x)*255); dim1 constant (hi == lo)
+    val vecs = Seq(
+      (1L, Seq(0.0f, 2.0f)),
+      (2L, Seq(1.0f, 2.0f)),
+      (3L, Seq(0.5f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.ml.Quantize.scalarQuantizeAudit(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // codes: v1 = (0, 0), v2 = (255, 0), v3 = (floor(127.5+0.5)=128, 0)
+    assert(out(1L) == ((0L, 0.0, 2L)), s"got ${out(1L)}")
+    assert(out(2L) == ((255L, 0.0, 2L)), s"got ${out(2L)}")
+    assert(out(3L)._1 == 128L && out(3L)._3 == 2L)
+    // v3 err: |0.5 - 128/255| ≈ 0.001960784
+    assert(math.abs(out(3L)._2 - (128.0 / 255 - 0.5)) < 1e-9, s"got ${out(3L)}")
+  }
+
   test("gopher rule battery matches hand computation") {
     val s = spark
     import s.implicits._
