@@ -1253,6 +1253,11 @@ object SparkEntry {
       graft.algos.Paths2.closeness(g, Seq("assistant", "tool:t0", "system"))
         .select(col("oid"), round(col("closeness"), 6).as("closeness"))
     }),
+    // harmonic centrality (nx harmonic_centrality, Σ 1/d incoming) for
+    // the same hub set — same batched multi-source state, different fold
+    "tg_harmonic" -> ((s, dir) =>
+      graft.algos.Paths2.harmonic(graphFor(s, dir),
+        Seq("assistant", "tool:t0", "system"))),
     // all-sources closeness capped to the top-128-degree vertices (the
     // reference's AllPairsShortestPathLength runs every vertex; the cap
     // keeps the |S|·|V| pair state sandbox-sized — 128×16.6K ≈ 2.1M pairs
@@ -1414,6 +1419,7 @@ object SparkEntry {
         SynthSql3.betweennessSql(OracleSf, srcs, 16)),
       "tg_pagerank_tol" -> (SynthSql3.pageRankTolSql(OracleSf, 25), SynthSql3.pageRankTolSql(OracleSf, 26)),
       "tg_closeness" -> (SynthSql3.closenessSql(OracleSf, srcs, 30), SynthSql3.closenessSql(OracleSf, srcs, 31)),
+      "tg_harmonic" -> (SynthSql3.harmonicSql(OracleSf, srcs, 30), SynthSql3.harmonicSql(OracleSf, srcs, 31)),
       "tg_apsp" -> (SynthSql3.apspSql(OracleSf, srcs, 30), SynthSql3.apspSql(OracleSf, srcs, 31)),
       "tg_ml_wcc_reply" -> (SynthSql3.mlWccReplySql(OracleSf, 22), SynthSql3.mlWccReplySql(OracleSf, 23)),
       "tg_sssp_path" -> (graft.synth.SynthSql4.ssspPathSql(OracleSf, 25),
@@ -1638,6 +1644,7 @@ object SparkEntry {
     "tg_transitivity" -> SynthSql3.transitivitySql(OracleSf),
     "tg_avgclustering" -> SynthSql3.avgClusteringSql(OracleSf),
     "tg_apsp" -> SynthSql3.apspSql(OracleSf, Seq("assistant", "tool:t0", "system")),
+    "tg_harmonic" -> SynthSql3.harmonicSql(OracleSf, Seq("assistant", "tool:t0", "system")),
     "tg_attr_assort" -> SynthSql3.attrAssortSql(OracleSf),
     "tg_edge_boundary" -> SynthSql3.edgeBoundarySql(OracleSf),
     "tg_lpau2i" -> SynthSql3.lpau2iSql(OracleSf, rounds = 2),

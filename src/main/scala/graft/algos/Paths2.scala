@@ -146,6 +146,27 @@ object Paths2 {
       g.vertices.toDF.where(col("oid").isin(oids: _*)).select(col("id").as("s")),
       new graft.engine.Engine.MetricsLog)
 
+  /** Harmonic centrality (nx `harmonic_centrality`: Σ_{v≠u} 1/d(v, u)
+    * over INCOMING distances, no normalization) for the given oids —
+    * the same ONE batched reverse multi-source SSSP as [[closeness]],
+    * only the fold differs (sum of reciprocals instead of
+    * reach²/total). Rounded to 6 dp (project fp convention; the
+    * reciprocal sum is the one non-integer-valued reduction here).
+    */
+  def harmonic(g: LinkGraph, oids: Seq[String]): DataFrame = {
+    val srcIds = g.vertices.toDF.where(col("oid").isin(oids: _*))
+      .select(col("id").as("s"))
+    val per = SSSP.multiSource(g, srcIds, reversed = true,
+        new graft.engine.Engine.MetricsLog)
+      .where(col("dist") > 0)
+      .groupBy(col("s")).agg(sum(lit(1.0) / col("dist")).as("tot"))
+    g.vertices.toDF
+      .join(srcIds.withColumnRenamed("s", "id"), Seq("id"), "left_semi")
+      .join(per.withColumnRenamed("s", "id"), Seq("id"), "left")
+      .select(col("oid"),
+        round(coalesce(col("tot"), lit(0.0)), 6).as("harmonic"))
+  }
+
   /** All-sources closeness capped to the `k` highest-degree vertices
     * (degree = dedge endpoint count, ties to the smaller id — fully
     * deterministic so the SQL twin picks the identical set). The

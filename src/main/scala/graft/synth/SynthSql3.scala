@@ -123,6 +123,32 @@ object SynthSql3 {
        |WHERE v.oid IN ($srcs)""".stripMargin
   }
 
+  /** Twin of `Paths2.harmonic` (nx harmonic_centrality): the same
+    * unrolled reverse multi-source relaxation as [[closenessSql]], the
+    * fold is Σ 1/dist (no normalization), rounded to 6 dp.
+    */
+  def harmonicSql(sf: Double, sources: Seq[String], rounds: Int = 30): String = {
+    val srcs = sources.map(s => s"'$s'").mkString(", ")
+    val body = (1 to rounds).map { k =>
+      val p = s"ms${k - 1}"
+      s"""ms$k AS MATERIALIZED (
+         |  SELECT s, id, min(dist) AS dist FROM (
+         |    SELECT s, id, dist FROM $p
+         |    UNION ALL
+         |    SELECT p.s, e.src AS id, p.dist + e.weight AS dist
+         |    FROM dedges e JOIN $p p ON e.dst = p.id
+         |  ) z GROUP BY s, id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |srcs AS (SELECT id AS s FROM vertices WHERE oid IN ($srcs)),
+       |ms0 AS (SELECT s, s AS id, 0.0 AS dist FROM srcs),
+       |$body,
+       |agg AS (SELECT s, sum(1.0 / dist) AS tot FROM ms$rounds WHERE dist > 0 GROUP BY s)
+       |SELECT v.oid AS oid, round(coalesce(a.tot, 0.0), 6) AS harmonic
+       |FROM vertices v LEFT JOIN agg a ON a.s = v.id
+       |WHERE v.oid IN ($srcs)""".stripMargin
+  }
+
   /** Shared degree-ordered-orientation triangle CTE block (same
     * derivation as `SynthSql.trianglesSql` / `SynthSql2.lccSql`).
     */

@@ -95,6 +95,13 @@ class OpsPathsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     // v3 is reachable from 0,1,2 → positive closeness; v4 from nobody
     assert(c("v000003") > 0.0 && c("v000004") == 0.0)
+    // harmonic (nx: Σ 1/d over incoming distances, no normalization):
+    // d(·→v3) = {v2: 1, v1: 2, v0: min(10, 3) = 3} → 1 + 1/2 + 1/3
+    val h = Paths2.harmonic(g, Seq("v000003", "v000004")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(h("v000003") == BigDecimal(1.0 + 0.5 + 1.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"got $h")
+    assert(h("v000004") == 0.0)
   }
 
   test("bfs_generic: tree, predecessors, successors") {
