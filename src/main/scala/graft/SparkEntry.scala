@@ -865,6 +865,13 @@ object SparkEntry {
     "tg_gremlin_tree" -> ((s, dir) =>
       graft.gie.Gremlin.run(graphFor(s, dir),
         "g.V().has('oid', 'system').out().out().tree()")),
+    // predicated emit: only traversers matching the sub are copied out
+    // mid-loop; the final round halts everyone (RepeatStep order)
+    "tg_gremlin_emit" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().has('oid', 'system').repeat(__.out())" +
+          ".emit(has('oid', TextP.startingWith('t'))).times(2)" +
+          ".groupCount().by('oid')")),
     // g.V(ids) point lookup (GlobalIdsScan / id IndexPredicate): the
     // explicit oid set lands ON the vertex scan; an unknown id matches
     // nothing
@@ -1600,6 +1607,7 @@ object SparkEntry {
     "tg_gremlin_tree" -> graft.synth.SynthSql7.treeSql(OracleSf, "system"),
     "tg_gremlin_vids" -> graft.synth.SynthSql7.vidsSql(OracleSf,
       Seq("assistant", "tool:t0", "nosuch:x")),
+    "tg_gremlin_emit" -> graft.synth.SynthSql7.emitSql(OracleSf, "system", "t"),
     "tg_gremlin_store" -> graft.synth.SynthSql7.capSql(OracleSf, "a"),
     "tg_gremlin_coin" -> graft.synth.SynthSql7.coinSql(OracleSf, 0.37),
     "tg_gremlin_profile" -> graft.synth.SynthSql7.profileSql(OracleSf, "u"),

@@ -720,12 +720,17 @@ object Gremlin {
           // the loop ends on whichever fires first)
           var untilF: Option[Traversal => Traversal] = None
           var emit = false
+          var emitF: Option[Traversal => Traversal] = None
           var timesN: Option[Int] = None
           var more = true
           while (more) rest match {
             case Step("until", List(Sub(us))) :: tl =>
               untilF = Some(vertexFn(us, "until()")); rest = tl
             case Step("emit", Nil) :: tl => emit = true; rest = tl
+            // predicated emit (TinkerPop emit(<sub>)): only matching
+            // traversers are copied out mid-loop
+            case Step("emit", List(Sub(es))) :: tl =>
+              emit = true; emitF = Some(vertexFn(es, "emit()")); rest = tl
             case Step("times", List(Num(n))) :: tl => timesN = Some(n.toInt); rest = tl
             case _ => more = false
           }
@@ -740,7 +745,7 @@ object Gremlin {
               (1 to n).foreach(_ => cur = bodyF(cur))
               st = Left(cur)
             case (u, e, tn) =>
-              st = Left(t.repeatUntil(bodyF, u, e, tn.getOrElse(MaxRepeatRounds)))
+              st = Left(t.repeatUntil(bodyF, u, e, tn.getOrElse(MaxRepeatRounds), emitF))
           }
         // group().by(key).by(valueAgg) (reference accumulators ToList/
         // ToMin/ToMax/ToDistinctCount, aggregate.rs:29-815 +

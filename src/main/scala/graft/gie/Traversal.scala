@@ -527,12 +527,27 @@ final class Traversal private[gie] (
       body: Traversal => Traversal,
       until: Option[Traversal => Traversal],
       emit: Boolean,
-      times: Int): Traversal = {
+      times: Int,
+      emitFilter: Option[Traversal => Traversal] = None): Traversal = {
     require(times > 0, "repeat() needs a positive loop bound")
     var cur: Traversal = this
     val outFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 0
     var live = 1L
+    // emit(<sub>) — TinkerPop's predicated emit: only traversers whose
+    // vertex satisfies the sub-traversal are copied out mid-loop (the
+    // until-exits and the final round output unfiltered, as in
+    // RepeatStep: until halts first, emit applies to continuing
+    // traversers). Evaluated like until — once over the distinct origin
+    // set, then one semi-join.
+    def emittedOf(frame: DataFrame): DataFrame = emitFilter match {
+      case None => frame
+      case Some(f) =>
+        val origin = next(
+          frame.select(col("__v")).distinct().withColumn("__origin", col("__v")))
+        val ehits = f(origin).df.select(col("__origin").as("__v")).distinct()
+        frame.join(ehits, Seq("__v"), "left_semi")
+    }
     while (round < times && live > 0) {
       round += 1
       cur = next(Engine.materialize(body(cur).df))
@@ -542,8 +557,11 @@ final class Traversal private[gie] (
             cur.df.select(col("__v")).distinct().withColumn("__origin", col("__v")))
           val hits = Engine.materialize(
             u(origin).df.select(col("__origin").as("__v")).distinct())
-          if (emit) outFrames += cur.df
-          else outFrames += cur.df.join(hits, Seq("__v"), "left_semi")
+          val exits = cur.df.join(hits, Seq("__v"), "left_semi")
+          if (emit)
+            outFrames += exits.unionAll(
+              emittedOf(cur.df.join(hits, Seq("__v"), "left_anti")))
+          else outFrames += exits
           cur = next(Engine.materialize(cur.df.join(hits, Seq("__v"), "left_anti")))
           live = cur.df.count()
           if (live == 0 && !emit) () // exit frame already captured above
@@ -551,7 +569,10 @@ final class Traversal private[gie] (
           // final round (times reached: every survivor exits) or pure
           // until-less emit loop — no split needed
           live = cur.df.count()
-          if (live > 0 && (emit || round == times || until.isEmpty)) outFrames += cur.df
+          if (live > 0) {
+            if (round == times) outFrames += cur.df
+            else if (emit) outFrames += emittedOf(cur.df)
+          }
       }
     }
     if (outFrames.isEmpty) return next(df.limit(0).select(col("__v")))

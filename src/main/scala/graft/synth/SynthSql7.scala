@@ -59,6 +59,23 @@ object SynthSql7 {
        |FROM walks JOIN vertices vd ON vd.id = walks.v
        |GROUP BY vd.oid""".stripMargin
 
+  /** Predicated-emit twin: `g.V().has('oid', seed).repeat(__.out())
+    * .emit(has('oid', TextP.startingWith(p))).times(2).groupCount()
+    * .by('oid')` — round 1 emits only matching traversers, the final
+    * round outputs every survivor (RepeatStep halt), bag semantics.
+    */
+  def emitSql(sf: Double, seed: String, prefix: String): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |s AS (SELECT id FROM vertices WHERE oid = '$seed'),
+       |r1 AS MATERIALIZED (SELECT e.dst AS v FROM dedges e JOIN s ON e.src = s.id),
+       |r2 AS (SELECT e.dst AS v FROM r1 JOIN dedges e ON e.src = r1.v),
+       |outv AS (
+       |  SELECT r1.v FROM r1 JOIN vertices vv ON vv.id = r1.v WHERE vv.oid LIKE '$prefix%'
+       |  UNION ALL SELECT v FROM r2)
+       |SELECT vd.oid AS oid, count(*) AS n
+       |FROM outv JOIN vertices vd ON vd.id = outv.v
+       |GROUP BY vd.oid""".stripMargin
+
   /** `g.V(ids)` point-lookup twin: 1-hop walks from an explicit oid set
     * (GlobalIdsScan / id IndexPredicate), counted per landing oid.
     * Unknown ids simply match nothing, as in TinkerPop.

@@ -799,6 +799,29 @@ class GremlinSpec extends SparkSpec {
     assert(rows(r) == Set("0|V|5", "1|has|1", "2|out|2", "3|out|3"))
   }
 
+  test("emit(<sub>) filters mid-loop copies; final round halts all") {
+    // r1 = {a0, a1}, both match 'a%' → emitted; r2 = {t0, a1, t0} all out
+    val r = Gremlin.run(g,
+      "g.V().has('oid', 'u0').repeat(__.out())" +
+        ".emit(has('oid', TextP.startingWith('a'))).times(2)" +
+        ".groupCount().by('oid')")
+    assert(rows(r) == Set("a0|1", "a1|2", "t0|2"))
+    // with a filter nothing matches: only the final round survives
+    val none = Gremlin.run(g,
+      "g.V().has('oid', 'u0').repeat(__.out())" +
+        ".emit(has('oid', TextP.startingWith('z'))).times(2)" +
+        ".groupCount().by('oid')")
+    assert(rows(none) == Set("t0|2", "a1|1"))
+    // emit filter composes with until: t0 exits at until in round 2
+    // (2 copies, unfiltered) and once more via the times halt; the
+    // z-gated emit never copies the surviving a1 out
+    val both = Gremlin.run(g,
+      "g.V().has('oid', 'u0').repeat(__.out())" +
+        ".emit(has('oid', TextP.startingWith('z')))" +
+        ".until(has('oid', 't0')).times(3).groupCount().by('oid')")
+    assert(rows(both) == Set("t0|3"))
+  }
+
   test("parse errors are rejected with position info") {
     val e1 = intercept[IllegalArgumentException](Gremlin.run(g, "g.V().has('oid'"))
     assert(e1.getMessage.contains("parse error"))
