@@ -122,6 +122,13 @@ object SparkEntry {
       val pr = PageRank.run(g, PageRank.Config(0.85, PrRounds))
       withOid(g, pr.select(col("id"), round(col("rank"), 6).as("pr")), "pr")
     }),
+    // weighted PageRank (nx pagerank on the weighted transcript graph:
+    // contributions split by edge weight / Σ out-weights)
+    "tg_pagerank_w" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      val pr = PageRank.run(g, PageRank.Config(0.85, PrRounds, weighted = true))
+      withOid(g, pr.select(col("id"), round(col("rank"), 6).as("pr")), "pr")
+    }),
     "tg_wcc" -> ((s, dir) => {
       val g = graphFor(s, dir)
       WCC.canonical(g, WCC.run(g))
@@ -1454,6 +1461,7 @@ object SparkEntry {
     "tg_degrees" -> SynthSql.degreesSql(OracleSf),
     "tg_salted_hub" -> graft.synth.SynthSql5.saltedHubSql(OracleSf),
     "tg_pagerank" -> SynthSql.pageRankSql(OracleSf, PrRounds),
+    "tg_pagerank_w" -> SynthSql.pageRankWeightedSql(OracleSf, PrRounds),
     "tg_wcc" -> SynthSql.wccSql(OracleSf),
     "tg_pregel_wcc" -> SynthSql.wccSql(OracleSf),
     "tg_cdlp" -> SynthSql.cdlpSql(OracleSf, CdlpRounds),

@@ -36,11 +36,18 @@ object PageRank {
     * after one round (tol·N ≫ total rank mass), so the bench also runs
     * `tolTimesN=false`: absolute Σ|Δ| < tol.
     */
+  /** @param weighted nx `pagerank` semantics on a weighted graph:
+    *        contributions split ∝ edge weight / Σ out-weights instead of
+    *        1/outdeg (the default on unweighted projections). Same
+    *        contribution-form superstep — only the baked edge fraction
+    *        differs.
+    */
   final case class Config(
       damping: Double = 0.85,
       maxIter: Int = 100,
       tol: Option[Double] = None,
-      tolTimesN: Boolean = true
+      tolTimesN: Boolean = true,
+      weighted: Boolean = false
   )
 
   /** Returns (id: Long, rank: Double). */
@@ -65,8 +72,14 @@ object PageRank {
     require(n > 0, "empty graph")
     val d = cfg.damping
 
-    val simpleEdges = g.edges.toDF.select(col("src"), col("dst")) // distinct by construction
-    val outDeg = simpleEdges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // distinct (src, dst) by construction; weight = 1 on the unweighted
+    // path so the baked fraction below is 1/outdeg bit-for-bit
+    val simpleEdges =
+      if (cfg.weighted) g.edges.toDF.select(col("src"), col("dst"), col("weight"))
+      else g.edges.toDF.select(col("src"), col("dst"), lit(1.0).as("weight"))
+    val outDeg = simpleEdges.groupBy("src").agg(
+      (if (cfg.weighted) sum(col("weight")) else count(lit(1)).cast("double"))
+        .as("outdeg"))
 
     // Static per-vertex facts: dangling = no out-edges. Pinned (private
     // checkpoint, not persist) — see Engine.pin for the concurrent-
@@ -88,7 +101,7 @@ object PageRank {
     val e = Engine.pin(simpleEdges
       .join(outDeg, "src")
       .join(verts.select(col("id").as("dst"), col("dangling").as("dstDangling")), "dst")
-      .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"), col("dstDangling"))
+      .select(col("src"), col("dst"), (col("weight") / col("outdeg")).as("w"), col("dstDangling"))
       .repartition(col("src")))
     val edgeCount = e.count()
 

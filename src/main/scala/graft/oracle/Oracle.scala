@@ -35,6 +35,25 @@ object Oracle {
     rank
   }
 
+  /** nx `pagerank` on a WEIGHTED graph: contributions split by
+    * edge weight / Σ out-weights (the nx default when the graph carries
+    * weights).
+    */
+  def pageRankWeighted(n: Int, edges: Seq[(Int, Int, Double)],
+      damping: Double, rounds: Int): Array[Double] = {
+    val outW = new Array[Double](n)
+    edges.foreach { case (s, _, w) => outW(s) += w }
+    var rank = Array.fill(n)(1.0 / n)
+    (1 to rounds).foreach { _ =>
+      val dsum = (0 until n).iterator.filter(outW(_) == 0.0).map(rank).sum
+      val base = (1.0 - damping) / n + damping * dsum / n
+      val next = Array.fill(n)(base)
+      edges.foreach { case (s, d, w) => next(d) += damping * rank(s) * (w / outW(s)) }
+      rank = next
+    }
+    rank
+  }
+
   /** Personalized PageRank with single-seed teleport + dangling
     * redistribution (nx pagerank personalization={seed: 1}).
     */

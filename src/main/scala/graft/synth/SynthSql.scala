@@ -133,6 +133,38 @@ object SynthSql {
        |FROM vertices v JOIN r$rounds ON v.id = r$rounds.id""".stripMargin
   }
 
+  /** Twin of the WEIGHTED PageRank (nx `pagerank` on a weighted graph:
+    * contributions split ∝ edge weight / Σ out-weights): same unrolled
+    * recurrence as [[pageRankSql]], the out-degree CTE sums weights and
+    * the message term carries the per-edge fraction.
+    */
+  def pageRankWeightedSql(sf: Double, rounds: Int, damping: Double = 0.85): String = {
+    val n = "(SELECT n FROM nv)"
+    val body = (1 to rounds).map { k =>
+      val p = s"r${k - 1}"
+      s"""d$k AS MATERIALIZED (
+         |  SELECT coalesce(sum(r), 0.0) AS ds FROM $p LEFT JOIN outd ON $p.id = outd.src
+         |  WHERE outd.src IS NULL
+         |),
+         |r$k AS MATERIALIZED (
+         |  SELECT v.id,
+         |         ((1.0 - $damping)/$n) + $damping*((SELECT ds FROM d$k)/$n)
+         |           + $damping*coalesce(m.s, 0.0) AS r
+         |  FROM vertices v LEFT JOIN (
+         |    SELECT e.dst AS id, sum((e.weight/o.od) * p.r) AS s
+         |    FROM dedges e JOIN $p p ON e.src = p.id JOIN outd o ON o.src = e.src
+         |    GROUP BY e.dst) m ON v.id = m.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${graphCtes(sf)},
+       |outd AS MATERIALIZED (SELECT src, sum(weight) AS od FROM dedges GROUP BY src),
+       |nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vertices),
+       |r0 AS (SELECT id, 1.0/$n AS r FROM vertices),
+       |$body
+       |SELECT v.oid AS oid, round(r$rounds.r, 6) AS pr
+       |FROM vertices v JOIN r$rounds ON v.id = r$rounds.id""".stripMargin
+  }
+
   /** HashMin WCC unrolled `rounds` times. The synthesized graph is
     * small-world (hub assistant/tools + dense replica mixing), so 30
     * rounds converges with a wide margin — verified at build time by

@@ -55,6 +55,19 @@ class AlgoSpec extends SparkSpec {
     (0 until tgN).foreach(i => assert(math.abs(got(i.toLong) - want(i)) < 1e-6))
   }
 
+  test("weighted pagerank matches oracle on the weighted transcript graph") {
+    val wEdges = tg.edges.collect().map(e => (e.src.toInt, e.dst.toInt, e.weight)).toSeq
+    val got = PageRank.run(tg, PageRank.Config(0.85, 10, weighted = true))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = Oracle.pageRankWeighted(tgN, wEdges, 0.85, 10)
+    (0 until tgN).foreach(i => assert(math.abs(got(i.toLong) - want(i)) < 1e-6))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // the transcript weights are non-uniform, so the weighted ranks must
+    // genuinely differ from the unweighted run
+    val unw = Oracle.pageRank(tgN, wEdges.map(e => (e._1, e._2)), 0.85, 10)
+    assert((0 until tgN).exists(i => math.abs(want(i) - unw(i)) > 1e-6))
+  }
+
   test("personalized pagerank matches oracle and conserves mass at the seed") {
     val seed = 3
     val got = PageRank.personalized(g, seed.toLong, rounds = 10)
