@@ -885,6 +885,31 @@ object SparkEntry {
     "tg_gremlin_vids" -> ((s, dir) =>
       graft.gie.Gremlin.run(graphFor(s, dir),
         "g.V('assistant', 'tool:t0', 'nosuch:x').out().groupCount().by('oid')")),
+    // mid-traversal hasId (global-id IndexPredicate as a FILTER, vs the
+    // g.V(ids) source form) composed with the closed-schema existence
+    // family: hasNot(non-schema key) keeps everything, has('oid') keeps
+    // non-null rows — both no-ops here by schema, real by semantics
+    "tg_gremlin_hasid" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().out().hasId('assistant', 'tool:t0').hasNot('nickname')" +
+          ".has('oid').in().groupCount().by('oid')")),
+    // elementMap(): id + full property map per traverser, one column
+    // per schema property — the TinkerPop ElementMapStep sink
+    "tg_gremlin_elementmap" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V('assistant', 'system', 'tool:t0', 'tool:t1').elementMap()")),
+    // properties(keys…): (key, value) rows per traverser, bag semantics
+    // (PropertiesStep) — here over a 1-hop expansion
+    "tg_gremlin_properties" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().has('oid', 'system').out().properties('oid')")),
+    // local numeric fold: group().by(dst oid).by(values('weight')
+    // .fold()) then mean(local) — a pure array expression over the
+    // folded list, no extra shuffle
+    "tg_gremlin_localagg" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().has('oid', TextP.startingWith('u')).outE()" +
+          ".group().by('oid').by(__.values('weight').fold()).mean(local)")),
     // store(tag): the lazy sibling of aggregate — collected set read at
     // the cap sink
     "tg_gremlin_store" -> ((s, dir) =>
@@ -1616,6 +1641,12 @@ object SparkEntry {
     "tg_gremlin_vids" -> graft.synth.SynthSql7.vidsSql(OracleSf,
       Seq("assistant", "tool:t0", "nosuch:x")),
     "tg_gremlin_emit" -> graft.synth.SynthSql7.emitSql(OracleSf, "system", "t"),
+    "tg_gremlin_hasid" -> graft.synth.SynthSql7.hasIdSql(OracleSf,
+      Seq("assistant", "tool:t0")),
+    "tg_gremlin_elementmap" -> graft.synth.SynthSql7.elementMapSql(OracleSf,
+      Seq("assistant", "system", "tool:t0", "tool:t1")),
+    "tg_gremlin_properties" -> graft.synth.SynthSql7.propertiesSql(OracleSf, "system"),
+    "tg_gremlin_localagg" -> graft.synth.SynthSql7.localMeanSql(OracleSf, "u"),
     "tg_gremlin_store" -> graft.synth.SynthSql7.capSql(OracleSf, "a"),
     "tg_gremlin_coin" -> graft.synth.SynthSql7.coinSql(OracleSf, 0.37),
     "tg_gremlin_profile" -> graft.synth.SynthSql7.profileSql(OracleSf, "u"),

@@ -464,7 +464,23 @@ object Gremlin {
           if (f == "weight" || (f == "label" && t.df.columns.contains("__elabel")))
             st = Left(t.where(predOn(fieldColIn(t.df, f), p)))
           else st = Left(t.has(predOn(col(f), p)))
-        case ("has", List(Lit(f))) => st = Left(t.has(col(f).isNotNull))
+        // existence form: edge-positioned weight/label checks ride the
+        // traverser; vertex keys go through the closed-schema hasKey
+        // (a key outside the schema drops everything, never an error)
+        case ("has", List(Lit(f))) =>
+          if ((f == "weight" || f == "label") && t.df.columns.contains("__w"))
+            st = Left(t.where(fieldColIn(t.df, f).isNotNull))
+          else st = Left(t.hasKey(f))
+        // hasNot(key): the complement — a key outside the schema keeps
+        // everything (no element carries it)
+        case ("hasNot", List(Lit(f))) =>
+          if ((f == "weight" || f == "label") && t.df.columns.contains("__w"))
+            st = Left(t.where(fieldColIn(t.df, f).isNull))
+          else st = Left(t.hasNot(f))
+        // hasId(id, …): mid-traversal global-id IndexPredicate — same id
+        // plane as the g.V(ids) source
+        case ("hasId", ids) if ids.nonEmpty && ids.forall(_.isInstanceOf[Lit]) =>
+          st = Left(t.hasId(ids.map { case Lit(v) => v }: _*))
         // 3-arg has (TinkerPop has(label, prop, value) — the LDBC CR-1
         // seed lookup `has('person','id',$id)`): label scan + property
         // IndexPredicate, both pushed onto the vertex table
@@ -897,6 +913,18 @@ object Gremlin {
         // valueMap, the LDBC sink shape select(...).by(valueMap(...)) —
         // one column per requested property; our property surface is
         // oid/label on vertices, weight/label on edge traversers)
+        // elementMap(): id + full property map, one column per property
+        // (TinkerPop ElementMapStep — the relational rendering)
+        case ("elementMap", Nil) => st = Right(t.elementMap())
+        // properties(keys…): (key, value) rows per traverser
+        // (PropertiesStep); an edge-positioned properties('weight')
+        // reads the riding __w instead of a vertex fetch
+        case ("properties", props) if props.forall(_.isInstanceOf[Lit]) =>
+          val ks = props.map { case Lit(v) => v }
+          if (ks == List("weight") && t.df.columns.contains("__w"))
+            st = Right(t.df.select(
+              lit("weight").as("key"), col("__w").cast("string").as("value")))
+          else st = Right(t.propertiesRows(ks))
         case ("valueMap", props) if props.nonEmpty && props.forall(_.isInstanceOf[Lit]) =>
           val ps = props.map { case Lit(v) => v }
           val base = ps.foldLeft(t)((tr, f) => fetch(tr, f)).df
@@ -994,6 +1022,23 @@ object Gremlin {
         case ("order", List(Sym("local"))) =>
           val last = d.columns.last
           st = Right(d.withColumn(last, sort_array(col(last))))
+        // local numeric folds (SumLocal/MinLocal/MaxLocal/MeanLocal —
+        // TinkerPop local-scope aggregates over a folded list): pure
+        // array expressions on the list column, no shuffle. fold()
+        // sorts the list, so the float summation ORDER is deterministic
+        // and shared with the DuckDB twin; mean rounds to 6 dp (one
+        // division over an exact integral-double sum).
+        case (a @ ("sum" | "min" | "max" | "mean"), List(Sym("local"))) =>
+          val last = d.columns.last
+          val c = col(last)
+          val lsum = aggregate(c, lit(0.0d), (acc, x) => acc + x.cast("double"))
+          val v = a match {
+            case "sum" => lsum
+            case "min" => array_min(c)
+            case "max" => array_max(c)
+            case "mean" => round(lsum / size(c), 6)
+          }
+          st = Right(d.withColumn(last, v).withColumnRenamed(last, s"${a}_local"))
         // ConstantTreeNode: map every traverser to a literal
         case ("constant", List(Num(n))) =>
           val base = st match { case Left(tr) => tr.df; case Right(d2) => d2 }

@@ -202,6 +202,65 @@ final class Traversal private[gie] (
     has(col("label").isin(labels: _*))
   }
 
+  /** Gremlin `hasId(id, …)` mid-traversal (the same global-id
+    * IndexPredicate plane as the `g.V(ids)` source, `algebra.proto:162`
+    * GlobalIdsScan — ids here are the user-visible oids): the id set
+    * lands on the vertex scan, then one semi-join. Unknown ids match
+    * nothing, as in TinkerPop.
+    */
+  def hasId(oids: String*): Traversal = {
+    require(oids.nonEmpty, "hasId() needs at least one id")
+    has(col("oid").isin(oids: _*))
+  }
+
+  /** Gremlin `hasNot(key)`: keep traversers whose element does NOT carry
+    * the property. Our property surface is a closed schema (vertices
+    * carry `oid` [+ `label` on labeled graphs]), so a key outside the
+    * schema keeps every traverser and a schema key keeps only
+    * null-valued rows — TinkerPop's semantics specialized to a total
+    * schema.
+    */
+  def hasNot(key: String): Traversal =
+    if (!g.vertices.columns.contains(key)) this
+    else has(col(key).isNull)
+
+  /** Gremlin `has(key)` existence form: a key outside the closed schema
+    * filters every traverser out (TinkerPop semantics — never an
+    * analysis error); a schema key keeps non-null rows.
+    */
+  def hasKey(key: String): Traversal =
+    if (!g.vertices.columns.contains(key)) next(df.where(lit(false)))
+    else has(col(key).isNotNull)
+
+  /** TinkerPop `elementMap()` sink: id + the full property map of the
+    * current vertex, rendered relationally — one row per traverser,
+    * one column per schema property (`id`, `oid` [, `label`]).
+    */
+  def elementMap(): DataFrame = {
+    val base = if (g.labeled) auxilia().auxiliaLabel() else auxilia()
+    val cols = col("__v").as("id") +: col("oid") +:
+      (if (g.labeled) Seq(col("label")) else Nil)
+    base.df.select(cols: _*)
+  }
+
+  /** TinkerPop `properties(keys…)` (PropertiesStep,
+    * `PropertiesTreeNode`): one `(key, value)` row per traverser per
+    * requested schema property (all schema properties when no keys are
+    * given), values rendered as strings so the row type is uniform.
+    * Bag semantics — traverser multiplicity multiplies into the rows.
+    */
+  def propertiesRows(keys: Seq[String]): DataFrame = {
+    val schema = if (g.labeled) Seq("oid", "label") else Seq("oid")
+    val ks = if (keys.isEmpty) schema else keys.filter(schema.contains)
+    require(ks.nonEmpty,
+      s"properties(${keys.mkString(",")}) selects no schema property")
+    val base = if (ks.contains("label")) auxilia().auxiliaLabel() else auxilia()
+    val pairs = ks.map(k =>
+      struct(lit(k).as("key"), col(k).cast("string").as("value")))
+    base.df.select(explode(array(pairs: _*)).as("kv"))
+      .select(col("kv.key").as("key"), col("kv.value").as("value"))
+  }
+
   /** Arbitrary filter on the traverser frame (requires the referenced
     * columns, e.g. `oid` after [[auxilia]]).
     */

@@ -141,4 +141,59 @@ object SynthSql7 {
        |WHERE EXISTS (SELECT 1 FROM live1)
        |UNION ALL SELECT CAST(2 AS BIGINT), path_str FROM p2
        |UNION ALL SELECT CAST(3 AS BIGINT), path_str FROM p3""".stripMargin
+
+  /** Mid-traversal `hasId`/`hasNot`/`has(key)` twin:
+    * `g.V().out().hasId(ids).hasNot('nickname').has('oid').in()
+    * .groupCount().by('oid')` — 1-hop landings whose vertex oid is in
+    * the id set (hasNot of a non-schema key and has('oid') over the
+    * total closed schema are no-ops), reverse-expanded one hop, counted
+    * per landing oid. Bag semantics throughout.
+    */
+  def hasIdSql(sf: Double, oids: Seq[String]): String = {
+    val in = oids.map(o => s"'$o'").mkString(", ")
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |mid AS MATERIALIZED (
+       |  SELECT e1.dst AS v FROM dedges e1
+       |  JOIN vertices vm ON vm.id = e1.dst
+       |  WHERE vm.oid IN ($in)),
+       |walks AS (SELECT e2.src AS v FROM mid JOIN dedges e2 ON e2.dst = mid.v)
+       |SELECT vd.oid AS oid, count(*) AS n
+       |FROM walks JOIN vertices vd ON vd.id = walks.v
+       |GROUP BY vd.oid""".stripMargin
+  }
+
+  /** `elementMap()` twin: dense id + the full (closed-schema) property
+    * map of the selected vertices — the id plane is the deterministic
+    * oid rank shared by both engines.
+    */
+  def elementMapSql(sf: Double, oids: Seq[String]): String = {
+    val in = oids.map(o => s"'$o'").mkString(", ")
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT id, oid FROM vertices WHERE oid IN ($in)""".stripMargin
+  }
+
+  /** `properties('oid')` twin over a 1-hop expansion: one (key, value)
+    * row per traverser — bag semantics, duplicates preserved.
+    */
+  def propertiesSql(sf: Double, seed: String): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |s AS (SELECT id FROM vertices WHERE oid = '$seed')
+       |SELECT 'oid' AS key, vd.oid AS value
+       |FROM dedges e JOIN s ON e.src = s.id
+       |JOIN vertices vd ON vd.id = e.dst""".stripMargin
+
+  /** `mean(local)` twin over `group().by(oid).by(values('weight')
+    * .fold())`: per-landing-oid mean out-edge weight from prefix-matched
+    * sources. The folded weights are integral doubles, so the sum is
+    * exact and the single division matches bit-for-bit; both engines
+    * round to 6 dp.
+    */
+  def localMeanSql(sf: Double, prefix: String): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT vd.oid AS oid, round(sum(e.weight)/count(*), 6) AS mean_local
+       |FROM dedges e
+       |JOIN vertices vs ON vs.id = e.src
+       |JOIN vertices vd ON vd.id = e.dst
+       |WHERE vs.oid LIKE '$prefix%'
+       |GROUP BY vd.oid""".stripMargin
 }

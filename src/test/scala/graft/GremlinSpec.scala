@@ -822,6 +822,37 @@ class GremlinSpec extends SparkSpec {
     assert(rows(both) == Set("t0|3"))
   }
 
+  test("hasId filters mid-traversal; existence family honors the closed schema") {
+    // out() landings: a0,a1 (u0), a0 (u1), t0 (a0), t0 (a1), a1 (a0), u1 (t0)
+    assert(rows(Gremlin.run(g, "g.V().out().hasId('a0', 't0').values('oid')"))
+      == Set("a0", "t0"))
+    // hasNot of a non-schema key keeps everything; of a total schema
+    // column keeps nothing; has(key) is the complement
+    assert(rows(Gremlin.run(g, "g.V().hasNot('nickname').count()")) == Set("5"))
+    assert(rows(Gremlin.run(g, "g.V().hasNot('oid').count()")) == Set("0"))
+    assert(rows(Gremlin.run(g, "g.V().has('nickname').count()")) == Set("0"))
+    assert(rows(Gremlin.run(g, "g.V().has('oid').count()")) == Set("5"))
+  }
+
+  test("elementMap and properties render the closed-schema property plane") {
+    assert(rows(Gremlin.run(g, "g.V('u0', 't0').elementMap()"))
+      == Set("0|u0", "4|t0"))
+    // bag semantics: one (key, value) row per traverser per property
+    assert(rows(Gremlin.run(g, "g.V('u0').out().properties('oid')"))
+      == Set("oid|a0", "oid|a1"))
+    assert(rows(Gremlin.run(g, "g.V('u0').properties()")) == Set("oid|u0"))
+  }
+
+  test("local numeric folds aggregate the folded list per row") {
+    assert(rows(Gremlin.run(g, "g.V().outE().values('weight').fold().sum(local)"))
+      == Set("7.0"))
+    assert(rows(Gremlin.run(g, "g.V().outE().values('weight').fold().max(local)"))
+      == Set("1.0"))
+    assert(rows(Gremlin.run(g,
+      "g.V('u0').outE().group().by('oid').by(__.values('weight').fold()).mean(local)"))
+      == Set("a0|1.0", "a1|1.0"))
+  }
+
   test("parse errors are rejected with position info") {
     val e1 = intercept[IllegalArgumentException](Gremlin.run(g, "g.V().has('oid'"))
     assert(e1.getMessage.contains("parse error"))
