@@ -1111,6 +1111,12 @@ object SparkEntry {
     "tg_neighbor_sample" -> ((s, dir) =>
       graft.ml.NeighborSample.sample(graphFor(s, dir),
         Seq("system", "assistant", "u1"), Seq(2, 2))),
+    // GNN negative sampling (graphlearn negative_sampler / GSL outNeg):
+    // per seed, 4 slots of deterministic rejection draws over the dense
+    // id space — first non-neighbor candidate per slot survives
+    "tg_negative_sample" -> ((s, dir) =>
+      graft.ml.NegativeSample.sample(graphFor(s, dir),
+        Seq("system", "assistant", "u1", "tool:t0"), f = 4)),
     // bounded all-simple-paths enumeration (gs::AllSimplePaths)
     "tg_simple_paths" -> ((s, dir) => {
       val g = graphFor(s, dir)
@@ -1698,6 +1704,8 @@ object SparkEntry {
     "tg_sampling" -> SynthSql3.samplingSql(OracleSf, Seq("system", "assistant", "tool:t0"), 3),
     "tg_neighbor_sample" -> graft.synth.SynthSql5.neighborSampleSql(
       OracleSf, Seq("system", "assistant", "u1"), Seq(2, 2)),
+    "tg_negative_sample" -> graft.synth.SynthSql5.negativeSampleSql(
+      OracleSf, Seq("system", "assistant", "u1", "tool:t0"), f = 4),
     "tg_simple_paths" -> SynthSql3.simplePathsSql(OracleSf, "system", "tool:t0"),
     "tg_simple_edge_paths" -> SynthSql3.simpleEdgePathsSql(OracleSf, "system", "tool:t0"),
     "tg_hits" -> SynthSql2.hitsSql(OracleSf),

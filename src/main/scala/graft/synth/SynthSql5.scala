@@ -607,6 +607,54 @@ object SynthSql5 {
        |$sel""".stripMargin
   }
 
+  /** Twin of `NegativeSample.sample`: per (seed, slot), deterministic
+    * rejection draws over the dense id space — avalanche(composite) %
+    * |V| per attempt, keep the first attempt that is a candidate (has
+    * an in-edge), is not an out-neighbor of the seed, and is not the
+    * seed itself. The avalanche chain is the same one-fin-pass unroll
+    * as [[neighborSampleSql]].
+    */
+  def negativeSampleSql(
+      sf: Double, seeds: Seq[String], f: Int, attempts: Int = 8,
+      pickSeed: Long = 42L): String = {
+    val p = graft.text.TextOps.HashP
+    val mm = graft.ml.Hll.Mask
+    val salt = pickSeed * 1000003L + 7919L
+    val sv = seeds.map(s => s"('$s')").mkString(", ")
+    val slots = (0 until f).map(j => s"($j)").mkString(", ")
+    val ats = (0 until attempts).map(a => s"($a)").mkString(", ")
+    val comp = s"((${LshSql.phash("sdi.seed")} * 31 + $salt + " +
+      s"sl.slot * 104729 + at.attempt * 15485863) % $p)"
+    val keep = "seed, seed_id, slot, attempt"
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |sd(seed) AS (VALUES $sv),
+       |sdi AS (SELECT sd.seed, v.id AS seed_id FROM sd JOIN vertices v ON v.oid = sd.seed),
+       |sl(slot) AS (VALUES $slots),
+       |at(attempt) AS (VALUES $ats),
+       |c0 AS (SELECT sdi.seed, sdi.seed_id, sl.slot, at.attempt, $comp AS v
+       |       FROM sdi CROSS JOIN sl CROSS JOIN at),
+       |x1 AS (SELECT $keep, ((v * 2654435761) & $mm) AS v FROM c0),
+       |x2 AS (SELECT $keep, xor(v, v >> 15) AS v FROM x1),
+       |x3 AS (SELECT $keep, ((v * 2246822519) & $mm) AS v FROM x2),
+       |x4 AS (SELECT $keep, xor(v, v >> 13) AS v FROM x3),
+       |x5 AS (SELECT $keep, ((v * 3266489917) & $mm) AS v FROM x4),
+       |x6 AS (SELECT $keep, xor(v, v >> 16) AS pick FROM x5),
+       |d0 AS (SELECT $keep, pick % (SELECT count(*) FROM vertices) AS cand_id FROM x6),
+       |kept AS (
+       |  SELECT seed, slot, attempt, cand_id FROM d0
+       |  WHERE cand_id <> seed_id
+       |    AND EXISTS (SELECT 1 FROM dedges e WHERE e.dst = d0.cand_id)
+       |    AND NOT EXISTS (SELECT 1 FROM dedges e
+       |                    WHERE e.src = d0.seed_id AND e.dst = d0.cand_id)),
+       |pk AS (
+       |  SELECT seed, slot, cand_id FROM (
+       |    SELECT seed, slot, cand_id,
+       |           row_number() OVER (PARTITION BY seed, slot ORDER BY attempt) AS rn
+       |    FROM kept) z WHERE rn = 1)
+       |SELECT pk.seed AS seed_oid, pk.slot AS slot, v.oid AS neg_oid
+       |FROM pk JOIN vertices v ON v.id = pk.cand_id""".stripMargin
+  }
+
   /** Twin of `out().values('oid').fold().limit(local, n).unfold()` from
     * `srcOid`: sorted out-neighbor oid list (with multiplicity), first
     * `n`, exploded back to rows.

@@ -52,6 +52,32 @@ class Paths3Spec extends SparkSpec {
     assert(again == res.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("negative sampling: non-neighbors only, deterministic, diverse") {
+    val seeds = Seq("v000000", "v000003")
+    val res = graft.ml.NegativeSample.sample(g, seeds, f = 4)
+    val rows = res.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    // at most one pick per (seed, slot), at most f slots per seed
+    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length)
+    assert(rows.groupBy(_._1).values.forall(_.size <= 4))
+    val eset = edges.map { case (a, b) => (f"v$a%06d", f"v$b%06d") }.toSet
+    val candSet = edges.map(e => f"v${e._2}%06d").toSet
+    rows.foreach { case (s, _, neg) =>
+      assert(neg != s, s"sampled the seed itself: $s")
+      assert(!eset.contains((s, neg)), s"sampled a neighbor: $s -> $neg")
+      assert(candSet.contains(neg), s"sampled a non-candidate: $neg")
+    }
+    // the avalanche-mixed draws should diversify across slots: a 30-
+    // vertex graph with out-degree ~4 leaves >20 valid negatives per
+    // seed, so 4 slots collapsing to one value would be a hash defect
+    assert(rows.groupBy(_._1).values.forall(g => g.map(_._3).distinct.size >= 2))
+    // hash-gated, not rand(): re-running reproduces the sample exactly
+    val again = graft.ml.NegativeSample.sample(g, seeds, f = 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(again == res.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("apsp lengths agree with per-source sssp") {
     val res = Paths3.apspLengths(g, Seq("v000000", "v000001")).collect()
     assert(res.nonEmpty)
