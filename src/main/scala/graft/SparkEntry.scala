@@ -1117,6 +1117,16 @@ object SparkEntry {
     "tg_negative_sample" -> ((s, dir) =>
       graft.ml.NegativeSample.sample(graphFor(s, dir),
         Seq("system", "assistant", "u1", "tool:t0"), f = 4)),
+    // graphlearn strategy="topk": strongest-weight neighbors first, per
+    // (seed, parent) — salted two-phase top-k, never a hub window
+    "tg_neighbor_topk" -> ((s, dir) =>
+      graft.ml.NeighborSample.sampleTopK(graphFor(s, dir),
+        Seq("system", "assistant", "u1"), Seq(3, 2))),
+    // graphlearn strategy="random_without_replacement": first f
+    // avalanche-hash-ranked neighbors — distinct by construction
+    "tg_neighbor_noreplace" -> ((s, dir) =>
+      graft.ml.NeighborSample.sampleWithoutReplacement(graphFor(s, dir),
+        Seq("system", "assistant", "u1"), Seq(3, 2))),
     // bounded all-simple-paths enumeration (gs::AllSimplePaths)
     "tg_simple_paths" -> ((s, dir) => {
       val g = graphFor(s, dir)
@@ -1706,6 +1716,10 @@ object SparkEntry {
       OracleSf, Seq("system", "assistant", "u1"), Seq(2, 2)),
     "tg_negative_sample" -> graft.synth.SynthSql5.negativeSampleSql(
       OracleSf, Seq("system", "assistant", "u1", "tool:t0"), f = 4),
+    "tg_neighbor_topk" -> graft.synth.SynthSql5.neighborRankedSql(
+      OracleSf, Seq("system", "assistant", "u1"), Seq(3, 2), byWeight = true),
+    "tg_neighbor_noreplace" -> graft.synth.SynthSql5.neighborRankedSql(
+      OracleSf, Seq("system", "assistant", "u1"), Seq(3, 2), byWeight = false),
     "tg_simple_paths" -> SynthSql3.simplePathsSql(OracleSf, "system", "tool:t0"),
     "tg_simple_edge_paths" -> SynthSql3.simpleEdgePathsSql(OracleSf, "system", "tool:t0"),
     "tg_hits" -> SynthSql2.hitsSql(OracleSf),

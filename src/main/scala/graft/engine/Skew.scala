@@ -58,4 +58,30 @@ object Skew {
       .agg(collect_list(col(valueCol)).as("__chunk"))
       .groupBy(col(keyCol))
       .agg(array_sort(flatten(collect_list(col("__chunk")))).as(valueCol))
+
+  /** Two-phase salted per-key top-k — the hub-safe replacement for a
+    * `row_number() OVER (PARTITION BY key ORDER BY ord)` window: phase 1
+    * keeps at most k elements per (key, salt) group (a hub key's
+    * adjacency reduces to ≤ nSalts·k survivors before any single
+    * reducer sees it), phase 2 merges and re-truncates. `ord` must be a
+    * TOTALLY ordering struct (include the payload as the final
+    * tiebreak) or the result is nondeterministic. Returns
+    * `(keyCols…, rank, payloadCol)` with rank 0-based in `ord` order.
+    */
+  def saltedTopK(
+      df: DataFrame, keyCols: Seq[String], payloadCol: String, ord: Column,
+      k: Int, saltFrom: String, nSalts: Int = 32
+  ): DataFrame = {
+    require(k > 0, "top-k needs k > 0")
+    val kc = keyCols.map(col)
+    val pairs = df.select(
+      kc :+ struct(ord.as("o"), col(payloadCol).as("p")).as("__op") :+
+        salt(col(saltFrom), nSalts).as("__salt"): _*)
+    val partial = pairs.groupBy(kc :+ col("__salt"): _*)
+      .agg(slice(array_sort(collect_list(col("__op"))), 1, k).as("__top"))
+    val merged = partial.groupBy(kc: _*)
+      .agg(slice(array_sort(flatten(collect_list(col("__top")))), 1, k).as("__top"))
+    merged.select(kc :+ posexplode(col("__top")): _*)
+      .select(kc :+ col("pos").as("rank") :+ col("col.p").as(payloadCol): _*)
+  }
 }

@@ -72,4 +72,62 @@ object NeighborSample {
     out.count()
     out
   }
+
+  /** graphlearn `strategy="topk"` (`graph_sampling_en.rst` strategy
+    * table): per (seed, parent) the top-f out-neighbors by edge weight
+    * (desc; ties break to the smaller child oid). Padding rule: a parent
+    * with fewer than f neighbors returns all of them unpadded (the
+    * reference pads with `default_neighbor_id`; a relational result has
+    * no fixed tensor shape to fill).
+    */
+  def sampleTopK(
+      g: LinkGraph, seedOids: Seq[String], fanouts: Seq[Int]): DataFrame =
+    sampleRanked(g, seedOids, fanouts, byWeight = true, 0L)
+
+  /** graphlearn `strategy="random_without_replacement"`: per (seed,
+    * parent) the first f out-neighbors in avalanche-pick-hash order —
+    * distinct by construction (the adjacency is a set), deterministic,
+    * resume-safe; same padding rule as [[sampleTopK]].
+    */
+  def sampleWithoutReplacement(
+      g: LinkGraph, seedOids: Seq[String], fanouts: Seq[Int],
+      pickSeed: Long = 42L): DataFrame =
+    sampleRanked(g, seedOids, fanouts, byWeight = false, pickSeed)
+
+  /** Shared ranked-selection sampler. Scale shape: the per-(seed,
+    * parent) top-k is [[graft.engine.Skew.saltedTopK]] — two-phase
+    * salted truncation, never a window over a hub parent's adjacency.
+    * Returns (seed_oid, hop, parent_oid, child_oid, rank), rank 0-based.
+    */
+  private def sampleRanked(
+      g: LinkGraph, seedOids: Seq[String], fanouts: Seq[Int],
+      byWeight: Boolean, pickSeed: Long): DataFrame = {
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val p = graft.text.TextOps.HashP
+    val oidEdges = g.edges.toDF
+      .join(g.vertices.toDF.select(col("id").as("src"), col("oid").as("parent")), "src")
+      .join(g.vertices.toDF.select(col("id").as("dst"), col("oid").as("child")), "dst")
+      .select(col("parent"), col("child"), col("weight"))
+      .localCheckpoint(true)
+    var frontier = seedOids.toDF("seed").select(col("seed"), col("seed").as("parent"))
+    val hops = fanouts.zipWithIndex.map { case (f, h) =>
+      val salt = pickSeed * 1000003L + h * 7919L
+      val cand = frontier.join(oidEdges, Seq("parent"))
+      val ord =
+        if (byWeight) struct(negate(col("weight")), col("child"))
+        else struct(graft.ml.Hll.mix(
+          (graft.text.TextOps.portableHash(col("parent")) * 31L +
+            graft.text.TextOps.portableHash(col("child")) * 17L + lit(salt)) % p),
+          col("child"))
+      val picked = Engine.materialize(graft.engine.Skew.saltedTopK(
+        cand, Seq("seed", "parent"), "child", ord, f, saltFrom = "child"))
+      frontier = picked.select(col("seed"), col("child").as("parent")).distinct()
+      picked.select(col("seed").as("seed_oid"), lit(h + 1).as("hop"),
+        col("parent").as("parent_oid"), col("child").as("child_oid"), col("rank"))
+    }
+    val out = Engine.materialize(hops.reduce(_ unionByName _))
+    out.count()
+    out
+  }
 }

@@ -607,6 +607,68 @@ object SynthSql5 {
        |$sel""".stripMargin
   }
 
+  /** Twin of `NeighborSample.sampleTopK` / `sampleWithoutReplacement`:
+    * per hop, per (seed, parent), the first `f` out-neighbors ordered by
+    * (weight DESC, child) — the topk strategy — or by (avalanche pick
+    * hash, child) — random_without_replacement. The oracle uses a plain
+    * window (fine at sf0.01); the engine side is the salted two-phase
+    * top-k (`Skew.saltedTopK`), result-identical because the ordering
+    * struct is total.
+    */
+  def neighborRankedSql(
+      sf: Double, seeds: Seq[String], fanouts: Seq[Int], byWeight: Boolean,
+      pickSeed: Long = 42L): String = {
+    val p = graft.text.TextOps.HashP
+    val mm = graft.ml.Hll.Mask
+    val sv = seeds.map(s => s"('$s')").mkString(", ")
+    val body = fanouts.zipWithIndex.map { case (f, h) =>
+      val prev = if (h == 0) "f0" else s"fr$h"
+      val keep = "seed, parent, child"
+      val ranked =
+        if (byWeight)
+          s"""c$h AS (
+             |  SELECT fr.seed, e.src_oid AS parent, e.dst_oid AS child, e.weight
+             |  FROM $prev fr JOIN edges_oid e ON e.src_oid = fr.parent),
+             |r$h AS (
+             |  SELECT $keep,
+             |         row_number() OVER (PARTITION BY seed, parent
+             |                            ORDER BY weight DESC, child) AS rn
+             |  FROM c$h)""".stripMargin
+        else {
+          val salt = pickSeed * 1000003L + h * 7919L
+          val comp = s"((${LshSql.phash("e.src_oid")} * 31 + " +
+            s"${LshSql.phash("e.dst_oid")} * 17 + $salt) % $p)"
+          s"""c$h AS (
+             |  SELECT fr.seed, e.src_oid AS parent, e.dst_oid AS child, $comp AS v
+             |  FROM $prev fr JOIN edges_oid e ON e.src_oid = fr.parent),
+             |y${h}1 AS (SELECT $keep, ((v * 2654435761) & $mm) AS v FROM c$h),
+             |y${h}2 AS (SELECT $keep, xor(v, v >> 15) AS v FROM y${h}1),
+             |y${h}3 AS (SELECT $keep, ((v * 2246822519) & $mm) AS v FROM y${h}2),
+             |y${h}4 AS (SELECT $keep, xor(v, v >> 13) AS v FROM y${h}3),
+             |y${h}5 AS (SELECT $keep, ((v * 3266489917) & $mm) AS v FROM y${h}4),
+             |y${h}6 AS (SELECT $keep, xor(v, v >> 16) AS pick FROM y${h}5),
+             |r$h AS (
+             |  SELECT $keep,
+             |         row_number() OVER (PARTITION BY seed, parent
+             |                            ORDER BY pick, child) AS rn
+             |  FROM y${h}6)""".stripMargin
+        }
+      s"""$ranked,
+         |p$h AS MATERIALIZED (
+         |  SELECT $keep, CAST(rn - 1 AS INTEGER) AS rank FROM r$h WHERE rn <= $f),
+         |fr${h + 1} AS (SELECT DISTINCT seed, child AS parent FROM p$h)""".stripMargin
+    }.mkString(",\n")
+    val sel = fanouts.indices.map(h =>
+      s"SELECT seed AS seed_oid, ${h + 1} AS hop, parent AS parent_oid, " +
+        s"child AS child_oid, rank FROM p$h")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |sd(seed) AS (VALUES $sv),
+       |f0 AS (SELECT seed, seed AS parent FROM sd),
+       |$body
+       |$sel""".stripMargin
+  }
+
   /** Twin of `NegativeSample.sample`: per (seed, slot), deterministic
     * rejection draws over the dense id space — avalanche(composite) %
     * |V| per attempt, keep the first attempt that is a candidate (has

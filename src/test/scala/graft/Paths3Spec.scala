@@ -52,6 +52,28 @@ class Paths3Spec extends SparkSpec {
     assert(again == res.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("ranked neighbor strategies: topk by weight, no-replacement distinct") {
+    val s = spark
+    import s.implicits._
+    // parent 0 with weighted out-edges so top-k order is observable
+    val vs = (0 until 6).map(i => graft.schema.Vertex(i.toLong, f"v$i%06d")).toDS()
+    val es = Seq((0, 1, 5.0), (0, 2, 9.0), (0, 3, 9.0), (0, 4, 1.0), (2, 5, 2.0))
+      .map { case (a, b, w) => graft.schema.Edge(a.toLong, b.toLong, w) }.toDS()
+    val gg = graft.graph.LinkGraph(vs, es)
+    val top = graft.ml.NeighborSample.sampleTopK(gg, Seq("v000000"), Seq(3))
+      .collect().map(r => (r.getString(3), r.getInt(4))).sortBy(_._2)
+    // weight desc, tie on 9.0 breaks to smaller oid: v2, v3, then v1
+    assert(top.toSeq == Seq(("v000002", 0), ("v000003", 1), ("v000001", 2)))
+    val nr = graft.ml.NeighborSample.sampleWithoutReplacement(gg, Seq("v000000"), Seq(3))
+      .collect().map(_.getString(3))
+    // without replacement: 3 DISTINCT children out of the 4 neighbors
+    assert(nr.length == 3 && nr.distinct.length == 3)
+    // padding rule: fanout beyond the degree returns all, unpadded
+    val all = graft.ml.NeighborSample.sampleTopK(gg, Seq("v000000"), Seq(9))
+      .collect()
+    assert(all.length == 4)
+  }
+
   test("negative sampling: non-neighbors only, deterministic, diverse") {
     val seeds = Seq("v000000", "v000003")
     val res = graft.ml.NegativeSample.sample(g, seeds, f = 4)
