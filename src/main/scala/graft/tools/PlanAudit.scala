@@ -216,6 +216,55 @@ object PlanAudit {
         s"sparseFirstRounds=${sizes.take(3).forall(_ < nV)}")
     }
 
+    // ranked neighbor sampler step (topk / without-replacement): the
+    // per-(seed, parent) selection must be the salted two-phase
+    // truncation (two HashAggregate phases over ≤ k-element array
+    // buffers), NEVER a row_number window partitioned by parent — a hub
+    // parent's whole adjacency would route through one task. Inputs are
+    // checkpointed so the audited plan is the SELECTION alone (the
+    // graph-derivation subtree legitimately contains the reply-lag
+    // Window and would false-positive the assertion).
+    {
+      val gm = SparkEntry.graphFor(spark, sfDir)
+      import spark.implicits._
+      val cand = Seq("system").toDF("seed")
+        .select(col("seed"), col("seed").as("parent"))
+        .join(gm.edges.toDF
+          .join(gm.vertices.toDF.select(col("id").as("src"), col("oid").as("parent")), "src")
+          .join(gm.vertices.toDF.select(col("id").as("dst"), col("oid").as("child")), "dst")
+          .select(col("parent"), col("child"), col("weight"))
+          .localCheckpoint(true), Seq("parent"))
+      val plan = graft.engine.Skew.saltedTopK(
+        cand, Seq("seed", "parent"), "child",
+        struct(negate(col("weight")), col("child")), 3, saltFrom = "child")
+        .queryExecution.executedPlan.toString
+      println("==== neighbor_topk_step ====")
+      println(plan.take(2000))
+      println(s"---- neighbor_topk_step summary: window=${plan.contains("Window")} " +
+        s"aggPhases=${countOf(plan, "HashAggregate") + countOf(plan, "SortAggregate")} " +
+        s"exchanges=${countOf(plan, "Exchange")}")
+    }
+
+    // negative sampler: draws are map-generated (Generate over the
+    // attempt sequence rides the seed rows), validity is one semi + one
+    // anti join on bare ids — no window, no |S|×|C| product. Built on a
+    // checkpoint-backed graph for the same subtree-isolation reason.
+    {
+      val gm = SparkEntry.graphFor(spark, sfDir)
+      import spark.implicits._
+      val gp = graft.graph.LinkGraph(
+        gm.vertices.toDF.localCheckpoint(true).as[graft.schema.Vertex],
+        gm.edges.toDF.localCheckpoint(true).as[graft.schema.Edge])
+      val plan = graft.ml.NegativeSample.sample(
+        gp, Seq("system", "assistant"), f = 4).queryExecution.executedPlan.toString
+      println("==== negative_sample ====")
+      println(s"---- negative_sample summary: window=${plan.contains("Window")} " +
+        s"semiJoin=${plan.contains("LeftSemi")} antiJoin=${plan.contains("LeftAnti")} " +
+        s"generatedDraws=${plan.contains("Generate")} " +
+        s"crossJoins=${countOf(plan, "CartesianProduct")} " +
+        s"exchanges=${countOf(plan, "Exchange")}")
+    }
+
     // pinned-edge superstep (Engine.pin = eager localCheckpoint): the
     // checkpointed LogicalRDD must RETAIN hashpartitioning(src) so the
     // co-partitioned shuffle_hash join still plans zero input exchanges
