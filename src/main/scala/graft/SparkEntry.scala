@@ -1127,6 +1127,12 @@ object SparkEntry {
     "tg_neighbor_noreplace" -> ((s, dir) =>
       graft.ml.NeighborSample.sampleWithoutReplacement(graphFor(s, dir),
         Seq("system", "assistant", "u1"), Seq(3, 2))),
+    // GSL mini-batch stream (gsl_en.rst): shuffled by_order batch →
+    // topk neighbor hop → negative hop, one parsed pipeline
+    "tg_gsl" -> ((s, dir) =>
+      graft.ml.Gsl.run(graphFor(s, dir),
+        "g.V().shuffle().batch(6).outV().sample(2).by('topk')" +
+          ".outNeg().sample(3).by('random')")),
     // bounded all-simple-paths enumeration (gs::AllSimplePaths)
     "tg_simple_paths" -> ((s, dir) => {
       val g = graphFor(s, dir)
@@ -1720,6 +1726,7 @@ object SparkEntry {
       OracleSf, Seq("system", "assistant", "u1"), Seq(3, 2), byWeight = true),
     "tg_neighbor_noreplace" -> graft.synth.SynthSql5.neighborRankedSql(
       OracleSf, Seq("system", "assistant", "u1"), Seq(3, 2), byWeight = false),
+    "tg_gsl" -> graft.synth.SynthSql7.gslSql(OracleSf, batchN = 6, fTop = 2, fNeg = 3),
     "tg_simple_paths" -> SynthSql3.simplePathsSql(OracleSf, "system", "tool:t0"),
     "tg_simple_edge_paths" -> SynthSql3.simpleEdgePathsSql(OracleSf, "system", "tool:t0"),
     "tg_hits" -> SynthSql2.hitsSql(OracleSf),

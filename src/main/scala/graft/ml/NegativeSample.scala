@@ -38,15 +38,25 @@ object NegativeSample {
   def sample(
       g: LinkGraph, seedOids: Seq[String], f: Int, attempts: Int = 8,
       pickSeed: Long = 42L): DataFrame = {
-    require(f > 0 && attempts > 0, "fanout and attempts must be positive")
     val spark = g.vertices.sparkSession
     import spark.implicits._
+    val seeds = seedOids.toDF("seed").join(
+      g.vertices.toDF.select(col("oid").as("seed"), col("id").as("seed_id")),
+      Seq("seed"))
+    sampleFrom(g, seeds, f, attempts, NeighborSample.hopSalt(pickSeed, 1))
+  }
+
+  /** Frame-based core (the GSL `outNeg()` entry point): `seeds` carries
+    * (seed: oid, seed_id); `salt` is the per-hop salt so a multi-hop
+    * GSL chain draws independently per hop.
+    */
+  private[ml] def sampleFrom(
+      g: LinkGraph, seeds: DataFrame, f: Int, attempts: Int,
+      salt: Long): DataFrame = {
+    require(f > 0 && attempts > 0, "fanout and attempts must be positive")
     val p = graft.text.TextOps.HashP
     val n = g.numVertices
     val verts = g.vertices.toDF
-    val salt = pickSeed * 1000003L + 7919L
-    val seeds = seedOids.toDF("seed")
-      .join(verts.select(col("oid").as("seed"), col("id").as("seed_id")), Seq("seed"))
     val draws = seeds
       .select(col("seed"), col("seed_id"),
         explode(sequence(lit(0), lit(f - 1))).as("slot"))

@@ -30,6 +30,34 @@ import graft.graph.LinkGraph
   */
 object NeighborSample {
 
+  /** Per-hop salt — shared by every sampler family (and unrolled
+    * verbatim in the SQL twins): hop h of a pickSeed-seeded run.
+    */
+  private[ml] def hopSalt(pickSeed: Long, h: Int): Long =
+    pickSeed * 1000003L + h * 7919L
+
+  /** The avalanche pick hash for a (parent, child, salt, slot) draw —
+    * composite < p < 2^30, so [[graft.ml.Hll.mix]] degenerates to ONE
+    * fin pass; the SQL twins unroll exactly that chain
+    * (`SynthSql5.neighborSampleSql`).
+    */
+  private[ml] def pickHash(
+      parent: org.apache.spark.sql.Column, child: org.apache.spark.sql.Column,
+      salt: Long, slot: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.ml.Hll.mix(
+      (graft.text.TextOps.portableHash(parent) * 31L +
+        graft.text.TextOps.portableHash(child) * 17L +
+        lit(salt) + slot.cast("long") * 104729L) % graft.text.TextOps.HashP)
+
+  /** The oid-keyed adjacency (parent, child, weight), eagerly
+    * checkpointed — the shared hop input for every sampler family.
+    */
+  private[ml] def oidEdges(g: LinkGraph): DataFrame = g.edges.toDF
+    .join(g.vertices.toDF.select(col("id").as("src"), col("oid").as("parent")), "src")
+    .join(g.vertices.toDF.select(col("id").as("dst"), col("oid").as("child")), "dst")
+    .select(col("parent"), col("child"), col("weight"))
+    .localCheckpoint(true)
+
   /** Returns (seed_oid, hop, parent_oid, child_oid, slot) — hop is
     * 1-based; dead-end parents simply contribute no rows.
     */
@@ -38,24 +66,14 @@ object NeighborSample {
       pickSeed: Long = 42L): DataFrame = {
     val spark = g.vertices.sparkSession
     import spark.implicits._
-    val p = graft.text.TextOps.HashP
-    val oidEdges = g.edges.toDF
-      .join(g.vertices.toDF.select(col("id").as("src"), col("oid").as("parent")), "src")
-      .join(g.vertices.toDF.select(col("id").as("dst"), col("oid").as("child")), "dst")
-      .select("parent", "child")
-      .localCheckpoint(true)
+    val oidEdges = this.oidEdges(g).select("parent", "child")
     var frontier = seedOids.toDF("seed").select(col("seed"), col("seed").as("parent"))
     val hops = fanouts.zipWithIndex.map { case (f, h) =>
-      val salt = pickSeed * 1000003L + h * 7919L
+      val salt = hopSalt(pickSeed, h)
       val cand = frontier.join(oidEdges, Seq("parent"))
         .select(col("seed"), col("parent"), col("child"),
           explode(sequence(lit(0), lit(f - 1))).as("slot"))
-        // composite < p < 2^30, so Hll.mix degenerates to ONE fin pass —
-        // the SQL twin unrolls exactly that chain (SynthSql5.neighborSampleSql)
-        .withColumn("__pick", graft.ml.Hll.mix(
-          (graft.text.TextOps.portableHash(col("parent")) * 31L +
-            graft.text.TextOps.portableHash(col("child")) * 17L +
-            lit(salt) + col("slot").cast("long") * 104729L) % p))
+        .withColumn("__pick", pickHash(col("parent"), col("child"), salt, col("slot")))
       // deterministic argmin per slot; ties on the raw hash break to the
       // lexicographically smaller child (same portable tie rule as
       // samplingStep / its row_number twin)
@@ -104,22 +122,14 @@ object NeighborSample {
       byWeight: Boolean, pickSeed: Long): DataFrame = {
     val spark = g.vertices.sparkSession
     import spark.implicits._
-    val p = graft.text.TextOps.HashP
-    val oidEdges = g.edges.toDF
-      .join(g.vertices.toDF.select(col("id").as("src"), col("oid").as("parent")), "src")
-      .join(g.vertices.toDF.select(col("id").as("dst"), col("oid").as("child")), "dst")
-      .select(col("parent"), col("child"), col("weight"))
-      .localCheckpoint(true)
+    val oidEdges = this.oidEdges(g)
     var frontier = seedOids.toDF("seed").select(col("seed"), col("seed").as("parent"))
     val hops = fanouts.zipWithIndex.map { case (f, h) =>
-      val salt = pickSeed * 1000003L + h * 7919L
+      val salt = hopSalt(pickSeed, h)
       val cand = frontier.join(oidEdges, Seq("parent"))
       val ord =
         if (byWeight) struct(negate(col("weight")), col("child"))
-        else struct(graft.ml.Hll.mix(
-          (graft.text.TextOps.portableHash(col("parent")) * 31L +
-            graft.text.TextOps.portableHash(col("child")) * 17L + lit(salt)) % p),
-          col("child"))
+        else struct(pickHash(col("parent"), col("child"), salt, lit(0)), col("child"))
       val picked = Engine.materialize(graft.engine.Skew.saltedTopK(
         cand, Seq("seed", "parent"), "child", ord, f, saltFrom = "child"))
       frontier = picked.select(col("seed"), col("child").as("parent")).distinct()

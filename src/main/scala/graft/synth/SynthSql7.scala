@@ -182,6 +182,71 @@ object SynthSql7 {
        |FROM dedges e JOIN s ON e.src = s.id
        |JOIN vertices vd ON vd.id = e.dst""".stripMargin
 
+  /** Twin of the GSL driver query `g.V().shuffle().batch(batchN)
+    * .outV().sample(fTop).by('topk').outNeg().sample(fNeg).by('random')`
+    * (graft.ml.Gsl): portable-hash-ordered source batch, per-(seed,
+    * parent) weight-desc top-fTop hop (salt-free), then per-frontier-
+    * vertex negative rejection draws with hop-1 salt — the exact
+    * NegativeSample formula with parent as the draw seed.
+    */
+  def gslSql(
+      sf: Double, batchN: Int, fTop: Int, fNeg: Int, attempts: Int = 8,
+      pickSeed: Long = 42L): String = {
+    val p = graft.text.TextOps.HashP
+    val mm = graft.ml.Hll.Mask
+    val salt2 = pickSeed * 1000003L + 7919L
+    val slots = (0 until fNeg).map(j => s"($j)").mkString(", ")
+    val ats = (0 until attempts).map(a => s"($a)").mkString(", ")
+    val comp = s"((${LshSql.phash("npi.parent")} * 31 + $salt2 + " +
+      s"sl.slot * 104729 + att.attempt * 15485863) % $p)"
+    val keep = "parent, parent_id, slot, attempt"
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |src AS MATERIALIZED (
+       |  SELECT v.oid AS seed, v.id AS seed_id FROM vertices v
+       |  ORDER BY ${LshSql.phash("v.oid")} ASC, v.oid ASC LIMIT $batchN),
+       |c1 AS (SELECT s.seed, e.src_oid AS parent, e.dst_oid AS child, e.weight
+       |       FROM src s JOIN edges_oid e ON e.src_oid = s.seed),
+       |p1 AS MATERIALIZED (
+       |  SELECT seed, parent, child, CAST(rn - 1 AS INTEGER) AS pos FROM (
+       |    SELECT seed, parent, child,
+       |           row_number() OVER (PARTITION BY seed, parent
+       |                              ORDER BY weight DESC, child) AS rn
+       |    FROM c1) z WHERE rn <= $fTop),
+       |fr2 AS MATERIALIZED (SELECT DISTINCT seed, child FROM p1),
+       |np AS (SELECT DISTINCT child AS parent FROM fr2),
+       |npi AS (SELECT np.parent, v.id AS parent_id
+       |        FROM np JOIN vertices v ON v.oid = np.parent),
+       |sl(slot) AS (VALUES $slots),
+       |att(attempt) AS (VALUES $ats),
+       |c2 AS (SELECT npi.parent, npi.parent_id, sl.slot, att.attempt, $comp AS v
+       |       FROM npi CROSS JOIN sl CROSS JOIN att),
+       |x1 AS (SELECT $keep, ((v * 2654435761) & $mm) AS v FROM c2),
+       |x2 AS (SELECT $keep, xor(v, v >> 15) AS v FROM x1),
+       |x3 AS (SELECT $keep, ((v * 2246822519) & $mm) AS v FROM x2),
+       |x4 AS (SELECT $keep, xor(v, v >> 13) AS v FROM x3),
+       |x5 AS (SELECT $keep, ((v * 3266489917) & $mm) AS v FROM x4),
+       |x6 AS (SELECT $keep, xor(v, v >> 16) AS pick FROM x5),
+       |d0 AS (SELECT $keep, pick % (SELECT count(*) FROM vertices) AS cand_id FROM x6),
+       |kept AS (
+       |  SELECT parent, slot, attempt, cand_id FROM d0
+       |  WHERE cand_id <> parent_id
+       |    AND EXISTS (SELECT 1 FROM dedges e WHERE e.dst = d0.cand_id)
+       |    AND NOT EXISTS (SELECT 1 FROM dedges e
+       |                    WHERE e.src = d0.parent_id AND e.dst = d0.cand_id)),
+       |pk AS (
+       |  SELECT parent, slot, cand_id FROM (
+       |    SELECT parent, slot, cand_id,
+       |           row_number() OVER (PARTITION BY parent, slot ORDER BY attempt) AS rn
+       |    FROM kept) z WHERE rn = 1),
+       |negr AS (SELECT fr2.seed, fr2.child AS parent, pk.slot AS pos, v.oid AS child_oid
+       |         FROM fr2 JOIN pk ON pk.parent = fr2.child
+       |         JOIN vertices v ON v.id = pk.cand_id)
+       |SELECT seed AS seed_oid, 1 AS hop, parent AS parent_oid,
+       |       child AS child_oid, pos, 'nbr' AS kind FROM p1
+       |UNION ALL
+       |SELECT seed, 2, parent, child_oid, pos, 'neg' FROM negr""".stripMargin
+  }
+
   /** `mean(local)` twin over `group().by(oid).by(values('weight')
     * .fold())`: per-landing-oid mean out-edge weight from prefix-matched
     * sources. The folded weights are integral doubles, so the sum is

@@ -74,6 +74,34 @@ class Paths3Spec extends SparkSpec {
     assert(all.length == 4)
   }
 
+  test("GSL chain lowers onto the sampler plane (strategy + neg equivalence)") {
+    // random-strategy GSL hop == NeighborSample.sample on the same seeds
+    val all = (0 until n).map(i => f"v$i%06d")
+    val viaGsl = graft.ml.Gsl.run(g, "g.V().outV().sample(2).by('random')")
+      .collect().map(r => (r.getString(0), r.getString(2), r.getString(3), r.getInt(4))).toSet
+    val direct = graft.ml.NeighborSample.sample(g, all, Seq(2))
+      .collect().map(r => (r.getString(0), r.getString(2), r.getString(3), r.getInt(4))).toSet
+    assert(viaGsl == direct)
+    // shuffled batch is a deterministic prefix of the hash permutation
+    val b1 = graft.ml.Gsl.run(g, "g.V().shuffle().batch(5).outV().sample(1).by('full')")
+      .collect().map(_.getString(0)).toSet
+    val b2 = graft.ml.Gsl.run(g, "g.V().shuffle().batch(5).outV().sample(1).by('full')")
+      .collect().map(_.getString(0)).toSet
+    assert(b1 == b2 && b1.size <= 5)
+    // terminal outNeg: negatives are never out-neighbors of their parent
+    val eset = edges.map { case (a, b) => (f"v$a%06d", f"v$b%06d") }.toSet
+    val negs = graft.ml.Gsl.run(g,
+      "g.V().batch(4).outV().sample(2).by('random_without_replacement')" +
+        ".outNeg().sample(2).by('random')")
+      .collect().filter(_.getString(5) == "neg")
+      .map(r => (r.getString(2), r.getString(3)))
+    assert(negs.nonEmpty)
+    negs.foreach { case (parent, neg) =>
+      assert(neg != parent && !eset.contains((parent, neg)))
+    }
+    intercept[IllegalArgumentException](graft.ml.Gsl.run(g, "g.V().out()"))
+  }
+
   test("negative sampling: non-neighbors only, deterministic, diverse") {
     val seeds = Seq("v000000", "v000003")
     val res = graft.ml.NegativeSample.sample(g, seeds, f = 4)
