@@ -1133,6 +1133,11 @@ object SparkEntry {
       graft.ml.Gsl.run(graphFor(s, dir),
         "g.V().shuffle().batch(6).outV().sample(2).by('topk')" +
           ".outNeg().sample(3).by('random')")),
+    // GSL edge-source stream (the edge_sampler positive-example +
+    // per-source negative pattern of the gsl_en.rst example)
+    "tg_gsl_edge" -> ((s, dir) =>
+      graft.ml.Gsl.run(graphFor(s, dir),
+        "g.E().shuffle().batch(8).outV().outNeg().sample(2).by('random')")),
     // bounded all-simple-paths enumeration (gs::AllSimplePaths)
     "tg_simple_paths" -> ((s, dir) => {
       val g = graphFor(s, dir)
@@ -1727,6 +1732,7 @@ object SparkEntry {
     "tg_neighbor_noreplace" -> graft.synth.SynthSql5.neighborRankedSql(
       OracleSf, Seq("system", "assistant", "u1"), Seq(3, 2), byWeight = false),
     "tg_gsl" -> graft.synth.SynthSql7.gslSql(OracleSf, batchN = 6, fTop = 2, fNeg = 3),
+    "tg_gsl_edge" -> graft.synth.SynthSql7.gslEdgeSql(OracleSf, batchN = 8, fNeg = 2),
     "tg_simple_paths" -> SynthSql3.simplePathsSql(OracleSf, "system", "tool:t0"),
     "tg_simple_edge_paths" -> SynthSql3.simpleEdgePathsSql(OracleSf, "system", "tool:t0"),
     "tg_hits" -> SynthSql2.hitsSql(OracleSf),

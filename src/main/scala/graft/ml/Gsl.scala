@@ -42,21 +42,46 @@ object Gsl {
 
   def run(g: LinkGraph, query: String, pickSeed: Long = 42L,
       negAttempts: Int = 8): DataFrame = {
-    val (shuffled, batchN, hops) = parse(query)
+    val (edgeSource, shuffled, batchN, jump, hops) = parse(query)
     val spark = g.vertices.sparkSession
     val verts = g.vertices.toDF
+    val oidEdges = NeighborSample.oidEdges(g)
 
     // SOURCE: by_order = oid order; shuffle() = portable-hash order
-    // (deterministic permutation), tie-broken by oid
-    val ordered =
-      if (shuffled)
-        verts.orderBy(graft.text.TextOps.portableHash(col("oid")).asc, col("oid").asc)
-      else verts.orderBy(col("oid").asc)
-    val batch = batchN.map(ordered.limit).getOrElse(ordered)
-      .select(col("oid").as("seed"), col("id").as("seed_id"))
+    // (deterministic permutation), tie-broken by the oid key
+    val batch0: DataFrame =
+      if (edgeSource) {
+        // E() edge batch (the edge_sampler / positive-example stream):
+        // ordered on the (src, dst) oid pair key
+        val key = concat(col("parent"), lit(">"), col("child"))
+        val ordered =
+          if (shuffled) oidEdges.orderBy(
+            graft.text.TextOps.portableHash(key).asc, col("parent").asc, col("child").asc)
+          else oidEdges.orderBy(col("parent").asc, col("child").asc)
+        batchN.map(ordered.limit).getOrElse(ordered)
+      } else {
+        val ordered =
+          if (shuffled) verts.orderBy(
+            graft.text.TextOps.portableHash(col("oid")).asc, col("oid").asc)
+          else verts.orderBy(col("oid").asc)
+        batchN.map(ordered.limit).getOrElse(ordered)
+          .select(col("oid").as("seed"), col("id").as("seed_id"))
+      }
+    // terminal edge batch: the positive-example sink (hop 0, kind 'edge')
+    if (edgeSource && hops.isEmpty)
+      return batch0.select(col("parent").as("seed_oid"), lit(0).as("hop"),
+        col("parent").as("parent_oid"), col("child").as("child_oid"),
+        lit(0).as("pos"), lit("edge").as("kind"))
 
-    val oidEdges = NeighborSample.oidEdges(g)
-    var frontier = batch.select(col("seed"), col("seed").as("parent"))
+    var frontier =
+      if (edgeSource) {
+        // outV()/inV() jump: the batch's source/destination endpoints
+        // become the seeds of the sampling chain (gsl_en.rst example:
+        // es.get() → ns.get(edges.src_ids))
+        val end = if (jump.contains("inV")) col("child") else col("parent")
+        batch0.select(end.as("seed")).distinct()
+          .select(col("seed"), col("seed").as("parent"))
+      } else batch0.select(col("seed"), col("seed").as("parent"))
     val sinks = hops.zipWithIndex.map {
       case (NbrHop(strategy, f), h) =>
         val salt = NeighborSample.hopSalt(pickSeed, h)
@@ -109,16 +134,33 @@ object Gsl {
     sinks.reduce(_ unionByName _)
   }
 
-  /** Tiny chain parser: `g.V()[.shuffle()][.batch(n)]` then hops of
-    * `outV().sample(f).by('strategy')` / `outNeg().sample(f).by('random')`.
+  /** Tiny chain parser: `g.V()[.shuffle()][.batch(n)]` (or `g.E()…`
+    * followed by an optional `outV()`/`inV()` endpoint jump) then hops
+    * of `outV().sample(f).by('strategy')` /
+    * `outNeg().sample(f).by('random')`. A bare `g.E()[.shuffle()]
+    * [.batch(n)]` is the terminal edge batch (positive-example stream).
+    * Returns (edgeSource, shuffled, batchN, jump, hops).
     */
-  private def parse(query: String): (Boolean, Option[Int], List[Hop]) = {
+  private def parse(
+      query: String): (Boolean, Boolean, Option[Int], Option[String], List[Hop]) = {
     val stepRe = "([A-Za-z_]+)\\(([^()]*)\\)".r
     val steps = stepRe.findAllMatchIn(query.trim.stripPrefix("g."))
       .map(m => (m.group(1), m.group(2).trim)).toList
     def strArg(a: String): String = a.stripPrefix("'").stripSuffix("'")
+    def hops(ss: List[(String, String)], acc: List[Hop]): List[Hop] = ss match {
+      case Nil => acc.reverse
+      case ("outV", "") :: ("sample", n) :: ("by", s) :: t =>
+        hops(t, NbrHop(strArg(s), n.toInt) :: acc)
+      case ("outNeg", "") :: ("sample", n) :: ("by", s) :: Nil =>
+        require(strArg(s) == "random",
+          "outNeg supports the (deterministic) random strategy")
+        (NegHop(n.toInt) :: acc).reverse
+      case other => throw new IllegalArgumentException(
+        s"unsupported GSL step sequence: ${other.take(3)}")
+    }
     steps match {
-      case ("V", "") :: rest0 =>
+      case (src @ ("V" | "E"), "") :: rest0 =>
+        val edgeSource = src == "E"
         val (shuffled, rest1) = rest0 match {
           case ("shuffle", "") :: t => (true, t)
           case t => (false, t)
@@ -127,21 +169,20 @@ object Gsl {
           case ("batch", n) :: t => (Some(n.toInt), t)
           case t => (None, t)
         }
-        def hops(ss: List[(String, String)], acc: List[Hop]): List[Hop] = ss match {
-          case Nil => acc.reverse
-          case ("outV", "") :: ("sample", n) :: ("by", s) :: t =>
-            hops(t, NbrHop(strArg(s), n.toInt) :: acc)
-          case ("outNeg", "") :: ("sample", n) :: ("by", s) :: Nil =>
-            require(strArg(s) == "random",
-              "outNeg supports the (deterministic) random strategy")
-            (NegHop(n.toInt) :: acc).reverse
-          case other => throw new IllegalArgumentException(
-            s"unsupported GSL step sequence: ${other.take(3)}")
+        val (jump, rest3) = rest2 match {
+          case (j @ ("outV" | "inV"), "") :: t
+              if edgeSource && !t.headOption.exists(_._1 == "sample") =>
+            (Some(j), t)
+          case t => (None, t)
         }
-        val hs = hops(rest2, Nil)
-        require(hs.nonEmpty, "a GSL query needs at least one sampling STEP")
-        (shuffled, batchN, hs)
-      case _ => throw new IllegalArgumentException("GSL query must start with g.V()")
+        val hs = hops(rest3, Nil)
+        require(hs.nonEmpty || edgeSource,
+          "a vertex-source GSL query needs at least one sampling STEP")
+        require(!edgeSource || hs.isEmpty || jump.isDefined,
+          "an edge-source GSL chain needs an outV()/inV() jump before sampling")
+        (edgeSource, shuffled, batchN, jump, hs)
+      case _ => throw new IllegalArgumentException(
+        "GSL query must start with g.V() or g.E()")
     }
   }
 }

@@ -247,6 +247,58 @@ object SynthSql7 {
        |SELECT seed, 2, parent, child_oid, pos, 'neg' FROM negr""".stripMargin
   }
 
+  /** Twin of the edge-source GSL driver query `g.E().shuffle()
+    * .batch(batchN).outV().outNeg().sample(fNeg).by('random')`: a
+    * portable-hash-ordered edge batch (the edge_sampler positive
+    * stream), endpoint jump to the distinct source vertices, then the
+    * NegativeSample rejection draws with hop-0 salt.
+    */
+  def gslEdgeSql(
+      sf: Double, batchN: Int, fNeg: Int, attempts: Int = 8,
+      pickSeed: Long = 42L): String = {
+    val p = graft.text.TextOps.HashP
+    val mm = graft.ml.Hll.Mask
+    val salt = pickSeed * 1000003L
+    val slots = (0 until fNeg).map(j => s"($j)").mkString(", ")
+    val ats = (0 until attempts).map(a => s"($a)").mkString(", ")
+    val comp = s"((${LshSql.phash("npi.parent")} * 31 + $salt + " +
+      s"sl.slot * 104729 + att.attempt * 15485863) % $p)"
+    val keep = "parent, parent_id, slot, attempt"
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |eb AS MATERIALIZED (
+       |  SELECT e.src_oid, e.dst_oid FROM edges_oid e
+       |  ORDER BY ${LshSql.phash("e.src_oid || '>' || e.dst_oid")} ASC,
+       |           e.src_oid ASC, e.dst_oid ASC LIMIT $batchN),
+       |np AS (SELECT DISTINCT src_oid AS parent FROM eb),
+       |npi AS (SELECT np.parent, v.id AS parent_id
+       |        FROM np JOIN vertices v ON v.oid = np.parent),
+       |sl(slot) AS (VALUES $slots),
+       |att(attempt) AS (VALUES $ats),
+       |c2 AS (SELECT npi.parent, npi.parent_id, sl.slot, att.attempt, $comp AS v
+       |       FROM npi CROSS JOIN sl CROSS JOIN att),
+       |x1 AS (SELECT $keep, ((v * 2654435761) & $mm) AS v FROM c2),
+       |x2 AS (SELECT $keep, xor(v, v >> 15) AS v FROM x1),
+       |x3 AS (SELECT $keep, ((v * 2246822519) & $mm) AS v FROM x2),
+       |x4 AS (SELECT $keep, xor(v, v >> 13) AS v FROM x3),
+       |x5 AS (SELECT $keep, ((v * 3266489917) & $mm) AS v FROM x4),
+       |x6 AS (SELECT $keep, xor(v, v >> 16) AS pick FROM x5),
+       |d0 AS (SELECT $keep, pick % (SELECT count(*) FROM vertices) AS cand_id FROM x6),
+       |kept AS (
+       |  SELECT parent, slot, attempt, cand_id FROM d0
+       |  WHERE cand_id <> parent_id
+       |    AND EXISTS (SELECT 1 FROM dedges e WHERE e.dst = d0.cand_id)
+       |    AND NOT EXISTS (SELECT 1 FROM dedges e
+       |                    WHERE e.src = d0.parent_id AND e.dst = d0.cand_id)),
+       |pk AS (
+       |  SELECT parent, slot, cand_id FROM (
+       |    SELECT parent, slot, cand_id,
+       |           row_number() OVER (PARTITION BY parent, slot ORDER BY attempt) AS rn
+       |    FROM kept) z WHERE rn = 1)
+       |SELECT pk.parent AS seed_oid, 1 AS hop, pk.parent AS parent_oid,
+       |       v.oid AS child_oid, pk.slot AS pos, 'neg' AS kind
+       |FROM pk JOIN vertices v ON v.id = pk.cand_id""".stripMargin
+  }
+
   /** `mean(local)` twin over `group().by(oid).by(values('weight')
     * .fold())`: per-landing-oid mean out-edge weight from prefix-matched
     * sources. The folded weights are integral doubles, so the sum is

@@ -100,6 +100,18 @@ class Paths3Spec extends SparkSpec {
       assert(neg != parent && !eset.contains((parent, neg)))
     }
     intercept[IllegalArgumentException](graft.ml.Gsl.run(g, "g.V().out()"))
+    // edge source: terminal batch is a deterministic positive stream;
+    // with an endpoint jump, negatives come from the batch's sources
+    val eb = graft.ml.Gsl.run(g, "g.E().batch(5)").collect()
+    assert(eb.length == 5 && eb.forall(_.getString(5) == "edge"))
+    assert(eb.forall(r => eset.contains((r.getString(2), r.getString(3)))))
+    val en = graft.ml.Gsl.run(g,
+      "g.E().shuffle().batch(5).outV().outNeg().sample(2).by('random')")
+      .collect()
+    assert(en.nonEmpty && en.forall(_.getString(5) == "neg"))
+    en.foreach { r =>
+      assert(!eset.contains((r.getString(2), r.getString(3))))
+    }
   }
 
   test("negative sampling: non-neighbors only, deterministic, diverse") {
