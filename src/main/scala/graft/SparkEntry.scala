@@ -1117,6 +1117,13 @@ object SparkEntry {
     "tg_negative_sample" -> ((s, dir) =>
       graft.ml.NegativeSample.sample(graphFor(s, dir),
         Seq("system", "assistant", "u1", "tool:t0"), f = 4)),
+    // graphlearn negative strategy="in_degree": draw probability
+    // proportional to in-degree via disjoint integer intervals over
+    // [0,|E|) — bucket-partitioned prefix sum + binned range join,
+    // never a global window or an all-pairs inequality join
+    "tg_negative_indeg" -> ((s, dir) =>
+      graft.ml.NegativeSample.sampleInDegree(graphFor(s, dir),
+        Seq("system", "assistant", "u1", "tool:t0"), f = 4)),
     // graphlearn strategy="topk": strongest-weight neighbors first, per
     // (seed, parent) — salted two-phase top-k, never a hub window
     "tg_neighbor_topk" -> ((s, dir) =>
@@ -1726,6 +1733,8 @@ object SparkEntry {
     "tg_neighbor_sample" -> graft.synth.SynthSql5.neighborSampleSql(
       OracleSf, Seq("system", "assistant", "u1"), Seq(2, 2)),
     "tg_negative_sample" -> graft.synth.SynthSql5.negativeSampleSql(
+      OracleSf, Seq("system", "assistant", "u1", "tool:t0"), f = 4),
+    "tg_negative_indeg" -> graft.synth.SynthSql7.negativeInDegreeSql(
       OracleSf, Seq("system", "assistant", "u1", "tool:t0"), f = 4),
     "tg_neighbor_topk" -> graft.synth.SynthSql5.neighborRankedSql(
       OracleSf, Seq("system", "assistant", "u1"), Seq(3, 2), byWeight = true),

@@ -8,7 +8,7 @@ import graft.graph.LinkGraph
 /** GSL — the learning engine's Graph Sampling Language front-end
   * (reference `docs/reference/gnn_engine/gsl_en.rst`: SOURCE
   * `V()[.shuffle()][.batch(n)]`, STEP `outV().sample(f).by(strategy)` /
-  * `outNeg().sample(f).by('random')`, SINK = the sampled elements).
+  * `outNeg().sample(f).by('random'|'in_degree')`, SINK = the sampled elements).
   * A GSL query describes a GNN mini-batch data stream:
   *
   * {{{
@@ -38,7 +38,7 @@ object Gsl {
 
   private sealed trait Hop
   private final case class NbrHop(strategy: String, f: Int) extends Hop
-  private final case class NegHop(f: Int) extends Hop
+  private final case class NegHop(f: Int, strategy: String) extends Hop
 
   def run(g: LinkGraph, query: String, pickSeed: Long = 42L,
       negAttempts: Int = 8): DataFrame = {
@@ -115,7 +115,7 @@ object Gsl {
         frontier = out.select(col("seed_oid").as("seed"), col("child_oid").as("parent"))
           .distinct()
         out
-      case (NegHop(f), h) =>
+      case (NegHop(f, strategy), h) =>
         val salt = NeighborSample.hopSalt(pickSeed, h)
         // negatives are drawn PER current vertex (the frontier's parent
         // plane); the (seed, parent) association re-joins afterwards so
@@ -123,7 +123,9 @@ object Gsl {
         val parents = frontier.select(col("parent")).distinct()
           .join(verts.select(col("oid").as("parent"), col("id").as("seed_id")), Seq("parent"))
           .select(col("parent").as("seed"), col("seed_id"))
-        val negs = NegativeSample.sampleFrom(g, parents, f, negAttempts, salt)
+        val negs = (if (strategy == "in_degree")
+            NegativeSample.sampleInDegreeFrom(g, parents, f, negAttempts, salt)
+          else NegativeSample.sampleFrom(g, parents, f, negAttempts, salt))
           .select(col("seed_oid").as("parent"), col("slot").as("pos"),
             col("neg_oid").as("child_oid"))
         graft.engine.Engine.materialize(frontier.join(negs, Seq("parent"))
@@ -137,7 +139,7 @@ object Gsl {
   /** Tiny chain parser: `g.V()[.shuffle()][.batch(n)]` (or `g.E()…`
     * followed by an optional `outV()`/`inV()` endpoint jump) then hops
     * of `outV().sample(f).by('strategy')` /
-    * `outNeg().sample(f).by('random')`. A bare `g.E()[.shuffle()]
+    * `outNeg().sample(f).by('random'|'in_degree')`. A bare `g.E()[.shuffle()]
     * [.batch(n)]` is the terminal edge batch (positive-example stream).
     * Returns (edgeSource, shuffled, batchN, jump, hops).
     */
@@ -152,9 +154,9 @@ object Gsl {
       case ("outV", "") :: ("sample", n) :: ("by", s) :: t =>
         hops(t, NbrHop(strArg(s), n.toInt) :: acc)
       case ("outNeg", "") :: ("sample", n) :: ("by", s) :: Nil =>
-        require(strArg(s) == "random",
-          "outNeg supports the (deterministic) random strategy")
-        (NegHop(n.toInt) :: acc).reverse
+        require(strArg(s) == "random" || strArg(s) == "in_degree",
+          "outNeg supports the (deterministic) random and in_degree strategies")
+        (NegHop(n.toInt, strArg(s)) :: acc).reverse
       case other => throw new IllegalArgumentException(
         s"unsupported GSL step sequence: ${other.take(3)}")
     }

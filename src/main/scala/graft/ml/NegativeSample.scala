@@ -1,6 +1,7 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.graph.LinkGraph
@@ -79,6 +80,98 @@ object NegativeSample {
       .agg(min_by(col("cand_id"), col("attempt")).as("cand_id"))
     picked
       .join(verts.select(col("id").as("cand_id"), col("oid").as("neg_oid")), Seq("cand_id"))
+      .select(col("seed").as("seed_oid"), col("slot"), col("neg_oid"))
+  }
+
+  /** graphlearn `strategy="in_degree"` negative sampling (reference
+    * `docs/reference/gnn_engine/negative_sampling_en.rst:95`,
+    * `gsl_en.rst:273`): negatives drawn with probability proportional
+    * to in-degree. Portable integer form — no float log/pow: each
+    * candidate (a vertex with ≥1 in-edge) owns the disjoint interval
+    * [lo, lo+indeg) laid out in dense-id order over [0, |E|); attempt
+    * `a` of slot `j` draws u = avalanche(composite) % |E| and selects
+    * the interval containing u, so a vertex's per-attempt draw
+    * probability is exactly indeg/|E| (multi-edges weight their
+    * endpoint multiply). The same bounded rejection chain as [[sample]]
+    * then rejects the seed itself and out-neighbors and keeps the first
+    * surviving attempt per slot.
+    *
+    * Scale shape: the interval table is a BUCKET-PARTITIONED two-phase
+    * prefix sum (per-bucket totals → tiny broadcast bucket-offset frame
+    * → within-bucket window bounded by `bucketSize` rows — never a
+    * global |V| window; the [[graft.text.Packing]] sharding idea, here
+    * order-preserving via bucket = id div bucketSize on the dense id
+    * plane). Draw→interval matching is a BINNED range join: intervals
+    * explode onto width-`binW` value bins (a candidate spans
+    * ~indeg/binW bins — replication proportional to its own mass),
+    * draws map to bin u div binW, equi-join on bin + range filter —
+    * never an all-pairs inequality join. All arithmetic is integer and
+    * shared bit-for-bit with the DuckDB twin
+    * (`SynthSql7.negativeInDegreeSql`, which uses a plain ORDER BY id
+    * window + inequality join — result-identical because the intervals
+    * partition [0, |E|)).
+    */
+  def sampleInDegree(
+      g: LinkGraph, seedOids: Seq[String], f: Int, attempts: Int = 8,
+      pickSeed: Long = 42L, bucketSize: Int = 4096, binW: Int = 1024): DataFrame = {
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val seeds = seedOids.toDF("seed").join(
+      g.vertices.toDF.select(col("oid").as("seed"), col("id").as("seed_id")),
+      Seq("seed"))
+    sampleInDegreeFrom(g, seeds, f, attempts,
+      NeighborSample.hopSalt(pickSeed, 1), bucketSize, binW)
+  }
+
+  /** Frame-based core of [[sampleInDegree]] (the GSL
+    * `outNeg().sample(f).by('in_degree')` entry point). */
+  private[ml] def sampleInDegreeFrom(
+      g: LinkGraph, seeds: DataFrame, f: Int, attempts: Int, salt: Long,
+      bucketSize: Int = 4096, binW: Int = 1024): DataFrame = {
+    require(f > 0 && attempts > 0, "fanout and attempts must be positive")
+    require(bucketSize > 0 && binW > 0, "bucketSize and binW must be positive")
+    val p = graft.text.TextOps.HashP
+    val edges = g.edges.toDF.select(col("src"), col("dst"))
+    // exact integer division on non-negative longs — floor(double) is
+    // exact for |E| < 2^53, far past any real edge count
+    def idiv(c: Column, d: Long): Column = floor(c / d).cast("long")
+    val indeg = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("wgt"))
+    val bucketed = indeg.withColumn("bucket", idiv(col("id"), bucketSize.toLong))
+    val btot = bucketed.groupBy(col("bucket")).agg(sum(col("wgt")).as("bt"))
+    // running bucket offsets: numVertices/bucketSize rows — tiny by
+    // construction, so the unpartitioned window and the broadcast are fine
+    val offs = btot
+      .withColumn("boff", sum(col("bt")).over(Window.orderBy(col("bucket"))) - col("bt"))
+      .select(col("bucket"), col("boff"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("id"))
+    val cum = bucketed.join(broadcast(offs), Seq("bucket"))
+      .withColumn("lo", col("boff") + sum(col("wgt")).over(wIn) - col("wgt"))
+      .select(col("id").as("cand_id"), col("lo"), (col("lo") + col("wgt")).as("hi"))
+    val total = edges.count()
+    val draws = seeds
+      .select(col("seed"), col("seed_id"),
+        explode(sequence(lit(0), lit(f - 1))).as("slot"))
+      .select(col("seed"), col("seed_id"), col("slot"),
+        explode(sequence(lit(0), lit(attempts - 1))).as("attempt"))
+      .withColumn("u", Hll.mix(
+        (graft.text.TextOps.portableHash(col("seed")) * 31L + lit(salt) +
+          col("slot").cast("long") * 104729L +
+          col("attempt").cast("long") * 15485863L) % p) % total)
+    val bins = cum.select(col("cand_id"), col("lo"), col("hi"),
+      explode(sequence(idiv(col("lo"), binW.toLong),
+        idiv(col("hi") - 1, binW.toLong))).as("bin"))
+    val adjacency = edges
+      .select(col("src").as("seed_id"), col("dst").as("cand_id"))
+    val kept = draws.withColumn("bin", idiv(col("u"), binW.toLong))
+      .join(bins, Seq("bin"))
+      .where(col("u") >= col("lo") && col("u") < col("hi"))
+      .where(col("cand_id") =!= col("seed_id"))
+      .join(adjacency, Seq("seed_id", "cand_id"), "left_anti")
+    val picked = kept.groupBy(col("seed"), col("slot"))
+      .agg(min_by(col("cand_id"), col("attempt")).as("cand_id"))
+    picked
+      .join(g.vertices.toDF.select(col("id").as("cand_id"), col("oid").as("neg_oid")),
+        Seq("cand_id"))
       .select(col("seed").as("seed_oid"), col("slot"), col("neg_oid"))
   }
 }

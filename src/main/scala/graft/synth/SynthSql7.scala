@@ -313,4 +313,60 @@ object SynthSql7 {
        |JOIN vertices vd ON vd.id = e.dst
        |WHERE vs.oid LIKE '$prefix%'
        |GROUP BY vd.oid""".stripMargin
+
+  /** Twin of `NegativeSample.sampleInDegree` (graphlearn
+    * `strategy="in_degree"`): each candidate owns the interval
+    * [lo, lo+indeg) in dense-id order over [0, |E|); an attempt draws
+    * u = avalanche(composite) % |E| and selects the containing interval
+    * (per-attempt draw probability exactly indeg/|E|), then the same
+    * rejection chain as `SynthSql5.negativeSampleSql` (reject self and
+    * out-neighbors, first surviving attempt per slot). The oracle uses
+    * a plain ORDER BY id window + inequality join; the engine side is a
+    * bucket-partitioned prefix sum + binned range join —
+    * result-identical because the intervals partition [0, |E|).
+    */
+  def negativeInDegreeSql(
+      sf: Double, seeds: Seq[String], f: Int, attempts: Int = 8,
+      pickSeed: Long = 42L): String = {
+    val p = graft.text.TextOps.HashP
+    val mm = graft.ml.Hll.Mask
+    val salt = pickSeed * 1000003L + 7919L
+    val sv = seeds.map(s => s"('$s')").mkString(", ")
+    val slots = (0 until f).map(j => s"($j)").mkString(", ")
+    val ats = (0 until attempts).map(a => s"($a)").mkString(", ")
+    val comp = s"((${LshSql.phash("sdi.seed")} * 31 + $salt + " +
+      s"sl.slot * 104729 + at.attempt * 15485863) % $p)"
+    val keep = "seed, seed_id, slot, attempt"
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |sd(seed) AS (VALUES $sv),
+       |sdi AS (SELECT sd.seed, v.id AS seed_id FROM sd JOIN vertices v ON v.oid = sd.seed),
+       |indeg AS (SELECT dst AS id, count(*) AS wgt FROM dedges GROUP BY dst),
+       |cum AS (SELECT id, wgt, sum(wgt) OVER (ORDER BY id) - wgt AS lo FROM indeg),
+       |tot AS (SELECT count(*) AS t FROM dedges),
+       |sl(slot) AS (VALUES $slots),
+       |at(attempt) AS (VALUES $ats),
+       |c0 AS (SELECT sdi.seed, sdi.seed_id, sl.slot, at.attempt, $comp AS v
+       |       FROM sdi CROSS JOIN sl CROSS JOIN at),
+       |x1 AS (SELECT $keep, ((v * 2654435761) & $mm) AS v FROM c0),
+       |x2 AS (SELECT $keep, xor(v, v >> 15) AS v FROM x1),
+       |x3 AS (SELECT $keep, ((v * 2246822519) & $mm) AS v FROM x2),
+       |x4 AS (SELECT $keep, xor(v, v >> 13) AS v FROM x3),
+       |x5 AS (SELECT $keep, ((v * 3266489917) & $mm) AS v FROM x4),
+       |x6 AS (SELECT $keep, xor(v, v >> 16) AS pick FROM x5),
+       |d0 AS (SELECT $keep, pick % (SELECT t FROM tot) AS u FROM x6),
+       |cd AS (SELECT seed, seed_id, slot, attempt, c.id AS cand_id
+       |       FROM d0 JOIN cum c ON d0.u >= c.lo AND d0.u < c.lo + c.wgt),
+       |kept AS (
+       |  SELECT seed, slot, attempt, cand_id FROM cd
+       |  WHERE cand_id <> seed_id
+       |    AND NOT EXISTS (SELECT 1 FROM dedges e
+       |                    WHERE e.src = cd.seed_id AND e.dst = cd.cand_id)),
+       |pk AS (
+       |  SELECT seed, slot, cand_id FROM (
+       |    SELECT seed, slot, cand_id,
+       |           row_number() OVER (PARTITION BY seed, slot ORDER BY attempt) AS rn
+       |    FROM kept) z WHERE rn = 1)
+       |SELECT pk.seed AS seed_oid, pk.slot AS slot, v.oid AS neg_oid
+       |FROM pk JOIN vertices v ON v.id = pk.cand_id""".stripMargin
+  }
 }

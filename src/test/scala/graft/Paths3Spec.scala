@@ -140,6 +140,48 @@ class Paths3Spec extends SparkSpec {
     assert(again == res.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("in-degree negative sampling: interval draws, valid negatives, shard-invariant") {
+    val seeds = Seq("v000000", "v000003")
+    val res = graft.ml.NegativeSample.sampleInDegree(g, seeds, f = 6)
+    val rows = res.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length)
+    val eset = edges.map { case (a, b) => (f"v$a%06d", f"v$b%06d") }.toSet
+    val candSet = edges.map(e => f"v${e._2}%06d").toSet
+    rows.foreach { case (s, _, neg) =>
+      assert(neg != s, s"sampled the seed itself: $s")
+      assert(!eset.contains((s, neg)), s"sampled a neighbor: $s -> $neg")
+      assert(candSet.contains(neg), s"sampled a zero-in-degree vertex: $neg")
+    }
+    // the bucketed prefix sum + binned range join must be a pure
+    // physical choice: degenerate sharding (bucketSize=1 → offsets do
+    // all the work; binW=1 → one bin per interval unit) is a different
+    // plan over the same arithmetic and must reproduce the sample
+    val alt = graft.ml.NegativeSample.sampleInDegree(g, seeds, f = 6,
+      bucketSize = 1, binW = 1).collect().map(_.toString).sorted.toSeq
+    assert(alt == res.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("in-degree negative sampling: draw mass proportional to in-degree") {
+    // candidates: vertex 9 (indeg 8 — the draw space is 9/10ths its
+    // intervals) and vertex 0 (indeg 1, but it is seed 10's
+    // out-neighbor, so rejected); every filled slot must return v000009
+    val star = (1 to 8).map(i => (i, 9)) :+ (10, 0)
+    val sg = graphFrom(11, star)
+    val negs = graft.ml.NegativeSample.sampleInDegree(sg, Seq("v000010"), f = 8)
+      .collect().map(r => (r.getInt(1), r.getString(2)))
+    assert(negs.length >= 4, s"too many exhausted slots: ${negs.length}")
+    assert(negs.forall(_._2 == "v000009"), negs.mkString(","))
+    // GSL front-end accepts the strategy and routes to the same draws
+    val viaGsl = graft.ml.Gsl.run(sg,
+      "g.V().batch(11).outV().sample(1).by('full')" +
+        ".outNeg().sample(8).by('in_degree')")
+      .collect().filter(_.getString(5) == "neg")
+    assert(viaGsl.nonEmpty && viaGsl.forall(r =>
+      r.getString(3) == "v000009" || r.getString(3) == "v000000"))
+  }
+
   test("apsp lengths agree with per-source sssp") {
     val res = Paths3.apspLengths(g, Seq("v000000", "v000001")).collect()
     assert(res.nonEmpty)
