@@ -1134,6 +1134,18 @@ object SparkEntry {
     "tg_neighbor_noreplace" -> ((s, dir) =>
       graft.ml.NeighborSample.sampleWithoutReplacement(graphFor(s, dir),
         Seq("system", "assistant", "u1"), Seq(3, 2))),
+    // graphlearn strategy="edge_weight": per-slot draw probability
+    // exactly weight/Σweights via integer intervals (weights are
+    // occurrence counts) — two-phase sub-bucketed prefix sum + binned
+    // range join, never a hub-wide window or inequality join
+    "tg_neighbor_wprob" -> ((s, dir) =>
+      graft.ml.NeighborSample.sampleEdgeWeight(graphFor(s, dir),
+        Seq("system", "assistant", "u1"), Seq(2, 2))),
+    // graphlearn strategy="in_degree" (neighbor form): child draw
+    // probability proportional to its global in-degree
+    "tg_neighbor_indeg" -> ((s, dir) =>
+      graft.ml.NeighborSample.sampleByInDegree(graphFor(s, dir),
+        Seq("system", "assistant", "u1"), Seq(2, 2))),
     // GSL mini-batch stream (gsl_en.rst): shuffled by_order batch →
     // topk neighbor hop → negative hop, one parsed pipeline
     "tg_gsl" -> ((s, dir) =>
@@ -1740,6 +1752,10 @@ object SparkEntry {
       OracleSf, Seq("system", "assistant", "u1"), Seq(3, 2), byWeight = true),
     "tg_neighbor_noreplace" -> graft.synth.SynthSql5.neighborRankedSql(
       OracleSf, Seq("system", "assistant", "u1"), Seq(3, 2), byWeight = false),
+    "tg_neighbor_wprob" -> graft.synth.SynthSql7.neighborWeightedSql(
+      OracleSf, Seq("system", "assistant", "u1"), Seq(2, 2), byInDegree = false),
+    "tg_neighbor_indeg" -> graft.synth.SynthSql7.neighborWeightedSql(
+      OracleSf, Seq("system", "assistant", "u1"), Seq(2, 2), byInDegree = true),
     "tg_gsl" -> graft.synth.SynthSql7.gslSql(OracleSf, batchN = 6, fTop = 2, fNeg = 3),
     "tg_gsl_edge" -> graft.synth.SynthSql7.gslEdgeSql(OracleSf, batchN = 8, fNeg = 2),
     "tg_simple_paths" -> SynthSql3.simplePathsSql(OracleSf, "system", "tool:t0"),

@@ -105,6 +105,16 @@ object Gsl {
               .withColumnRenamed("rank", "pos")
           case "full" =>
             cand.select(col("seed"), col("parent"), col("child"), lit(0).as("pos"))
+          case "edge_weight" | "in_degree" =>
+            // probability strategies: integer interval draws per parent
+            // (weights are occurrence counts — exact, portable), re-
+            // joined to the (seed, parent) frontier like outNeg
+            NeighborSample.proportionalPicks(oidEdges,
+                frontier.select(col("parent")).distinct(), f, salt,
+                byInDegree = strategy == "in_degree")
+              .withColumnRenamed("slot", "pos")
+              .join(frontier, Seq("parent"))
+              .select(col("seed"), col("parent"), col("child"), col("pos"))
           case other => throw new IllegalArgumentException(
             s"unsupported GSL strategy: $other")
         }

@@ -314,6 +314,84 @@ object SynthSql7 {
        |WHERE vs.oid LIKE '$prefix%'
        |GROUP BY vd.oid""".stripMargin
 
+  /** Twin of `NeighborSample.sampleEdgeWeight` / `sampleByInDegree`
+    * (graphlearn probability strategies, `graph_sampling_en.rst`
+    * strategy table): per hop, per parent, children own [lo, lo+w)
+    * intervals in the deterministic (portableHash(child), child)
+    * layout order; slot j draws
+    * u = avalanche((phash(parent)·31 + salt_h + j·104729) % p) % W and
+    * takes the containing interval. w = Σ edge weight (integral
+    * occurrence counts) or the child's global in-degree. The oracle
+    * lays intervals out with ONE per-parent window (fine at sf0.01);
+    * the engine side is a two-phase hash-RANGE-bucketed prefix sum +
+    * binned range join — result-identical because (bucket asc, hash
+    * asc) is the same global (hash, child) order.
+    */
+  def neighborWeightedSql(
+      sf: Double, seeds: Seq[String], fanouts: Seq[Int], byInDegree: Boolean,
+      pickSeed: Long = 42L): String = {
+    val p = graft.text.TextOps.HashP
+    val mm = graft.ml.Hll.Mask
+    val sv = seeds.map(s => s"('$s')").mkString(", ")
+    val keep = "parent, tw, slot"
+    val body = fanouts.zipWithIndex.map { case (f, h) =>
+      val prev = if (h == 0) "f0" else s"fr$h"
+      val salt = pickSeed * 1000003L + h * 7919L
+      val slots = (0 until f).map(j => s"($j)").mkString(", ")
+      val aw =
+        if (byInDegree)
+          s"""aw$h AS (
+             |  SELECT pc.parent, pc.child, ind.w FROM (
+             |    SELECT DISTINCT pr.parent, e.dst_oid AS child
+             |    FROM pr$h pr JOIN edges_oid e ON e.src_oid = pr.parent) pc
+             |  JOIN ind ON ind.child = pc.child)""".stripMargin
+        else
+          s"""aw$h AS (
+             |  SELECT pr.parent, e.dst_oid AS child, CAST(sum(e.weight) AS BIGINT) AS w
+             |  FROM pr$h pr JOIN edges_oid e ON e.src_oid = pr.parent
+             |  GROUP BY pr.parent, e.dst_oid
+             |  HAVING CAST(sum(e.weight) AS BIGINT) > 0)""".stripMargin
+      val comp = s"((${LshSql.phash("pr.parent")} * 31 + $salt + sl.slot * 104729) % $p)"
+      s"""pr$h AS (SELECT DISTINCT parent FROM $prev),
+         |$aw,
+         |cum$h AS (
+         |  SELECT parent, child, w,
+         |         sum(w) OVER (PARTITION BY parent
+         |                      ORDER BY ${LshSql.phash("child")}, child)
+         |           - w AS lo
+         |  FROM aw$h),
+         |tw$h AS (SELECT parent, sum(w) AS tw FROM aw$h GROUP BY parent),
+         |sl$h(slot) AS (VALUES $slots),
+         |c$h AS (SELECT pr.parent, tw.tw, sl.slot, $comp AS v
+         |        FROM pr$h pr JOIN tw$h tw ON tw.parent = pr.parent
+         |        CROSS JOIN sl$h sl),
+         |x${h}1 AS (SELECT $keep, ((v * 2654435761) & $mm) AS v FROM c$h),
+         |x${h}2 AS (SELECT $keep, xor(v, v >> 15) AS v FROM x${h}1),
+         |x${h}3 AS (SELECT $keep, ((v * 2246822519) & $mm) AS v FROM x${h}2),
+         |x${h}4 AS (SELECT $keep, xor(v, v >> 13) AS v FROM x${h}3),
+         |x${h}5 AS (SELECT $keep, ((v * 3266489917) & $mm) AS v FROM x${h}4),
+         |x${h}6 AS (SELECT $keep, xor(v, v >> 16) AS pick FROM x${h}5),
+         |d$h AS (SELECT parent, slot, pick % tw AS u FROM x${h}6),
+         |k$h AS (SELECT d.parent, d.slot, c.child
+         |        FROM d$h d JOIN cum$h c
+         |          ON c.parent = d.parent AND d.u >= c.lo AND d.u < c.lo + c.w),
+         |p$h AS MATERIALIZED (
+         |  SELECT fr.seed, k.parent, k.child, k.slot
+         |  FROM $prev fr JOIN k$h k ON k.parent = fr.parent),
+         |fr${h + 1} AS (SELECT DISTINCT seed, child AS parent FROM p$h)""".stripMargin
+    }.mkString(",\n")
+    val sel = fanouts.indices.map(h =>
+      s"SELECT seed AS seed_oid, ${h + 1} AS hop, parent AS parent_oid, " +
+        s"child AS child_oid, slot FROM p$h")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |ind AS (SELECT dst_oid AS child, count(*) AS w FROM edges_oid GROUP BY dst_oid),
+       |sd(seed) AS (VALUES $sv),
+       |f0 AS (SELECT seed, seed AS parent FROM sd),
+       |$body
+       |$sel""".stripMargin
+  }
+
   /** Twin of `NegativeSample.sampleInDegree` (graphlearn
     * `strategy="in_degree"`): each candidate owns the interval
     * [lo, lo+indeg) in dense-id order over [0, |E|); an attempt draws

@@ -74,6 +74,41 @@ class Paths3Spec extends SparkSpec {
     assert(all.length == 4)
   }
 
+  test("probability neighbor strategies: edge_weight / in_degree interval draws") {
+    val s = spark
+    import s.implicits._
+    val vs = (0 until 6).map(i => graft.schema.Vertex(i.toLong, f"v$i%06d")).toDS()
+    // parent 0: child 1 at weight 9 vs child 2 at weight 1; child 2 has
+    // the higher GLOBAL in-degree (4 in-edges vs 2)
+    val es = Seq((0, 1, 9.0), (0, 2, 1.0), (3, 2, 1.0), (4, 2, 1.0), (5, 2, 1.0), (3, 1, 1.0))
+      .map { case (a, b, w) => graft.schema.Edge(a.toLong, b.toLong, w) }.toDS()
+    val gg = graft.graph.LinkGraph(vs, es)
+    val ew = graft.ml.NeighborSample.sampleEdgeWeight(gg, Seq("v000000"), Seq(10))
+      .collect().map(r => (r.getInt(4), r.getString(3)))
+    // every slot fills (total weight > 0) and lands on a real neighbor
+    assert(ew.length == 10)
+    assert(ew.forall(t => t._2 == "v000001" || t._2 == "v000002"))
+    // 9:1 edge-weight mass → strong majority of slots pick v000001
+    assert(ew.count(_._2 == "v000001") >= 7, ew.mkString(","))
+    // in_degree flips the preference: v000002 carries 2/3 of the mass
+    // (30 slots so the proportionality dominates hash noise)
+    val ind = graft.ml.NeighborSample.sampleByInDegree(gg, Seq("v000000"), Seq(30))
+      .collect().map(_.getString(3))
+    assert(ind.length == 30)
+    assert(ind.count(_ == "v000002") > 15, ind.mkString(","))
+    // sharding params are a pure physical choice: degenerate sub-bucket
+    // and bin widths must reproduce the sample exactly
+    val alt = graft.ml.NeighborSample.sampleEdgeWeight(gg, Seq("v000000"), Seq(10),
+      subBuckets = 1, binW = 1).collect().map(_.toString).sorted.toSeq
+    assert(alt == graft.ml.NeighborSample.sampleEdgeWeight(gg, Seq("v000000"), Seq(10))
+      .collect().map(_.toString).sorted.toSeq)
+    // GSL front-end routes the strategy onto the same draws
+    val viaGsl = graft.ml.Gsl.run(gg,
+      "g.V().batch(1).outV().sample(10).by('edge_weight')")
+      .collect().map(r => (r.getString(3), r.getInt(4))).sorted.toSeq
+    assert(viaGsl == ew.map(t => (t._2, t._1)).sorted.toSeq)
+  }
+
   test("GSL chain lowers onto the sampler plane (strategy + neg equivalence)") {
     // random-strategy GSL hop == NeighborSample.sample on the same seeds
     val all = (0 until n).map(i => f"v$i%06d")
