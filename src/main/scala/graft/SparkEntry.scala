@@ -1124,6 +1124,12 @@ object SparkEntry {
     "tg_negative_indeg" -> ((s, dir) =>
       graft.ml.NegativeSample.sampleInDegree(graphFor(s, dir),
         Seq("system", "assistant", "u1", "tool:t0"), f = 4)),
+    // graphlearn negative strategy="node_weight": vertex weight =
+    // weighted in-strength (Σ incoming occurrence counts) — same
+    // portable interval machinery, different mass function
+    "tg_negative_nodew" -> ((s, dir) =>
+      graft.ml.NegativeSample.sampleNodeWeight(graphFor(s, dir),
+        Seq("system", "assistant", "u1", "tool:t0"), f = 4)),
     // graphlearn strategy="topk": strongest-weight neighbors first, per
     // (seed, parent) — salted two-phase top-k, never a hub window
     "tg_neighbor_topk" -> ((s, dir) =>
@@ -1748,6 +1754,9 @@ object SparkEntry {
       OracleSf, Seq("system", "assistant", "u1", "tool:t0"), f = 4),
     "tg_negative_indeg" -> graft.synth.SynthSql7.negativeInDegreeSql(
       OracleSf, Seq("system", "assistant", "u1", "tool:t0"), f = 4),
+    "tg_negative_nodew" -> graft.synth.SynthSql7.negativeInDegreeSql(
+      OracleSf, Seq("system", "assistant", "u1", "tool:t0"), f = 4,
+      byNodeWeight = true),
     "tg_neighbor_topk" -> graft.synth.SynthSql5.neighborRankedSql(
       OracleSf, Seq("system", "assistant", "u1"), Seq(3, 2), byWeight = true),
     "tg_neighbor_noreplace" -> graft.synth.SynthSql5.neighborRankedSql(

@@ -133,9 +133,13 @@ object Gsl {
         val parents = frontier.select(col("parent")).distinct()
           .join(verts.select(col("oid").as("parent"), col("id").as("seed_id")), Seq("parent"))
           .select(col("parent").as("seed"), col("seed_id"))
-        val negs = (if (strategy == "in_degree")
-            NegativeSample.sampleInDegreeFrom(g, parents, f, negAttempts, salt)
-          else NegativeSample.sampleFrom(g, parents, f, negAttempts, salt))
+        val negs = (strategy match {
+            case "in_degree" => NegativeSample.sampleIntervalFrom(
+              g, parents, f, negAttempts, salt, byNodeWeight = false)
+            case "node_weight" => NegativeSample.sampleIntervalFrom(
+              g, parents, f, negAttempts, salt, byNodeWeight = true)
+            case _ => NegativeSample.sampleFrom(g, parents, f, negAttempts, salt)
+          })
           .select(col("seed_oid").as("parent"), col("slot").as("pos"),
             col("neg_oid").as("child_oid"))
         graft.engine.Engine.materialize(frontier.join(negs, Seq("parent"))
@@ -164,8 +168,8 @@ object Gsl {
       case ("outV", "") :: ("sample", n) :: ("by", s) :: t =>
         hops(t, NbrHop(strArg(s), n.toInt) :: acc)
       case ("outNeg", "") :: ("sample", n) :: ("by", s) :: Nil =>
-        require(strArg(s) == "random" || strArg(s) == "in_degree",
-          "outNeg supports the (deterministic) random and in_degree strategies")
+        require(Set("random", "in_degree", "node_weight")(strArg(s)),
+          "outNeg supports the (deterministic) random, in_degree and node_weight strategies")
         (NegHop(n.toInt, strArg(s)) :: acc).reverse
       case other => throw new IllegalArgumentException(
         s"unsupported GSL step sequence: ${other.take(3)}")

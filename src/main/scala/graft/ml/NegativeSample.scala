@@ -113,29 +113,53 @@ object NegativeSample {
     */
   def sampleInDegree(
       g: LinkGraph, seedOids: Seq[String], f: Int, attempts: Int = 8,
-      pickSeed: Long = 42L, bucketSize: Int = 4096, binW: Int = 1024): DataFrame = {
+      pickSeed: Long = 42L, bucketSize: Int = 4096, binW: Int = 1024): DataFrame =
+    sampleIntervalFrom(g, seedFrame(g, seedOids), f, attempts,
+      NeighborSample.hopSalt(pickSeed, 1), byNodeWeight = false, bucketSize, binW)
+
+  /** graphlearn `strategy="node_weight"` negative sampling
+    * (`gsl_en.rst:273`): draw probability proportional to the vertex's
+    * weight. The derived link graph has no standalone vertex-weight
+    * property, so the analog is the weighted IN-STRENGTH — Σ of
+    * incoming edge weights (occurrence counts), which is exactly what
+    * "this vertex's weight in the data" means for a transcript graph
+    * and stays integral, so the same portable interval machinery as
+    * [[sampleInDegree]] applies (it differs from in_degree wherever a
+    * link occurred more than once).
+    */
+  def sampleNodeWeight(
+      g: LinkGraph, seedOids: Seq[String], f: Int, attempts: Int = 8,
+      pickSeed: Long = 42L, bucketSize: Int = 4096, binW: Int = 1024): DataFrame =
+    sampleIntervalFrom(g, seedFrame(g, seedOids), f, attempts,
+      NeighborSample.hopSalt(pickSeed, 1), byNodeWeight = true, bucketSize, binW)
+
+  private def seedFrame(g: LinkGraph, seedOids: Seq[String]): DataFrame = {
     val spark = g.vertices.sparkSession
     import spark.implicits._
-    val seeds = seedOids.toDF("seed").join(
+    seedOids.toDF("seed").join(
       g.vertices.toDF.select(col("oid").as("seed"), col("id").as("seed_id")),
       Seq("seed"))
-    sampleInDegreeFrom(g, seeds, f, attempts,
-      NeighborSample.hopSalt(pickSeed, 1), bucketSize, binW)
   }
 
-  /** Frame-based core of [[sampleInDegree]] (the GSL
-    * `outNeg().sample(f).by('in_degree')` entry point). */
-  private[ml] def sampleInDegreeFrom(
+  /** Frame-based interval-draw core of [[sampleInDegree]] /
+    * [[sampleNodeWeight]] (the GSL
+    * `outNeg().sample(f).by('in_degree'|'node_weight')` entry points).
+    */
+  private[ml] def sampleIntervalFrom(
       g: LinkGraph, seeds: DataFrame, f: Int, attempts: Int, salt: Long,
+      byNodeWeight: Boolean,
       bucketSize: Int = 4096, binW: Int = 1024): DataFrame = {
     require(f > 0 && attempts > 0, "fanout and attempts must be positive")
     require(bucketSize > 0 && binW > 0, "bucketSize and binW must be positive")
     val p = graft.text.TextOps.HashP
-    val edges = g.edges.toDF.select(col("src"), col("dst"))
+    val edges = g.edges.toDF.select(col("src"), col("dst"), col("weight"))
     // exact integer division on non-negative longs — floor(double) is
     // exact for |E| < 2^53, far past any real edge count
     def idiv(c: Column, d: Long): Column = floor(c / d).cast("long")
-    val indeg = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("wgt"))
+    val indeg = edges.groupBy(col("dst").as("id")).agg(
+      (if (byNodeWeight) sum(col("weight")).cast("long")
+       else count(lit(1))).as("wgt"))
+      .where(col("wgt") > 0)
     val bucketed = indeg.withColumn("bucket", idiv(col("id"), bucketSize.toLong))
     val btot = bucketed.groupBy(col("bucket")).agg(sum(col("wgt")).as("bt"))
     // running bucket offsets: numVertices/bucketSize rows — tiny by
@@ -147,7 +171,9 @@ object NegativeSample {
     val cum = bucketed.join(broadcast(offs), Seq("bucket"))
       .withColumn("lo", col("boff") + sum(col("wgt")).over(wIn) - col("wgt"))
       .select(col("id").as("cand_id"), col("lo"), (col("lo") + col("wgt")).as("hi"))
-    val total = edges.count()
+    val total =
+      if (byNodeWeight) edges.agg(sum(col("weight")).cast("long")).head.getLong(0)
+      else edges.count()
     val draws = seeds
       .select(col("seed"), col("seed_id"),
         explode(sequence(lit(0), lit(f - 1))).as("slot"))

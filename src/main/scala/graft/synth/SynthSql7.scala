@@ -405,22 +405,26 @@ object SynthSql7 {
     */
   def negativeInDegreeSql(
       sf: Double, seeds: Seq[String], f: Int, attempts: Int = 8,
-      pickSeed: Long = 42L): String = {
+      pickSeed: Long = 42L, byNodeWeight: Boolean = false): String = {
     val p = graft.text.TextOps.HashP
     val mm = graft.ml.Hll.Mask
     val salt = pickSeed * 1000003L + 7919L
     val sv = seeds.map(s => s"('$s')").mkString(", ")
     val slots = (0 until f).map(j => s"($j)").mkString(", ")
     val ats = (0 until attempts).map(a => s"($a)").mkString(", ")
+    // node_weight analog: the vertex's weight = weighted in-strength
+    // (Σ incoming occurrence counts) instead of the plain in-degree
+    val w = if (byNodeWeight) "CAST(sum(weight) AS BIGINT)" else "count(*)"
+    val t = if (byNodeWeight) "CAST(sum(weight) AS BIGINT)" else "count(*)"
     val comp = s"((${LshSql.phash("sdi.seed")} * 31 + $salt + " +
       s"sl.slot * 104729 + at.attempt * 15485863) % $p)"
     val keep = "seed, seed_id, slot, attempt"
     s"""WITH ${SynthSql.graphCtes(sf)},
        |sd(seed) AS (VALUES $sv),
        |sdi AS (SELECT sd.seed, v.id AS seed_id FROM sd JOIN vertices v ON v.oid = sd.seed),
-       |indeg AS (SELECT dst AS id, count(*) AS wgt FROM dedges GROUP BY dst),
+       |indeg AS (SELECT dst AS id, $w AS wgt FROM dedges GROUP BY dst HAVING $w > 0),
        |cum AS (SELECT id, wgt, sum(wgt) OVER (ORDER BY id) - wgt AS lo FROM indeg),
-       |tot AS (SELECT count(*) AS t FROM dedges),
+       |tot AS (SELECT $t AS t FROM dedges),
        |sl(slot) AS (VALUES $slots),
        |at(attempt) AS (VALUES $ats),
        |c0 AS (SELECT sdi.seed, sdi.seed_id, sl.slot, at.attempt, $comp AS v

@@ -196,6 +196,11 @@ class Paths3Spec extends SparkSpec {
     val alt = graft.ml.NegativeSample.sampleInDegree(g, seeds, f = 6,
       bucketSize = 1, binW = 1).collect().map(_.toString).sorted.toSeq
     assert(alt == res.collect().map(_.toString).sorted.toSeq)
+    // node_weight ≡ in_degree on a unit-weight graph (in-strength =
+    // in-degree); they diverge only where occurrence counts exceed 1
+    val nw = graft.ml.NegativeSample.sampleNodeWeight(g, seeds, f = 6)
+      .collect().map(_.toString).sorted.toSeq
+    assert(nw == res.collect().map(_.toString).sorted.toSeq)
   }
 
   test("in-degree negative sampling: draw mass proportional to in-degree") {
