@@ -221,7 +221,7 @@ object NeighborSample {
     * given distinct-parent frame (also the GSL
     * `.sample(f).by('edge_weight'|'in_degree')` entry point).
     */
-  private[ml] def proportionalPicks(
+  private[graft] def proportionalPicks(
       oidEdges: DataFrame, parents: DataFrame, f: Int, salt: Long,
       byInDegree: Boolean, subBuckets: Int = 32, binW: Int = 64): DataFrame = {
     require(f > 0 && subBuckets > 0 && binW > 0,

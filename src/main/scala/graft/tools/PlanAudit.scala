@@ -265,6 +265,34 @@ object PlanAudit {
         s"exchanges=${countOf(plan, "Exchange")}")
     }
 
+    // probability sampler (edge_weight / in_degree interval draws): the
+    // per-parent prefix sum must be the TWO-PHASE hash-range-bucketed
+    // form — the only windows are the (parent)-keyed offset pass over
+    // per-bucket totals and the (parent, sub)-keyed within-bucket pass
+    // (each bounded by subBuckets / adjacency-fraction rows) — and the
+    // draw→interval match must be an EQUI join on (parent, bin) over
+    // Generate-exploded bins, never a CartesianProduct/BNLJ inequality
+    // join against the adjacency.
+    {
+      val gm = SparkEntry.graphFor(spark, sfDir)
+      import spark.implicits._
+      val oidE = gm.edges.toDF
+        .join(gm.vertices.toDF.select(col("id").as("src"), col("oid").as("parent")), "src")
+        .join(gm.vertices.toDF.select(col("id").as("dst"), col("oid").as("child")), "dst")
+        .select(col("parent"), col("child"), col("weight"))
+        .localCheckpoint(true)
+      val parents = Seq("system", "assistant").toDF("parent")
+      val plan = graft.ml.NeighborSample.proportionalPicks(
+        oidE, parents, 3, 42L, byInDegree = false)
+        .queryExecution.executedPlan.toString
+      println("==== neighbor_prob_step ====")
+      println(plan.take(2500))
+      println(s"---- neighbor_prob_step summary: windows=${countOf(plan, "Window")} " +
+        s"generatedBins=${plan.contains("Generate")} " +
+        s"crossJoins=${countOf(plan, "CartesianProduct") + countOf(plan, "BroadcastNestedLoopJoin")} " +
+        s"exchanges=${countOf(plan, "Exchange")}")
+    }
+
     // pinned-edge superstep (Engine.pin = eager localCheckpoint): the
     // checkpointed LogicalRDD must RETAIN hashpartitioning(src) so the
     // co-partitioned shuffle_hash join still plans zero input exchanges
