@@ -119,13 +119,6 @@ object PageRank {
       }
     }
     var cPrev = resumed.map(r => Engine.materialize(r._1)).getOrElse(emptyC)
-    // Frames persisted since the last checkpoint. Unpersisting a cached
-    // frame CASCADES to dependent caches (the next state's cache is built
-    // on it), so eager unpersist forced a full window recompute every
-    // superstep (measured: +1.5 s/iteration growth). Deferred to the
-    // checkpoint boundary, where the new state is LogicalRDD-rooted and
-    // immune to the cascade.
-    var windowFrames = List.empty[DataFrame]
     var iter = resumed.map(_._2).getOrElse(0)
     var base = resumed.map(_._3).getOrElse(1.0 / n)
     var dsum = resumed.map(_._4).getOrElse(danglingCount.toDouble / n)
@@ -147,17 +140,26 @@ object PageRank {
           (col("w") * (col("__baseO") + lit(d) * coalesce(col("c"), lit(0.0)))).as("m"))
         .groupBy(col("dst").as("id"), col("dstDangling"))
         .agg(sum(col("m")).as("c"))
-      // Fixed-round runs use persist-chained state: persist keeps the
-      // groupBy's hash partitioning (localCheckpoint drops it → a |V|-row
-      // exchange per superstep in both joins) and short runs stay within
-      // one lineage window. Long tolerance-mode runs checkpoint every
-      // superstep instead: persist chains past a checkpoint boundary
-      // showed unbounded per-iteration growth (cache-substitution misses
-      // re-executing the window; see CLAUDE.md round-2 notes).
-      val isCkptIter = cfg.tol.isDefined || (iter + 1) % 16 == 0
+      // Per-round state is an EAGER private checkpoint (Engine.pin):
+      // eager localCheckpoint retains the groupBy's hash partitioning
+      // (the lazy variant does not — PlanAudit `pagerank_superstep_pinned`)
+      // AND truncates lineage every round. The round-4 persist-chain
+      // (persist per round, unpersist at a 16-iter checkpoint window)
+      // stopped being cache-substituted once the loop-invariant edge
+      // table moved persist→pin for the concurrent-Verify races: with
+      // the chain rooted on a LogicalRDD, every round re-executed the
+      // whole window from the pinned edges — measured on an idle box,
+      // per-iteration wall grew LINEARLY (sf0.4, local[2]: 3.8 s →
+      // 60 s by round 10; local[8]: 3.3 s → 29 s), collapsing scaling
+      // efficiency to 0.46. Eager pin restores flat per-round cost:
+      // the checkpoint job does the superstep compute, the stats
+      // action re-reads ~|V| checkpointed rows (negligible). Tol mode
+      // keeps the lazy materialize: its stats join is the SAME action
+      // that first computes the state, so laziness saves a pass, and
+      // the |V|-row exchange the lazy form adds is one join's input.
       val cNextM =
-        if (isCkptIter) Engine.materialize(cNext)
-        else cNext.persist(StorageLevel.MEMORY_AND_DISK)
+        if (cfg.tol.isDefined) Engine.materialize(cNext)
+        else Engine.pin(cNext)
       // Convergence/dangling stats without touching the vertex table:
       // the contribution frame's dst set is IDENTICAL every superstep
       // (every vertex with ≥1 in-edge gets a row — the gather left-join
@@ -190,8 +192,6 @@ object PageRank {
           inDelta + noInCount * math.abs(baseNext - base)
         } else if (stats.isNullAt(0)) 0.0 else stats.getDouble(0)
       base = baseNext
-      if (isCkptIter) { windowFrames.foreach(_.unpersist()); windowFrames = Nil }
-      else windowFrames ::= cNextM
       cPrev = cNextM
       val secs = (System.nanoTime() - t0) / 1e9
       log.record(IterationMetrics(iter, secs, delta, edgeCount, Map("dsum" -> dsum, "base" -> base)))

@@ -17,10 +17,13 @@ object ScalingProbe {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"probe-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("PROBE_PARTS", cpus.toString))
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("PROBE_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", sys.env.getOrElse("PROBE_COALESCE", "true"))
       .config("spark.local.dir", sys.env.getOrElse("PROBE_LOCALDIR", "/dev/shm/graft-spark"))
+      .config("spark.shuffle.compress", sys.env.getOrElse("PROBE_SHUFFLE_COMPRESS", "true"))
+      .config("spark.shuffle.spill.compress", sys.env.getOrElse("PROBE_SHUFFLE_COMPRESS", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
