@@ -822,6 +822,35 @@ object SparkEntry {
           ".path().count(local).as('b').select('a')" +
           ".order().by(select('b'), incr).by('oid').by('id').limit(20)" +
           ".select('a', 'b')")),
+    // LDBC interactive-complex-6, shape-identical to the reference's
+    // published benchmark query (interactive-complex-6.gremlin:1):
+    // seed lookup, union(identity(), out())-nested expansion, dedup,
+    // has(P.neq(seed)), anonymous-traversal filter() (the reference
+    // spells the EXISTS applies as filter(), not where()), expand,
+    // groupCount ordered by (count desc, key asc), limited
+    "tg_gremlin_ldbc_cr6" -> ((s, dir) =>
+      graft.gie.Gremlin.run(
+        graft.graph.PropertyGraph.fromTranscripts(
+          Synth.transcripts(s, Synth.sfOfDir(dir)).toDF),
+        "g.V().has('user','oid','u1').out('reply')" +
+          ".union(identity(), out('reply')).dedup()" +
+          ".has('oid', P.neq('u1'))" +
+          ".filter(__.outE('invoke').has('weight', P.gte(2)))" +
+          ".out('invoke').groupCount().by('oid')" +
+          ".order().by(select(values), desc).by(select(keys), asc).limit(10)")),
+    // LDBC interactive-complex-12 shape (interactive-complex-12
+    // .gremlin:1): tagged friend expand, weighted edge filter, a
+    // correlated distinct-count filter() on the far vertex, select()
+    // back to the tag, groupCount over the TAGGED vertex
+    "tg_gremlin_ldbc_cr12" -> ((s, dir) =>
+      graft.gie.Gremlin.run(
+        graft.graph.PropertyGraph.fromTranscripts(
+          Synth.transcripts(s, Synth.sfOfDir(dir)).toDF),
+        "g.V().has('user','oid','u1').out('reply').as('friend')" +
+          ".outE('invoke').has('weight', P.gte(2)).inV()" +
+          ".filter(__.in('invoke').dedup().count().is(P.gte(3)))" +
+          ".select('friend').groupCount().by('oid')" +
+          ".order().by(select(values), desc).by(select(keys), asc).limit(20)")),
     // g.E() edge-scan source (sourcestep/edge.rs:89; ScanOpt EDGE in
     // algebra.proto:196): the weight predicate lands directly ON the
     // edge scan (no vertex join before the filter), then GetV(START)
@@ -1682,6 +1711,8 @@ object SparkEntry {
     "tg_gremlin_ldbc_top" -> graft.synth.SynthSql5.gieLdbcTopSql(OracleSf),
     "tg_gremlin_ldbc_filter" -> graft.synth.SynthSql5.gieLdbcFilterSql(OracleSf, 12, 3.0, 10.0),
     "tg_gremlin_ldbc_cr1" -> graft.synth.SynthSql6.cr1Sql(OracleSf, "u1", 20),
+    "tg_gremlin_ldbc_cr6" -> graft.synth.SynthSql6.cr6Sql(OracleSf, "u1", 2.0, 10),
+    "tg_gremlin_ldbc_cr12" -> graft.synth.SynthSql6.cr12Sql(OracleSf, "u1", 2.0, 3, 20),
     "tg_gremlin_esource" -> graft.synth.SynthSql6.esourceSql(OracleSf, 3.0),
     "tg_gremlin_range" -> graft.synth.SynthSql6.rangeSql(OracleSf, 5, 25),
     "tg_gremlin_math" -> graft.synth.SynthSql6.mathSql(OracleSf),

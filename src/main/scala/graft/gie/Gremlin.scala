@@ -661,7 +661,13 @@ object Gremlin {
             case other => throw new IllegalArgumentException(
               s"unsupported where predicate: $other")
           }
-        case ("where", List(Sub(sub))) =>
+        // filter(<sub>) is TinkerPop's anonymous-traversal filter — keep
+        // the traverser iff the sub yields at least one result — which is
+        // exactly where(<sub>)'s Apply-SEMI semantics (the reference's
+        // published LDBC CR-3/6/12 queries all use the filter() spelling:
+        // interactive_engine/benchmark/queries/interactive-complex-6
+        // .gremlin:1)
+        case ("where" | "filter", List(Sub(sub))) =>
           // a sub-traversal ending in [dedup().]count().is(<p>) is the
           // correlated count predicate (LDBC q3); otherwise Apply-SEMI
           sub.reverse match {

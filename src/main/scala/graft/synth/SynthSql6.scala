@@ -36,6 +36,56 @@ object SynthSql6 {
        |SELECT oid AS a, b FROM d WHERE oid LIKE 'u%'
        |ORDER BY b, oid LIMIT $limit""".stripMargin
 
+  /** LDBC interactive-complex-6 twin (reference query shape
+    * `interactive-complex-6.gremlin:1`): seed → friends →
+    * `union(identity(), out())` second hop → dedup → drop the seed
+    * (`has('id', neq(personId))` analog) → `filter(<sub>)` keeping
+    * vertices with at least one invoke edge of weight ≥ `minW` (the
+    * containsAll tag filter analog — an EXISTS semi-join) → expand the
+    * distinct invoke pairs → groupCount by tool, ordered (count desc,
+    * oid asc — a total order) and limited.
+    */
+  def cr6Sql(sf: Double, seed: String, minW: Double, limit: Int): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |er AS MATERIALIZED (SELECT DISTINCT src_oid, dst_oid FROM reply),
+       |ip AS MATERIALIZED (
+       |  SELECT src_oid, dst_oid, CAST(count(*) AS DOUBLE) AS weight
+       |  FROM invoke GROUP BY 1, 2),
+       |h1 AS (SELECT DISTINCT dst_oid AS oid FROM er WHERE src_oid = '$seed'),
+       |h12 AS (SELECT DISTINCT oid FROM (
+       |  SELECT oid FROM h1
+       |  UNION ALL SELECT e.dst_oid FROM er e JOIN h1 ON e.src_oid = h1.oid) z),
+       |d AS (SELECT oid FROM h12 WHERE oid <> '$seed'),
+       |f AS (SELECT oid FROM d
+       |      WHERE EXISTS (SELECT 1 FROM ip
+       |                    WHERE ip.src_oid = d.oid AND ip.weight >= $minW))
+       |SELECT i.dst_oid AS oid, count(*) AS n
+       |FROM ip i JOIN f ON i.src_oid = f.oid
+       |GROUP BY 1 ORDER BY n DESC, oid ASC LIMIT $limit""".stripMargin
+
+  /** LDBC interactive-complex-12 twin (reference query shape
+    * `interactive-complex-12.gremlin:1`): seed → friends (tagged) →
+    * weighted invoke expand → `filter(<sub>)` with the correlated
+    * distinct-count predicate (tools invoked by ≥ `minSrc` distinct
+    * sources) → `select('friend')` → groupCount by the TAGGED vertex,
+    * ordered (count desc, oid asc) and limited. Each surviving
+    * (friend, tool) distinct pair contributes one traverser.
+    */
+  def cr12Sql(sf: Double, seed: String, minW: Double, minSrc: Int, limit: Int): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |er AS MATERIALIZED (SELECT DISTINCT src_oid, dst_oid FROM reply),
+       |ip AS MATERIALIZED (
+       |  SELECT src_oid, dst_oid, CAST(count(*) AS DOUBLE) AS weight
+       |  FROM invoke GROUP BY 1, 2),
+       |fr AS (SELECT DISTINCT dst_oid AS oid FROM er WHERE src_oid = '$seed'),
+       |pr AS (SELECT fr.oid AS friend, ip.dst_oid AS tool
+       |       FROM fr JOIN ip ON ip.src_oid = fr.oid WHERE ip.weight >= $minW),
+       |pop AS (SELECT dst_oid AS tool FROM ip
+       |        GROUP BY 1 HAVING count(DISTINCT src_oid) >= $minSrc)
+       |SELECT p.friend AS oid, count(*) AS n
+       |FROM pr p JOIN pop ON p.tool = pop.tool
+       |GROUP BY 1 ORDER BY n DESC, oid ASC LIMIT $limit""".stripMargin
+
   /** `g.E()` edge-scan source twin (`sourcestep/edge.rs:89`, ScanOpt
     * EDGE): weight predicate directly on the edge table, then
     * GetV(START) + groupCount by source oid.

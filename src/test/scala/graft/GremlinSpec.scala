@@ -57,6 +57,15 @@ class GremlinSpec extends SparkSpec {
     val anti = Gremlin.run(g,
       "g.V().not(__.out().has('oid', 'a1')).values('oid')")
     assert(rows(anti) == Set("u1", "a1", "t0"))
+    // filter(<sub>) is the anonymous-traversal spelling of the same
+    // Apply-SEMI (the reference's published LDBC CR-3/6/12 queries use
+    // it), including the correlated count().is() form
+    val filt = Gremlin.run(g,
+      "g.V().filter(__.out().has('oid', 'a1')).values('oid')")
+    assert(rows(filt) == Set("u0", "a0"))
+    val filtCnt = Gremlin.run(g,
+      "g.V().filter(__.out().dedup().count().is(P.gte(2))).values('oid')")
+    assert(rows(filtCnt) == Set("u0", "a0")) // u0→{a0,a1}, a0→{t0,a1}
   }
 
   test("repeat(out()).times(2) walks two hops with multiplicity") {
