@@ -122,6 +122,28 @@ object SparkEntry {
       val pr = PageRank.run(g, PageRank.Config(0.85, PrRounds))
       withOid(g, pr.select(col("id"), round(col("rank"), 6).as("pr")), "pr")
     }),
+    // exact checkpoint/resume on the driver surface (north rule:
+    // "per-iteration state checkpointed to snapshots carrying
+    // per-partition lineage and metrics for exact resume"): phase 1
+    // runs 5 rounds writing a versioned snapshot + manifest per round
+    // into a per-invocation SnapshotStore, phase 2 is a FRESH
+    // invocation that resumes from the latest manifest (iteration,
+    // base, dangling mass) and finishes the remaining rounds — the
+    // result must hash-match the UNINTERRUPTED PrRounds oracle (same
+    // SQL twin as tg_pagerank), proving the resumed arithmetic is
+    // bit-identical, not merely close
+    "tg_pagerank_resume" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pr-resume").toString
+      val ckpt = Some(graft.engine.CheckpointConfig(
+        new graft.ingest.SnapshotStore(tmp), "pr", every = 1))
+      PageRank.run(g, PageRank.Config(0.85, 5), ckpt = ckpt)
+      val pr = PageRank.run(g, PageRank.Config(0.85, PrRounds), ckpt = ckpt)
+      val out = withOid(g, pr.select(col("id"), round(col("rank"), 6).as("pr")), "pr")
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      out
+    }),
     // weighted PageRank (nx pagerank on the weighted transcript graph:
     // contributions split by edge weight / Σ out-weights)
     "tg_pagerank_w" -> ((s, dir) => {
@@ -1567,6 +1589,9 @@ object SparkEntry {
     "tg_degrees" -> SynthSql.degreesSql(OracleSf),
     "tg_salted_hub" -> graft.synth.SynthSql5.saltedHubSql(OracleSf),
     "tg_pagerank" -> SynthSql.pageRankSql(OracleSf, PrRounds),
+    // the resumed run must reproduce the uninterrupted run EXACTLY —
+    // same twin as tg_pagerank, no resume-specific tolerance
+    "tg_pagerank_resume" -> SynthSql.pageRankSql(OracleSf, PrRounds),
     "tg_pagerank_w" -> SynthSql.pageRankWeightedSql(OracleSf, PrRounds),
     "tg_wcc" -> SynthSql.wccSql(OracleSf),
     "tg_pregel_wcc" -> SynthSql.wccSql(OracleSf),
