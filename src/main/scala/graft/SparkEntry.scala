@@ -844,6 +844,21 @@ object SparkEntry {
           ".path().count(local).as('b').select('a')" +
           ".order().by(select('b'), incr).by('oid').by('id').limit(20)" +
           ".select('a', 'b')")),
+    // LDBC interactive-complex-2, shape-identical to the reference's
+    // published benchmark query (interactive-complex-2.gremlin:1):
+    // seed lookup, tagged friend expand, reverse expand, ordered
+    // (lte) property filter, tag-then-property two-key ordering
+    // (message desc, friend asc — select('p') orders by the tag's
+    // dense id, which is by construction the oid rank), paginated
+    // multi-tag select
+    "tg_gremlin_ldbc_cr2" -> ((s, dir) =>
+      graft.gie.Gremlin.run(
+        graft.graph.PropertyGraph.fromTranscripts(
+          Synth.transcripts(s, Synth.sfOfDir(dir)).toDF),
+        "g.V().has('user','oid','u1').out('reply').as('p')" +
+          ".in('reply').has('oid', P.lte('u4')).as('m')" +
+          ".order().by('oid', desc).by(select('p'), asc).limit(20)" +
+          ".select('p', 'm')")),
     // LDBC interactive-complex-6, shape-identical to the reference's
     // published benchmark query (interactive-complex-6.gremlin:1):
     // seed lookup, union(identity(), out())-nested expansion, dedup,
@@ -1736,6 +1751,7 @@ object SparkEntry {
     "tg_gremlin_ldbc_top" -> graft.synth.SynthSql5.gieLdbcTopSql(OracleSf),
     "tg_gremlin_ldbc_filter" -> graft.synth.SynthSql5.gieLdbcFilterSql(OracleSf, 12, 3.0, 10.0),
     "tg_gremlin_ldbc_cr1" -> graft.synth.SynthSql6.cr1Sql(OracleSf, "u1", 20),
+    "tg_gremlin_ldbc_cr2" -> graft.synth.SynthSql6.cr2Sql(OracleSf, "u1", "u4", 20),
     "tg_gremlin_ldbc_cr6" -> graft.synth.SynthSql6.cr6Sql(OracleSf, "u1", 2.0, 10),
     "tg_gremlin_ldbc_cr12" -> graft.synth.SynthSql6.cr12Sql(OracleSf, "u1", 2.0, 3, 20),
     "tg_gremlin_esource" -> graft.synth.SynthSql6.esourceSql(OracleSf, 3.0),

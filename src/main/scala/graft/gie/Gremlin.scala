@@ -321,6 +321,12 @@ object Gremlin {
     * doubles. `between(a,b)` is TinkerPop's [a, b); `inside(a,b)` is
     * (a, b).
     */
+  /** A P-predicate literal: Right(double) when numeric, Left(raw
+    * string) otherwise (TinkerPop P compares any Comparable).
+    */
+  private def ordCmp(v: String): Either[String, Double] =
+    try Right(v.toDouble) catch { case _: NumberFormatException => Left(v) }
+
   private def predOn(c: Column, p: Arg): Column = p match {
     case Lit(v) => c === v
     case Num(n) => c === n
@@ -336,10 +342,15 @@ object Gremlin {
     case Pred("notContaining", Seq(v)) => !c.contains(v)
     case Pred("endingWith", Seq(v)) => c.endsWith(v)
     case Pred("notEndingWith", Seq(v)) => !c.endsWith(v)
-    case Pred("gt", Seq(v)) => c > v.toDouble
-    case Pred("gte", Seq(v)) => c >= v.toDouble
-    case Pred("lt", Seq(v)) => c < v.toDouble
-    case Pred("lte", Seq(v)) => c <= v.toDouble
+    // TinkerPop P.gt/lt/... compare any Comparable: numeric literals
+    // compare as doubles, everything else as raw strings (binary
+    // collation — identical in Spark UTF8String and DuckDB default
+    // collation for the ASCII oids; CR-2's has('creationDate',
+    // lte($maxDate)) is this ordered-property-filter shape)
+    case Pred("gt", Seq(v)) => ordCmp(v).fold(s => c > s, n => c > n)
+    case Pred("gte", Seq(v)) => ordCmp(v).fold(s => c >= s, n => c >= n)
+    case Pred("lt", Seq(v)) => ordCmp(v).fold(s => c < s, n => c < n)
+    case Pred("lte", Seq(v)) => ordCmp(v).fold(s => c <= s, n => c <= n)
     case Pred("between", Seq(a, b)) => c >= a.toDouble && c < b.toDouble
     case Pred("inside", Seq(a, b)) => c > a.toDouble && c < b.toDouble
     case other => throw new IllegalArgumentException(s"unsupported has predicate: $other")

@@ -36,6 +36,21 @@ object SynthSql6 {
        |SELECT oid AS a, b FROM d WHERE oid LIKE 'u%'
        |ORDER BY b, oid LIMIT $limit""".stripMargin
 
+  /** LDBC interactive-complex-2 twin (reference query shape
+    * `interactive-complex-2.gremlin:1`): distinct friends of `seed`
+    * (tagged p), their distinct reverse-reply sources m with
+    * m ≤ `maxOid` (the `has('creationDate', lte($maxDate))` ordered
+    * filter analog — binary string collation on both engines), ordered
+    * (m desc, p asc — total: (p, m) pairs are distinct) and paginated.
+    */
+  def cr2Sql(sf: Double, seed: String, maxOid: String, limit: Int): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |er AS MATERIALIZED (SELECT DISTINCT src_oid, dst_oid FROM reply),
+       |p AS (SELECT DISTINCT dst_oid AS p FROM er WHERE src_oid = '$seed'),
+       |pm AS (SELECT p.p, e.src_oid AS m FROM p JOIN er e ON e.dst_oid = p.p
+       |       WHERE e.src_oid <= '$maxOid')
+       |SELECT p, m FROM pm ORDER BY m DESC, p ASC LIMIT $limit""".stripMargin
+
   /** LDBC interactive-complex-6 twin (reference query shape
     * `interactive-complex-6.gremlin:1`): seed → friends →
     * `union(identity(), out())` second hop → dedup → drop the seed
