@@ -155,6 +155,21 @@ object SparkEntry {
       val g = graphFor(s, dir)
       WCC.canonical(g, WCC.run(g))
     }),
+    // exact WCC checkpoint/resume (same contract as tg_pagerank_resume):
+    // 5 HashMin rounds checkpointed per-round, fresh invocation resumes
+    // from the manifest and runs to the fixpoint. The resumed frontier
+    // restarts dense (full state) but HashMin is monotone/idempotent, so
+    // the fixpoint — and the hash vs the uninterrupted twin — is EXACT
+    "tg_wcc_resume" -> ((s, dir) => {
+      val g = graphFor(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-wcc-resume").toString
+      val ckpt = Some(graft.engine.CheckpointConfig(
+        new graft.ingest.SnapshotStore(tmp), "wcc", every = 1))
+      WCC.run(g, maxIter = 5, ckpt = ckpt)
+      val out = WCC.canonical(g, WCC.run(g, ckpt = ckpt)).localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      out
+    }),
     "tg_cdlp" -> ((s, dir) => {
       val g = graphFor(s, dir)
       CDLP.run(g, CdlpRounds)
@@ -1609,6 +1624,8 @@ object SparkEntry {
     "tg_pagerank_resume" -> SynthSql.pageRankSql(OracleSf, PrRounds),
     "tg_pagerank_w" -> SynthSql.pageRankWeightedSql(OracleSf, PrRounds),
     "tg_wcc" -> SynthSql.wccSql(OracleSf),
+    // resumed WCC must reach the identical fixpoint — same twin
+    "tg_wcc_resume" -> SynthSql.wccSql(OracleSf),
     "tg_pregel_wcc" -> SynthSql.wccSql(OracleSf),
     "tg_cdlp" -> SynthSql.cdlpSql(OracleSf, CdlpRounds),
     "tg_triangles" -> SynthSql.trianglesSql(OracleSf),
