@@ -909,6 +909,14 @@ object SparkEntry {
     "tg_gremlin_esource" -> ((s, dir) =>
       graft.gie.Gremlin.run(graphFor(s, dir),
         "g.E().has('weight', P.gte(3)).outV().groupCount().by('oid')")),
+    // order().by(shuffle) — the IR's third OrderBy direction
+    // (algebra.proto:116 ASC/DESC/SHUFFLE), lowered to the engine's
+    // deterministic portable pick order (same policy as sample(n)):
+    // resume-safe shuffle-order + page, never rand()
+    "tg_gremlin_shuffle" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir),
+        "g.V().has('oid', TextP.startingWith('u')).out()" +
+          ".order().by(shuffle).limit(40).values('oid')")),
     // RangeGlobal pagination (RangeGlobalTreeNode.java:31; pegasus
     // dedup.rs Range): ordered in-degree groupCount, page [5, 25)
     "tg_gremlin_range" -> ((s, dir) =>
@@ -1773,6 +1781,7 @@ object SparkEntry {
     "tg_gremlin_ldbc_cr12" -> graft.synth.SynthSql6.cr12Sql(OracleSf, "u1", 2.0, 3, 20),
     "tg_gremlin_esource" -> graft.synth.SynthSql6.esourceSql(OracleSf, 3.0),
     "tg_gremlin_range" -> graft.synth.SynthSql6.rangeSql(OracleSf, 5, 25),
+    "tg_gremlin_shuffle" -> graft.synth.SynthSql6.shuffleOrderSql(OracleSf, "u%", 40),
     "tg_gremlin_math" -> graft.synth.SynthSql6.mathSql(OracleSf),
     "tg_gremlin_sack" -> graft.synth.SynthSql6.sackSql(OracleSf, "assistant"),
     "tg_gremlin_aggregate" -> graft.synth.SynthSql7.aggregateSql(OracleSf, "system"),

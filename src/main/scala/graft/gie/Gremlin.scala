@@ -975,6 +975,14 @@ object Gremlin {
               specs += ((Left(f), false)); rest = tl
             case Step("by", List(Lit(f), Sym(dn))) :: tl if byDirs.contains(dn) =>
               specs += ((Left(f), byDesc.contains(dn))); rest = tl
+            // the IR's third OrderBy direction (`algebra.proto:116`
+            // ASC/DESC/SHUFFLE): deterministic shuffle-order via the
+            // engine's portable pick policy — (portableHash(oid), oid),
+            // the SAME total order sample(n) uses, so order().by(
+            // shuffle).limit(n) ≡ the MetapathSample page (resume-safe,
+            // never rand())
+            case Step("by", List(Sym("shuffle"))) :: tl =>
+              specs += ((Left("__shuffle__"), false)); rest = tl
             case Step("by", List(Sub(sel))) :: tl =>
               specs += ((Right(sel), false)); rest = tl
             case Step("by", List(Sub(sel), Sym(dn))) :: tl if byDirs.contains(dn) =>
@@ -1000,6 +1008,8 @@ object Gremlin {
               val tr = sp.foldLeft(tr0) {
                 case (cur, (Left(f @ ("oid" | "label")), _))
                     if !cur.df.columns.contains(f) => fetch(cur, f)
+                case (cur, (Left("__shuffle__"), _))
+                    if !cur.df.columns.contains("oid") => fetch(cur, "oid")
                 case (cur, _) => cur
               }
               val frameCols = tr.df.columns.toSet
@@ -1009,7 +1019,12 @@ object Gremlin {
                 case Right(sel) => selByCol(sel, tr.df)
               }
               st = Left(tr.ordered(
-                sp.map { case (k, dsc) => if (dsc) kc(k).desc else kc(k).asc }: _*))
+                sp.flatMap {
+                  case (Left("__shuffle__"), _) =>
+                    Seq(graft.text.TextOps.portableHash(col("oid")).asc,
+                      col("oid").asc)
+                  case (k, dsc) => Seq(if (dsc) kc(k).desc else kc(k).asc)
+                }: _*))
             case Right(d2) =>
               def kc(k: Either[String, List[Step]]): Column = k match {
                 case Left(f) =>

@@ -173,6 +173,22 @@ object SynthSql6 {
        |SELECT ${SynthSql5.labelOf("oid")} AS label, count(*) AS n
        |FROM routed GROUP BY 1""".stripMargin
 
+  /** `order().by(shuffle)` twin (the IR's third OrderBy direction,
+    * `algebra.proto:116` ASC/DESC/SHUFFLE): the traverser bag ordered
+    * by the engine's portable pick policy — (portableHash(oid), oid),
+    * shared with `sample(n)`/`LshSql.phash` — then paged. Ties at the
+    * page boundary are duplicate oids from different sources, which
+    * project to identical rows, so any tie-cut yields the same
+    * multiset.
+    */
+  def shuffleOrderSql(sf: Double, srcLike: String, limit: Int): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT v2.oid AS oid FROM dedges e
+       |JOIN vertices v1 ON v1.id = e.src
+       |JOIN vertices v2 ON v2.id = e.dst
+       |WHERE v1.oid LIKE '$srcLike'
+       |ORDER BY ${LshSql.phash("v2.oid")}, v2.oid LIMIT $limit""".stripMargin
+
   /** Gremlin mutation-plane twin (groot realtime write,
     * `record.py:22-82`): the base edge set after
     * `g.addV().property('oid','$newOid')`, `g.V().has('oid',
