@@ -874,6 +874,23 @@ object SparkEntry {
           ".in('reply').has('oid', P.lte('u4')).as('m')" +
           ".order().by('oid', desc).by(select('p'), asc).limit(20)" +
           ".select('p', 'm')")),
+    // LDBC interactive-complex-5, shape-identical to the reference's
+    // published benchmark query (interactive-complex-5.gremlin:1):
+    // seed lookup, union(identity(), out()) expansion, dedup, tagged
+    // friend, weighted edge expand, then the defining step —
+    // group().by().by(<sub>.where(eq('p')).count()): a group keyed by
+    // the CURRENT element whose value sub is CORRELATED to each
+    // traverser's tag (the member whose container posts are counted),
+    // ordered (count desc, key asc) and limited
+    "tg_gremlin_ldbc_cr5" -> ((s, dir) =>
+      graft.gie.Gremlin.run(
+        graft.graph.PropertyGraph.fromTranscripts(
+          Synth.transcripts(s, Synth.sfOfDir(dir)).toDF),
+        "g.V().has('user','oid','u1').out('reply')" +
+          ".union(identity(), out('reply')).dedup().as('p')" +
+          ".outE('invoke').has('weight', P.gte(2)).inV()" +
+          ".group().by().by(__.in('invoke').where(eq('p')).count())" +
+          ".order().by(select(values), desc).by(select(keys), asc).limit(20)")),
     // LDBC interactive-complex-6, shape-identical to the reference's
     // published benchmark query (interactive-complex-6.gremlin:1):
     // seed lookup, union(identity(), out())-nested expansion, dedup,
@@ -1777,6 +1794,7 @@ object SparkEntry {
     "tg_gremlin_ldbc_filter" -> graft.synth.SynthSql5.gieLdbcFilterSql(OracleSf, 12, 3.0, 10.0),
     "tg_gremlin_ldbc_cr1" -> graft.synth.SynthSql6.cr1Sql(OracleSf, "u1", 20),
     "tg_gremlin_ldbc_cr2" -> graft.synth.SynthSql6.cr2Sql(OracleSf, "u1", "u4", 20),
+    "tg_gremlin_ldbc_cr5" -> graft.synth.SynthSql6.cr5Sql(OracleSf, "u1", 2.0, 20),
     "tg_gremlin_ldbc_cr6" -> graft.synth.SynthSql6.cr6Sql(OracleSf, "u1", 2.0, 10),
     "tg_gremlin_ldbc_cr12" -> graft.synth.SynthSql6.cr12Sql(OracleSf, "u1", 2.0, 3, 20),
     "tg_gremlin_esource" -> graft.synth.SynthSql6.esourceSql(OracleSf, 3.0),

@@ -787,6 +787,28 @@ object Gremlin {
         // group's values SORTED (arrival order is nondeterministic on a
         // distributed bag). Output columns: (key, val).
         case ("group", Nil) => rest match {
+          // group().by().by(<sub>.count()) — group by the CURRENT
+          // element with a CORRELATED value sub (LDBC CR-5's
+          // `group().by().by(out(...)...where(eq('p')).count())` shape,
+          // interactive-complex-5.gremlin:1): the sub CONTINUES the
+          // traversal from every traverser with its tag columns riding,
+          // so where(eq('p')) inside the sub compares against that
+          // traverser's own tagged vertex; results are counted per
+          // group key, and keys whose sub yields nothing keep a 0
+          // entry (TinkerPop emits an entry per key). Output (oid, val).
+          case Step("by", Nil) :: Step("by", List(Sub(valSteps))) :: tl
+              if valSteps.nonEmpty && valSteps.last == Step("count", Nil) =>
+            val body = valSteps.dropRight(1)
+            require(body.nonEmpty,
+              "group().by().by(sub) needs at least one step before count()")
+            val keys = fetch(t, "oid").df
+              .select(col("__v").as("__gkey"), col("oid")).distinct()
+            val expanded = vertexFn(body, "group()")(t.as_("__gkey"))
+            val counts = expanded.df.groupBy(col("__gkey"))
+              .agg(count(lit(1)).as("__n"))
+            st = Right(keys.join(counts, Seq("__gkey"), "left")
+              .select(col("oid"), coalesce(col("__n"), lit(0L)).as("val")))
+            rest = tl
           case Step("by", List(Lit(key))) :: Step("by", List(Sub(valSteps))) :: tl =>
             val (vf, aggName) = valSteps match {
               case Step("values", List(Lit(f))) :: Step("dedup", Nil) ::

@@ -51,6 +51,32 @@ object SynthSql6 {
        |       WHERE e.src_oid <= '$maxOid')
        |SELECT p, m FROM pm ORDER BY m DESC, p ASC LIMIT $limit""".stripMargin
 
+  /** LDBC interactive-complex-5 twin (reference query shape
+    * `interactive-complex-5.gremlin:1`): seed's 1..2-hop reply
+    * neighborhood (union(identity(), out()) + dedup, tagged p), their
+    * invoke pairs with weight ≥ `minW` (the `inE('hasMember')
+    * .has('joinDate', gt(...))` analog), grouped by the landing tool
+    * with the CORRELATED value count — the sub `in('invoke')
+    * .where(eq('p')).count()` matches exactly the traverser's own p
+    * (which by construction invokes the tool), so each surviving
+    * (p, tool) pair contributes exactly 1 — ordered and limited.
+    */
+  def cr5Sql(sf: Double, seed: String, minW: Double, limit: Int): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |er AS MATERIALIZED (SELECT DISTINCT src_oid, dst_oid FROM reply),
+       |ip AS MATERIALIZED (
+       |  SELECT src_oid, dst_oid, CAST(count(*) AS DOUBLE) AS weight
+       |  FROM invoke GROUP BY 1, 2),
+       |h1 AS (SELECT DISTINCT dst_oid AS oid FROM er WHERE src_oid = '$seed'),
+       |h12 AS (SELECT DISTINCT oid FROM (
+       |  SELECT oid FROM h1
+       |  UNION ALL SELECT e.dst_oid FROM er e JOIN h1 ON e.src_oid = h1.oid) z),
+       |pairs AS (SELECT h.oid AS p, i.dst_oid AS tool
+       |          FROM h12 h JOIN ip i ON i.src_oid = h.oid
+       |          WHERE i.weight >= $minW)
+       |SELECT tool AS oid, count(*) AS val FROM pairs
+       |GROUP BY 1 ORDER BY val DESC, oid ASC LIMIT $limit""".stripMargin
+
   /** LDBC interactive-complex-6 twin (reference query shape
     * `interactive-complex-6.gremlin:1`): seed → friends →
     * `union(identity(), out())` second hop → dedup → drop the seed

@@ -68,6 +68,21 @@ class GremlinSpec extends SparkSpec {
     assert(rows(filtCnt) == Set("u0", "a0")) // u0→{a0,a1}, a0→{t0,a1}
   }
 
+  test("group().by().by(sub.count()) correlates the sub to each traverser's tag") {
+    // keys a0 (reached from u0 and u1 → two traversers, each matching
+    // itself via in().where(eq('s'))) and a1 (one traverser)
+    val grouped = Gremlin.run(g,
+      "g.V().has('oid', TextP.startingWith('u')).as('s').out()" +
+        ".group().by().by(__.in().where(eq('s')).count())")
+    assert(rows(grouped) == Set("a0|2", "a1|1"))
+    // a key whose sub survives nothing keeps a ZERO entry (TinkerPop
+    // emits one entry per group key): t0→u1, u1's out() is a0 ≠ t0
+    val zero = Gremlin.run(g,
+      "g.V().has('oid', 't0').as('s').out()" +
+        ".group().by().by(__.out().where(eq('s')).count())")
+    assert(rows(zero) == Set("u1|0"))
+  }
+
   test("repeat(out()).times(2) walks two hops with multiplicity") {
     val viaText = Gremlin.run(g,
       "g.V().has('oid', 'u0').repeat(__.out()).times(2).groupCount().by('oid')")
