@@ -874,6 +874,23 @@ object SparkEntry {
           ".in('reply').has('oid', P.lte('u4')).as('m')" +
           ".order().by('oid', desc).by(select('p'), asc).limit(20)" +
           ".select('p', 'm')")),
+    // LDBC interactive-complex-4's defining steps (interactive-complex-4
+    // .gremlin:1): snapshot the friend set into a side effect
+    // (store('friends')), expand to their tools, and keep only tools
+    // with NO invoker outside the friend circle — the published
+    // anti-predicate spelling filter(<sub>.where(without('friends'))
+    // .count().is(0)), which requires zero-count origins to PASS the
+    // correlated count (whereCountIs left-joins the distinct origin set
+    // and coalesces absent counts to 0)
+    "tg_gremlin_ldbc_cr4" -> ((s, dir) =>
+      graft.gie.Gremlin.run(
+        graft.graph.PropertyGraph.fromTranscripts(
+          Synth.transcripts(s, Synth.sfOfDir(dir)).toDF),
+        "g.V().has('user','oid','u1').out('reply').store('friends')" +
+          ".out('invoke')" +
+          ".filter(__.inE('invoke').has('weight', P.gte(6)).outV()" +
+          ".where(P.without('friends')).count().is(0))" +
+          ".groupCount().by('oid')")),
     // LDBC interactive-complex-5, shape-identical to the reference's
     // published benchmark query (interactive-complex-5.gremlin:1):
     // seed lookup, union(identity(), out()) expansion, dedup, tagged
@@ -1794,6 +1811,7 @@ object SparkEntry {
     "tg_gremlin_ldbc_filter" -> graft.synth.SynthSql5.gieLdbcFilterSql(OracleSf, 12, 3.0, 10.0),
     "tg_gremlin_ldbc_cr1" -> graft.synth.SynthSql6.cr1Sql(OracleSf, "u1", 20),
     "tg_gremlin_ldbc_cr2" -> graft.synth.SynthSql6.cr2Sql(OracleSf, "u1", "u4", 20),
+    "tg_gremlin_ldbc_cr4" -> graft.synth.SynthSql6.cr4Sql(OracleSf, "u1", 6.0),
     "tg_gremlin_ldbc_cr5" -> graft.synth.SynthSql6.cr5Sql(OracleSf, "u1", 2.0, 20),
     "tg_gremlin_ldbc_cr6" -> graft.synth.SynthSql6.cr6Sql(OracleSf, "u1", 2.0, 10),
     "tg_gremlin_ldbc_cr12" -> graft.synth.SynthSql6.cr12Sql(OracleSf, "u1", 2.0, 3, 20),

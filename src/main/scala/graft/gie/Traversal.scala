@@ -526,13 +526,20 @@ final class Traversal private[gie] (
     * sub-traversal result count (distinct end-vertex count when
     * `distinctCount`, for a `dedup().count()` body) satisfies `pred`.
     * The body runs ONCE over the distinct origin set; the counts are one
-    * map-side-combinable aggregate. Origins with ZERO results never
-    * appear in the aggregate, so `pred` must be satisfiable only by
-    * positive counts (`count().is(0)` is Gremlin `not()` — use that).
+    * map-side-combinable aggregate. Origins with ZERO results coalesce
+    * to count 0 (a left join against the distinct origin set), so
+    * zero-satisfiable predicates work — `count().is(0)` is the
+    * reference's CR-4 "no prior use" anti-predicate
+    * (`interactive-complex-4.gremlin:1`), equivalent to `not(<sub>)`
+    * but in the published spelling.
     */
   def whereCountIs(
       f: Traversal => Traversal, distinctCount: Boolean, pred: Column): Traversal = {
-    val hits = originCounts(f, distinctCount).where(pred).select(col("__v"))
+    val hits = df.select(col("__v")).distinct()
+      .join(originCounts(f, distinctCount), Seq("__v"), "left")
+      .withColumn("__cnt",
+        org.apache.spark.sql.functions.coalesce(col("__cnt"), lit(0L)))
+      .where(pred).select(col("__v"))
     next(df.join(hits, Seq("__v"), "left_semi"))
   }
 

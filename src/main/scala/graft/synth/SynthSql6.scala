@@ -51,6 +51,32 @@ object SynthSql6 {
        |       WHERE e.src_oid <= '$maxOid')
        |SELECT p, m FROM pm ORDER BY m DESC, p ASC LIMIT $limit""".stripMargin
 
+  /** LDBC interactive-complex-4 twin (reference query shape
+    * `interactive-complex-4.gremlin:1` — the tags-new-to-the-window
+    * anti-predicate): distinct friends of `seed`, their invoked tools,
+    * keeping only tools with NO invoker outside the friend set
+    * (`where(without('friends')).count().is(0)`), traverser counts per
+    * surviving tool — each (friend, tool) distinct pair contributes 1.
+    */
+  def cr4Sql(sf: Double, seed: String, minW: Double): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |er AS MATERIALIZED (SELECT DISTINCT src_oid, dst_oid FROM reply),
+       |ip AS MATERIALIZED (SELECT DISTINCT src_oid, dst_oid FROM invoke),
+       |ipw AS MATERIALIZED (
+       |  SELECT src_oid, dst_oid, CAST(count(*) AS DOUBLE) AS weight
+       |  FROM invoke GROUP BY 1, 2),
+       |fr AS (SELECT DISTINCT dst_oid AS oid FROM er WHERE src_oid = '$seed'),
+       |ft AS (SELECT fr.oid AS p, ip.dst_oid AS tool
+       |       FROM fr JOIN ip ON ip.src_oid = fr.oid),
+       |keep AS (SELECT DISTINCT tool FROM ft t
+       |         WHERE NOT EXISTS (
+       |           SELECT 1 FROM ipw
+       |           WHERE ipw.dst_oid = t.tool AND ipw.weight >= $minW
+       |             AND ipw.src_oid NOT IN (SELECT oid FROM fr)))
+       |SELECT t.tool AS oid, count(*) AS n
+       |FROM ft t JOIN keep k ON t.tool = k.tool
+       |GROUP BY 1""".stripMargin
+
   /** LDBC interactive-complex-5 twin (reference query shape
     * `interactive-complex-5.gremlin:1`): seed's 1..2-hop reply
     * neighborhood (union(identity(), out()) + dedup, tagged p), their

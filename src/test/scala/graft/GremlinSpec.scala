@@ -66,6 +66,12 @@ class GremlinSpec extends SparkSpec {
     val filtCnt = Gremlin.run(g,
       "g.V().filter(__.out().dedup().count().is(P.gte(2))).values('oid')")
     assert(rows(filtCnt) == Set("u0", "a0")) // u0→{a0,a1}, a0→{t0,a1}
+    // count().is(0) must let ZERO-count origins PASS (CR-4's published
+    // anti-predicate spelling — zero-satisfiable via the left-join +
+    // coalesce form): only u0 has no in-edge in the fixture
+    val zeroCnt = Gremlin.run(g,
+      "g.V().where(__.in().count().is(0)).values('oid')")
+    assert(rows(zeroCnt) == Set("u0"))
   }
 
   test("group().by().by(sub.count()) correlates the sub to each traverser's tag") {
