@@ -937,12 +937,39 @@ object SparkEntry {
           ".filter(__.in('invoke').dedup().count().is(P.gte(3)))" +
           ".select('friend').groupCount().by('oid')" +
           ".order().by(select(values), desc).by(select(keys), asc).limit(20)")),
+    // LDBC interactive-complex-11, shape-identical to the reference's
+    // published benchmark query (interactive-complex-11.gremlin:1):
+    // seed, union(identity(), out()) + dedup + neq(seed), tagged
+    // friends, weighted edge expand with SCALAR VALUE TAGS —
+    // values('weight').as('works') / values('oid').as('orgname') stash
+    // property values that ride later expansions — select back to the
+    // friend, three-key mixed tag/property ordering (works asc, id asc,
+    // orgname desc), paginated three-tag select
+    "tg_gremlin_ldbc_cr11" -> ((s, dir) =>
+      graft.gie.Gremlin.run(
+        graft.graph.PropertyGraph.fromTranscripts(
+          Synth.transcripts(s, Synth.sfOfDir(dir)).toDF),
+        "g.V().has('user','oid','u1').out('reply')" +
+          ".union(identity(), out('reply')).dedup().has('oid', P.neq('u1'))" +
+          ".as('friends').outE('invoke').has('weight', P.lt(6))" +
+          ".values('weight').as('works').inV().values('oid').as('orgname')" +
+          ".select('friends')" +
+          ".order().by(select('works'), incr).by('id', incr).by(select('orgname'), desc)" +
+          ".limit(10).select('friends', 'orgname', 'works')")),
     // g.E() edge-scan source (sourcestep/edge.rs:89; ScanOpt EDGE in
     // algebra.proto:196): the weight predicate lands directly ON the
     // edge scan (no vertex join before the filter), then GetV(START)
     "tg_gremlin_esource" -> ((s, dir) =>
       graft.gie.Gremlin.run(graphFor(s, dir),
         "g.E().has('weight', P.gte(3)).outV().groupCount().by('oid')")),
+    // the reference's 1-hop/2-hop micro benchmark queries
+    // (benchmark/queries/1-hop.gremlin, 2-hop.gremlin:
+    // g.V($id).out()[.out()].count()) — with these, every file in the
+    // reference's published benchmark/queries/ dir runs end-to-end
+    "tg_gremlin_1hop" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir), "g.V('u1').out().count()")),
+    "tg_gremlin_2hop" -> ((s, dir) =>
+      graft.gie.Gremlin.run(graphFor(s, dir), "g.V('u1').out().out().count()")),
     // order().by(shuffle) — the IR's third OrderBy direction
     // (algebra.proto:116 ASC/DESC/SHUFFLE), lowered to the engine's
     // deterministic portable pick order (same policy as sample(n)):
@@ -1814,6 +1841,9 @@ object SparkEntry {
     "tg_gremlin_ldbc_cr4" -> graft.synth.SynthSql6.cr4Sql(OracleSf, "u1", 6.0),
     "tg_gremlin_ldbc_cr5" -> graft.synth.SynthSql6.cr5Sql(OracleSf, "u1", 2.0, 20),
     "tg_gremlin_ldbc_cr6" -> graft.synth.SynthSql6.cr6Sql(OracleSf, "u1", 2.0, 10),
+    "tg_gremlin_1hop" -> graft.synth.SynthSql6.hop1Sql(OracleSf, "u1"),
+    "tg_gremlin_2hop" -> graft.synth.SynthSql6.hop2Sql(OracleSf, "u1"),
+    "tg_gremlin_ldbc_cr11" -> graft.synth.SynthSql6.cr11Sql(OracleSf, "u1", 6.0, 10),
     "tg_gremlin_ldbc_cr12" -> graft.synth.SynthSql6.cr12Sql(OracleSf, "u1", 2.0, 3, 20),
     "tg_gremlin_esource" -> graft.synth.SynthSql6.esourceSql(OracleSf, 3.0),
     "tg_gremlin_range" -> graft.synth.SynthSql6.rangeSql(OracleSf, 5, 25),

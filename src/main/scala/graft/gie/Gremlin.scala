@@ -928,6 +928,23 @@ object Gremlin {
           }
         case ("unfold", Nil) =>
           st = Right(d.select(explode(col(d.columns.head)).as("value")))
+        // values(f).as(tag) — a SCALAR value tag (LDBC CR-11's
+        // `.values('workFrom').as('works')` idiom,
+        // interactive-complex-11.gremlin:1): the property value is
+        // stashed under the tag as a plain frame column (it rides every
+        // later expansion — `carried` drops only known fetched props)
+        // and the traverser STAYS at its position instead of
+        // terminating into a value sink; select()/order().by(select(t))
+        // read it back, multi-tag select projects it as-is
+        // (scalar-tag path of Traversal.selectTags).
+        case ("values", List(Lit(f)))
+            if rest.headOption.exists {
+              case Step("as", List(Lit(_))) => true; case _ => false } =>
+          val tag = rest.head match { case Step("as", List(Lit(tg))) => tg }
+          rest = rest.tail
+          val tf = fetch(t, f)
+          st = Left(tf.mapFrame(_.withColumn(tag, fieldColIn(tf.df, f))))
+          scalarTags += tag
         case ("values", List(Lit(f))) =>
           if (f == "weight" || f == "label")
             st = Right(fetch(t, f).df.select(fieldColIn(t.df, f).as(f)))

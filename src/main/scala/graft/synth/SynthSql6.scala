@@ -153,6 +153,48 @@ object SynthSql6 {
        |FROM pr p JOIN pop ON p.tool = pop.tool
        |GROUP BY 1 ORDER BY n DESC, oid ASC LIMIT $limit""".stripMargin
 
+  /** LDBC interactive-complex-11 twin (reference query shape
+    * `interactive-complex-11.gremlin:1`): the seed's 1..2-hop dedup
+    * neighborhood minus the seed (tagged friends), their invoke pairs
+    * with weight < `maxW`, emitted as (friends, orgname, works) —
+    * friend oid, tool oid, edge weight (the scalar value tags) —
+    * ordered (works asc, friend asc — dense id order ≡ oid order —
+    * orgname desc; total: per (friend, works) the tools are distinct)
+    * and paginated.
+    */
+  def cr11Sql(sf: Double, seed: String, maxW: Double, limit: Int): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |er AS MATERIALIZED (SELECT DISTINCT src_oid, dst_oid FROM reply),
+       |ipw AS MATERIALIZED (
+       |  SELECT src_oid, dst_oid, CAST(count(*) AS DOUBLE) AS weight
+       |  FROM invoke GROUP BY 1, 2),
+       |h1 AS (SELECT DISTINCT dst_oid AS oid FROM er WHERE src_oid = '$seed'),
+       |h12 AS (SELECT DISTINCT oid FROM (
+       |  SELECT oid FROM h1
+       |  UNION ALL SELECT e.dst_oid FROM er e JOIN h1 ON e.src_oid = h1.oid) z),
+       |d AS (SELECT oid FROM h12 WHERE oid <> '$seed'),
+       |rws AS (SELECT d.oid AS friends, i.dst_oid AS orgname, i.weight AS works
+       |        FROM d JOIN ipw i ON i.src_oid = d.oid
+       |        WHERE i.weight < $maxW)
+       |SELECT friends, orgname, works FROM rws
+       |ORDER BY works ASC, friends ASC, orgname DESC LIMIT $limit""".stripMargin
+
+  /** 1-hop / 2-hop micro benchmark twins (`benchmark/queries/
+    * 1-hop.gremlin`, `2-hop.gremlin`): traverser counts after one / two
+    * distinct-pair expansions from the seed (2-hop multiplicity = Σ
+    * over 1-hop neighbors of their out-degrees).
+    */
+  def hop1Sql(sf: Double, seed: String): String =
+    s"""WITH ${SynthSql.graphCtes(sf)}
+       |SELECT count(*) AS n FROM dedges e
+       |JOIN vertices v ON v.id = e.src WHERE v.oid = '$seed'""".stripMargin
+
+  def hop2Sql(sf: Double, seed: String): String =
+    s"""WITH ${SynthSql.graphCtes(sf)},
+       |h1 AS (SELECT e.dst FROM dedges e
+       |       JOIN vertices v ON v.id = e.src WHERE v.oid = '$seed')
+       |SELECT count(*) AS n FROM dedges e JOIN h1 ON e.src = h1.dst""".stripMargin
+
   /** `g.E()` edge-scan source twin (`sourcestep/edge.rs:89`, ScanOpt
     * EDGE): weight predicate directly on the edge table, then
     * GetV(START) + groupCount by source oid.

@@ -89,6 +89,13 @@ class GremlinSpec extends SparkSpec {
     assert(rows(zero) == Set("u1|0"))
   }
 
+  test("values(f).as(tag) scalar value tags ride expansions and project as-is") {
+    val r = Gremlin.run(g,
+      "g.V().has('oid', 'a0').as('s').outE().values('weight').as('w')" +
+        ".inV().select('s', 'w')")
+    assert(rows(r) == Set("a0|1.0")) // both a0 edges weigh 1.0; s decodes to oid
+  }
+
   test("repeat(out()).times(2) walks two hops with multiplicity") {
     val viaText = Gremlin.run(g,
       "g.V().has('oid', 'u0').repeat(__.out()).times(2).groupCount().by('oid')")
