@@ -147,6 +147,23 @@ class SynthGraphSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("wcc resumes from a checkpoint to the identical fixpoint") {
+    import graft.engine.CheckpointConfig
+    import graft.algos.WCC
+    val g = GraphBuilder.fromTranscripts(Synth.transcripts(spark, sf).toDF)
+    val straight = WCC.run(g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = Files.createTempDirectory("graft-wcc-ckpt").toString
+    val ckpt = Some(CheckpointConfig(new SnapshotStore(dir), "wcc", every = 1))
+    WCC.run(g, maxIter = 3, ckpt = ckpt)
+    // the resumed frontier restarts dense (full state) but HashMin is
+    // monotone and idempotent, so the fixpoint is EXACTLY equal
+    val resumed = WCC.run(g, ckpt = ckpt)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed == straight)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("snapshot store resume: latest version readable after partial work") {
     val dir = Files.createTempDirectory("graft-snap2").toString
     val store = new SnapshotStore(dir)
