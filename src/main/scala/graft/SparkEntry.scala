@@ -1221,6 +1221,12 @@ object SparkEntry {
     "s_lsh_topk" -> ((s, dir) =>
       graft.ml.Similarity.lshTopK(
         t(s, dir, "embeddings"), "vec_id", "embedding", (0L until 10L).toSeq, 5)),
+    // SQ8 compressed-domain ANN (FAISS SQ8-flat analog): exact top-k by
+    // INTEGER dot product over int8 codes — no float rounding policy
+    // crosses the engine boundary at all
+    "s_sq8_topk" -> ((s, dir) =>
+      graft.ml.Quantize.sq8TopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding", (0L until 10L).toSeq, 5)),
     // IVF coarse-quantizer ANN (the second scale path beside sign-LSH):
     // strided centroids, one argmax assignment pass, probe-partition
     // candidates as bare ids
@@ -1968,6 +1974,7 @@ object SparkEntry {
     "d_mixture_sample" -> SynthSql2.mixtureSampleSql(MixtureRates, MixtureDefaultRate),
     "s_cosine_topk" -> SynthSql2.cosineTopKSql((0L until 10L).toSeq, 5),
     "s_lsh_topk" -> graft.synth.LshSql.lshTopKSql((0L until 10L).toSeq, 5),
+    "s_sq8_topk" -> graft.synth.LshSql.sq8TopKSql((0L until 10L).toSeq, 5),
     "s_ivf_topk" -> graft.synth.SynthSql5.ivfTopKSql((0L until 10L).toSeq, 5),
     "s_kmeans" -> graft.synth.SynthSql5.kmeansSql(8, 2, 64),
     "s_quantize" -> graft.synth.LshSql.quantizeSql,

@@ -204,6 +204,36 @@ object LshSql {
        |FROM embeddings, b""".stripMargin
   }
 
+  /** Twin of `Quantize.sq8TopK` (SQ8 compressed-domain ANN): symmetric
+    * global-scale clamp-floor codes (one `M = max |x|` scale — NOT the
+    * audit's per-dimension [lo, hi], which would destroy dot-product
+    * ranking), then INTEGER dot products of the code lists — bit-exact
+    * cross-engine with no rounding policy at all — ranked
+    * (score desc, neighbor asc) per query.
+    */
+  def sq8TopKSql(queryIds: Seq[Long], k: Int): String = {
+    val ids = queryIds.mkString(", ")
+    val code =
+      "CAST(least(greatest(floor(CAST(embedding[i] AS DOUBLE) / m * 127.0 + 0.5), -127.0), 127.0) AS BIGINT)"
+    s"""WITH b AS (SELECT max(abs(CAST(x AS DOUBLE))) AS m
+       |           FROM (SELECT unnest(embedding) AS x FROM embeddings)),
+       |coded AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(generate_series(1, len(embedding)), i -> $code) AS codes
+       |  FROM embeddings, b),
+       |q AS (SELECT vec_id AS query_id, codes AS qc FROM coded WHERE vec_id IN ($ids)),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         CAST(list_aggregate(list_transform(generate_series(1, len(q.qc)),
+       |                i -> q.qc[i] * c.codes[i]), 'sum') AS BIGINT) AS score
+       |  FROM coded c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+       |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT query_id, neighbor_id, score,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM scored) z
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** Benchmark decontamination twin (matches `Dedup.decontaminate` over
     * a `TextOps.hashSplit(buckets=10, train=8, valid=1)` split): train
     * docs sharing >= `minShared` distinct word `n`-grams (portable-hash

@@ -126,6 +126,21 @@ class TextMlSpec extends SparkSpec {
     assert(recall > 0.4, s"recall $recall too low")
   }
 
+  test("sq8 quantized top-k: k rows per query, self excluded, high recall vs float") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val sq8 = graft.ml.Quantize.sq8TopK(emb, "vec_id", "embedding", qids, 10).collect()
+    assert(sq8.length == qids.size * 10)
+    assert(sq8.forall(r => r.getLong(1) != r.getLong(0)))
+    // integer dot of 8-bit codes tracks the float inner product closely;
+    // recall@10 vs the float brute force should be near-perfect
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = sq8.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect got).size.toDouble / brute.size
+    assert(recall > 0.6, s"sq8 recall $recall vs float brute force too low")
+  }
+
   test("ivf top-k degrades to exact brute force when probing all centroids") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qids = Seq(0L, 1L, 2L)
