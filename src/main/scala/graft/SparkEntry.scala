@@ -1227,6 +1227,12 @@ object SparkEntry {
     "s_sq8_topk" -> ((s, dir) =>
       graft.ml.Quantize.sq8TopK(
         t(s, dir, "embeddings"), "vec_id", "embedding", (0L until 10L).toSeq, 5)),
+    // PQ-ADC ANN (FAISS PQ-flat analog): per-subspace strided
+    // codebooks, integer-scaled sub-L2² encode + sub-dot ADC scores —
+    // order-free integer sums across engines
+    "s_pq_topk" -> ((s, dir) =>
+      graft.ml.Quantize.pqTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding", (0L until 10L).toSeq, 5)),
     // IVF coarse-quantizer ANN (the second scale path beside sign-LSH):
     // strided centroids, one argmax assignment pass, probe-partition
     // candidates as bare ids
@@ -1975,6 +1981,7 @@ object SparkEntry {
     "s_cosine_topk" -> SynthSql2.cosineTopKSql((0L until 10L).toSeq, 5),
     "s_lsh_topk" -> graft.synth.LshSql.lshTopKSql((0L until 10L).toSeq, 5),
     "s_sq8_topk" -> graft.synth.LshSql.sq8TopKSql((0L until 10L).toSeq, 5),
+    "s_pq_topk" -> graft.synth.LshSql.pqTopKSql((0L until 10L).toSeq, 5),
     "s_ivf_topk" -> graft.synth.SynthSql5.ivfTopKSql((0L until 10L).toSeq, 5),
     "s_kmeans" -> graft.synth.SynthSql5.kmeansSql(8, 2, 64),
     "s_quantize" -> graft.synth.LshSql.quantizeSql,

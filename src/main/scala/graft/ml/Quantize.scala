@@ -79,6 +79,70 @@ object Quantize {
       .where(col("rank") <= k)
   }
 
+  /** PQ-ADC ANN top-k (product quantization with asymmetric distance
+    * computation — the FAISS PQ-flat search pattern): vectors split
+    * into `m` subvectors, each encoded as the id of its nearest
+    * sub-centroid from a per-subspace codebook; queries stay FLOAT and
+    * score against the RECONSTRUCTED docs, `score = Σ_j ⟨q_j,
+    * codebook_j[code_j]⟩` (ADC). Codebooks here are the strided-sample
+    * policy [[Similarity.ivfTopK]] already uses for its coarse
+    * quantizer (deterministic, twin-proven) — i.e. PQ at Lloyd
+    * round 0; a trained variant would run [[KMeans]] per subspace.
+    *
+    * Cross-engine determinism: every per-subspace scalar (sub-L2² for
+    * the encode argmin, sub-dot for ADC) is integer-scaled AT the
+    * subspace — `⌊x·10⁵ + 0.5⌋` as BIGINT — so the Σ over subspaces
+    * and every comparison is ORDER-FREE integer arithmetic; no float
+    * summation order ever crosses the engine boundary (stricter than
+    * the cosine family's 5-dp rounding, which still sums doubles).
+    * Encode ties break to the smaller centroid id.
+    *
+    * Scale shape: codebook is m·k rows (broadcast); encoding is one
+    * map-side-combined `min_by` pass over the corpus (never a window);
+    * ADC joins doc codes to the broadcast codebook and the broadcast
+    * query set — the n·d float payload is read once to encode and
+    * never shuffled.
+    *
+    * @return (query_id, neighbor_id, score: long ×10⁵, rank)
+    */
+  def pqTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int,
+      m: Int = 8, nCentroids: Int = 16
+  ): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val n = base.count()
+    val step = math.max(1L, n / nCentroids)
+    val d = base.select(size(col("v"))).head().getInt(0)
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val sw = d / m
+    val cb = base.where(pmod(col("id"), lit(step)) === 0)
+      .orderBy(col("id")).limit(nCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"))
+      .select(col("cid"), explode(sequence(lit(0), lit(m - 1))).as("j"), col("cv"))
+      .select(col("j"), col("cid"), expr(s"slice(cv, j * $sw + 1, $sw)").as("cvj"))
+    val d2i = expr(
+      s"CAST(floor(aggregate(zip_with(slice(v, j * $sw + 1, $sw), cvj, (a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) * 100000.0 + 0.5) AS BIGINT)")
+    val codes = base.crossJoin(broadcast(cb))
+      .select(col("id"), col("j"), col("cid"), d2i.as("d2i"))
+      .groupBy(col("id"), col("j"))
+      .agg(min_by(col("cid"), struct(col("d2i"), col("cid"))).as("cid"))
+    val q = base.where(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    val sji = expr(
+      s"CAST(floor(aggregate(zip_with(slice(qv, j * $sw + 1, $sw), cvj, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) * 100000.0 + 0.5) AS BIGINT)")
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+    codes.join(broadcast(cb), Seq("j", "cid"))
+      .crossJoin(broadcast(q))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"), sji.as("si"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("si")).as("score"))
+      .withColumn("rank", row_number().over(wnd))
+      .where(col("rank") <= k)
+  }
+
   /** Per-vector quantization audit: `(id, sum_codes, max_abs_err, n_dims)`.
     * `sum_codes` = Σ codes (integer); `max_abs_err` = max_i |x_i − x̂_i|
     * rounded to 9 dp; constant dimensions (hi == lo) code to 0 with

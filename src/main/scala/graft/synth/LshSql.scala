@@ -234,6 +234,51 @@ object LshSql {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** Twin of `Quantize.pqTopK` (PQ-ADC ANN): strided-sample codebooks
+    * per subspace (the IVF init policy), encode by integer-scaled
+    * sub-L2² argmin (ties → smaller centroid id), ADC score = Σ over
+    * subspaces of integer-scaled sub-dots — order-free integer sums,
+    * so no float summation order crosses engines.
+    */
+  def pqTopKSql(queryIds: Seq[Long], k: Int,
+                m: Int = 8, nCentroids: Int = 16, dim: Int = 64): String = {
+    val ids = queryIds.mkString(", ")
+    val sw = dim / m
+    val d2i =
+      s"""CAST(floor(list_aggregate(list_transform(generate_series(1, $sw),
+         | i -> (v[j*$sw+i] - cvj[i]) * (v[j*$sw+i] - cvj[i])), 'sum') * 100000.0 + 0.5) AS BIGINT)"""
+        .stripMargin.replace("\n", " ")
+    val sji =
+      s"""CAST(floor(list_aggregate(list_transform(generate_series(1, $sw),
+         | i -> qv[cb.j*$sw+i] * cvj[i]), 'sum') * 100000.0 + 0.5) AS BIGINT)"""
+        .stripMargin.replace("\n", " ")
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nn AS (SELECT count(*) AS n FROM e),
+       |cents AS (SELECT id AS cid, v AS cv FROM e, nn
+       |          WHERE id % greatest(1, n // $nCentroids) = 0
+       |          ORDER BY id LIMIT $nCentroids),
+       |cb AS MATERIALIZED (
+       |  SELECT j, cid, list_slice(cv, j*$sw+1, j*$sw+$sw) AS cvj
+       |  FROM cents, (SELECT unnest(generate_series(0, ${m - 1})) AS j) js),
+       |codes AS MATERIALIZED (
+       |  SELECT id, j, cid FROM (
+       |    SELECT e.id, cb.j, cb.cid,
+       |           row_number() OVER (PARTITION BY e.id, cb.j
+       |                              ORDER BY $d2i ASC, cb.cid ASC) AS rn
+       |    FROM e CROSS JOIN cb) z WHERE rn = 1),
+       |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id IN ($ids)),
+       |scored AS (
+       |  SELECT q.query_id, c.id AS neighbor_id, CAST(sum($sji) AS BIGINT) AS score
+       |  FROM codes c JOIN cb ON cb.j = c.j AND cb.cid = c.cid
+       |  CROSS JOIN q WHERE c.id <> q.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT query_id, neighbor_id, score,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM scored) z
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** Benchmark decontamination twin (matches `Dedup.decontaminate` over
     * a `TextOps.hashSplit(buckets=10, train=8, valid=1)` split): train
     * docs sharing >= `minShared` distinct word `n`-grams (portable-hash

@@ -141,6 +141,23 @@ class TextMlSpec extends SparkSpec {
     assert(recall > 0.6, s"sq8 recall $recall vs float brute force too low")
   }
 
+  test("pq-adc top-k: k rows per query, self excluded, usable recall vs float") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    // finer codebooks than the driver defaults (16 subspaces of width 4)
+    // — round-0 strided codebooks are coarse, and the 100-vector corpus
+    // gives them little to work with; the ADC ranking must still beat
+    // noise clearly (random recall@10 over ~100 candidates ≈ 0.1)
+    val pq = graft.ml.Quantize.pqTopK(emb, "vec_id", "embedding", qids, 10, m = 16).collect()
+    assert(pq.length == qids.size * 10)
+    assert(pq.forall(r => r.getLong(1) != r.getLong(0)))
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect got).size.toDouble / brute.size
+    assert(recall > 0.25, s"pq recall $recall vs float brute force too low")
+  }
+
   test("ivf top-k degrades to exact brute force when probing all centroids") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qids = Seq(0L, 1L, 2L)
